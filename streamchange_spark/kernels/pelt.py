@@ -1,0 +1,130 @@
+"""Online bounded-window optimal partitioning (PELT-style, no pruning).
+
+Semantics parity with /root/reference/streamchange/pelt/pelt.py and costs.py:
+per update the optimal segmentation cost is recomputed over a bounded window
+via a right-cumulative L2 cost; the per-update ``last_cpt`` trail is walked
+backwards at the end to extract segments. The reference deliberately omits
+pruning in the online variant (pelt/pelt.py:54 TODO) — preserved here; the
+pruned offline variant lives in offline_pelt.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .penalties import BIC, BasePenalty, as_penalty
+from .utils import dropna_series
+from .window_segmentor import RingBuffer
+
+
+class L2Cost:
+    """Gaussian fixed-variance mean-change cost.
+
+    ``opt(x)`` = n * var(x) + penalty; ``cumopt(x)`` = cumulative-from-the-
+    newest costs via one cumsum (parity: pelt/costs.py:25-54).
+    """
+
+    def __init__(self, penalty: BasePenalty | float = None):
+        self.penalty = as_penalty(BIC() if penalty is None else penalty)
+
+    def opt(self, x: np.ndarray) -> float:
+        if x.ndim == 1:
+            x = x.reshape(-1, 1)
+        return x.shape[0] * x.var(axis=0).sum() + self.penalty()
+
+    def cumopt(self, x: np.ndarray) -> np.ndarray:
+        if x.ndim == 1:
+            x = x.reshape(-1, 1)
+        x = x[:, 0]
+        sums = np.cumsum(x)
+        sums2 = np.cumsum(x**2)
+        k = np.arange(1, x.shape[0] + 1)
+        return (sums2 - sums**2 / k) + self.penalty()
+
+
+class Pelt:
+    """Streaming optimal partitioning over a bounded window.
+
+    Assumes the series is standardized by the caller. ``changepoints_`` after
+    ``fit`` lists segment ends of segments_[1:], which come out in
+    *descending* time order (parity quirk: pelt/pelt.py:83, asserted by the
+    reference's tests/test_pelt.py:12-13).
+    """
+
+    def __init__(self, cost: L2Cost = None, minsl: int = 1, maxsl: int = 1000):
+        assert minsl >= 1
+        assert maxsl > minsl
+        self.minsl = minsl
+        self.maxsl = maxsl
+        self.cost = cost if cost is not None else L2Cost()
+        self.reset()
+
+    def reset(self) -> "Pelt":
+        self.window = RingBuffer(self.maxsl)
+        self.opt_cost = RingBuffer(self.maxsl)
+        self.opt_cost.push(-self.cost.penalty())
+        self.last_cpt = 0
+        return self
+
+    def get_penalty(self):
+        return self.cost.penalty
+
+    @property
+    def change_detected(self) -> bool:
+        return self.last_cpt > 0
+
+    def update(self, x) -> "Pelt":
+        self.window.push(x)
+        n = len(self.window)
+        if n >= self.minsl:
+            opt_costs = self.opt_cost.newest_first[self.minsl - 1 :]
+            costs = self.cost.cumopt(self.window.newest_first)[self.minsl - 1 :]
+            candidate_costs = opt_costs + costs
+            best = int(np.argmin(candidate_costs))
+            self.last_cpt = self.minsl + best
+            self.opt_cost.push(candidate_costs[best])
+        else:
+            self.opt_cost.push(
+                self.opt_cost.newest_first[0] + self.cost.opt(self.window.newest_first)
+            )
+        return self
+
+    @staticmethod
+    def extract_segments(last_cpts: np.ndarray, times) -> list:
+        """Walk the last-change trail backwards into segment dicts
+        (parity: pelt/pelt.py:57-72)."""
+        segments = []
+        i = -1
+        size = len(last_cpts)
+        while i >= -size:
+            cpt_i = int(last_cpts[i])
+            segments.append(
+                {
+                    "start": times[i - cpt_i + 1],
+                    "end": times[i],
+                    "size": abs(cpt_i),
+                }
+            )
+            i -= cpt_i
+        return segments
+
+    def fit(self, values: np.ndarray, times=None) -> "Pelt":
+        self.reset()
+        values, times = dropna_series(values, times)
+        if values.ndim == 2:
+            values = values[:, 0]
+        last_cpts = np.empty(values.shape[0], dtype=np.int64)
+        for t in range(values.shape[0]):
+            self.update(values[t])
+            last_cpts[t] = self.last_cpt
+        self.segments_ = self.extract_segments(last_cpts, times)
+        self.changepoints_ = [s["end"] for s in self.segments_[1:]]
+        return self
+
+    def predict(self) -> list:
+        if not hasattr(self, "segments_"):
+            raise RuntimeError(f"This {type(self).__name__} is not fitted yet.")
+        return [dict(s) for s in self.segments_]
+
+    def fit_predict(self, values, times=None) -> list:
+        return self.fit(values, times).predict()

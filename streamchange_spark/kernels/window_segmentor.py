@@ -1,0 +1,231 @@
+"""Windowed AMOC segmentation (streaming change-point detector).
+
+Semantics parity with /root/reference/streamchange/amoc/window_segmentor.py:
+a bounded buffer of recent observations is re-tested on every update with an
+AMOC estimator; on detection the buffer is truncated at the change point and
+(optionally) re-scanned over growing windows ("jumpback") to catch multiple
+change points revealed by the truncation.
+
+Implementation is original: instead of the reference's O(n) concatenate-per-
+append deque, the buffer is an amortized O(1) grow-right array stored oldest
+first; newest-first *views* (negative-stride slices) are handed to the
+estimator, so NumPy walks elements in exactly the reference's order and all
+floating-point results are bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .amoc import AMOCEstimator
+from .utils import geomspace_int
+
+_LAST_CPT_CAP = int(1e8)
+
+
+class RingBuffer:
+    """Bounded grow-right buffer exposing a newest-first view, O(1) amortized."""
+
+    def __init__(self, max_length: int, p: int | None = None):
+        self.max_length = int(max_length)
+        self._p = p
+        self.reset()
+
+    def reset(self) -> "RingBuffer":
+        self._buf = None
+        self._lo = 0
+        self._hi = 0
+        return self
+
+    def _ensure(self, row: np.ndarray):
+        if self._buf is None:
+            cap = max(64, min(self.max_length, 4096))
+            self._buf = np.empty((cap,) + row.shape, dtype=np.float64)
+        elif self._hi == self._buf.shape[0]:
+            n = self._hi - self._lo
+            cap = self._buf.shape[0]
+            if n <= cap // 2:
+                self._buf[:n] = self._buf[self._lo : self._hi]
+            else:
+                new = np.empty((min(max(cap * 2, 64), max(self.max_length, n * 2)),) + self._buf.shape[1:])
+                new[:n] = self._buf[self._lo : self._hi]
+                self._buf = new
+            self._lo, self._hi = 0, n
+
+    def push(self, x) -> None:
+        """Append the newest observation; evict the oldest beyond max_length."""
+        row = np.asarray(x, dtype=np.float64)
+        self._ensure(row)
+        self._buf[self._hi] = row
+        self._hi += 1
+        if len(self) > self.max_length:
+            self._lo += 1
+
+    def drop_oldest(self, n: int) -> None:
+        self._lo += int(n)
+
+    def keep_newest(self, n: int) -> None:
+        self._lo = self._hi - int(n)
+
+    @property
+    def newest_first(self) -> np.ndarray:
+        """View with index 0 = most recent observation (no copy)."""
+        return self._buf[self._lo : self._hi][::-1]
+
+    def __len__(self) -> int:
+        return self._hi - self._lo
+
+
+class WindowSegmentor:
+    """Streaming segmentation by repeated AMOC testing over a bounded window.
+
+    Parameters mirror amoc/window_segmentor.py:35-55; per-update flow mirrors
+    :116-138 (buffer truncation on detection, single full-window test per
+    update, growing-window rescan after a jumpback).
+    """
+
+    def __init__(
+        self,
+        estimator: AMOCEstimator,
+        min_window: int = 2,
+        max_window: int = int(1e5),
+        minsl: int = 1,
+        candidate_type: str = "linear",
+        candidate_step: float = 1,
+        with_jumpback: bool = True,
+    ):
+        self.estimator = estimator
+        self._validate(min_window, max_window, minsl)
+        self.min_window = min_window
+        self.max_window = int(max_window)
+        self.minsl = minsl
+        self.candidate_type = candidate_type
+        self.candidate_step = candidate_step
+        self.with_jumpback = with_jumpback
+        self.candidate_cpts = self._make_candidates()
+        self.window = RingBuffer(self.max_window)
+        self.reset()
+
+    # -- lifecycle ---------------------------------------------------------
+    def reset(self) -> "WindowSegmentor":
+        self._changepoints: list[int] = []
+        self.last_changepoint = 0
+        self.estimator.reset()
+        self.window.reset()
+        return self
+
+    def get_penalty(self):
+        return self.estimator.penalty
+
+    @property
+    def change_detected(self) -> bool:
+        return len(self._changepoints) > 0
+
+    @property
+    def changepoints(self) -> list[int]:
+        """Change points found by the latest update, counted back from the
+        current observation (external index = t - cpt)."""
+        return self._changepoints
+
+    # -- configuration -----------------------------------------------------
+    def _validate(self, min_window, max_window, minsl):
+        if min_window < 2:
+            raise ValueError("min_window cannot be smaller than 2.")
+        if min_window > max_window:
+            raise ValueError("min_window cannot be greater than max_window.")
+        est = self.estimator
+        if minsl < max(est.minsl_before, est.minsl_after):
+            raise ValueError(
+                "minsl cannot be smaller than the strictest minsl restriction "
+                "in the AMOC estimator."
+            )
+        one_sided = est.minsl_after == 0 or est.minsl_before == 0
+        if one_sided and minsl > max_window:
+            raise ValueError(
+                "minsl cannot be greater than max_window for one-sided AMOC estimators."
+            )
+        if not one_sided and minsl > max_window / 2:
+            raise ValueError(
+                "minsl cannot be greater than max_window/2 for two-sided AMOC estimators."
+            )
+
+    def _make_candidates(self) -> np.ndarray:
+        # Candidates stop one short of the window end so the same change point
+        # is never tested twice (would loop forever with jumpback).
+        min_cpt = self.minsl if self.estimator.minsl_after > 0 else 0
+        max_cpt = (
+            self.max_window - self.minsl
+            if self.estimator.minsl_before > 0
+            else self.max_window
+        )
+        if max_cpt < min_cpt:
+            raise ValueError(
+                "minsl cannot be greater than max_window/2 when the AMOC "
+                "estimator requires estimation both before and after a "
+                "candidate changepoint."
+            )
+        if self.candidate_type == "linear":
+            return np.arange(min_cpt, max_cpt + 1, self.candidate_step)
+        if self.candidate_type == "geom":
+            if self.candidate_step <= 1.0:
+                raise ValueError("When candidate_type='geom', candidate_step must be > 1.")
+            return geomspace_int(min_cpt, max_cpt + 1, self.candidate_step)
+        raise ValueError("candidate_type must be either 'linear' or 'geom'.")
+
+    def _valid_candidates(self, window_length: int) -> np.ndarray:
+        minsl_boundary = self.last_changepoint - self.minsl + 1
+        return self.candidate_cpts[
+            self.candidate_cpts < min(minsl_boundary, window_length)
+        ]
+
+    # -- streaming ---------------------------------------------------------
+    def update(self, x) -> "WindowSegmentor":
+        if self.change_detected:
+            self.window.keep_newest(self._changepoints[-1])
+        self._changepoints = []
+        self.window.push(x)
+        self.last_changepoint = min(self.last_changepoint + 1, _LAST_CPT_CAP)
+
+        values = self.window.newest_first
+        start = len(self.window)
+        end = min(0, start - self.min_window)
+        while end >= 0:
+            candidates = self._valid_candidates(start - end)
+            self.estimator.fit(values[end:start], candidates)
+            if self.estimator.change_detected:
+                cpt = self.estimator.changepoint
+                self._changepoints.append(cpt)
+                self.last_changepoint = cpt
+                if self.with_jumpback:
+                    start = cpt
+                    end = start - self.min_window + 1
+            end -= 1
+        return self
+
+    # -- batch -------------------------------------------------------------
+    def fit(self, values: np.ndarray, times=None) -> "WindowSegmentor":
+        """Run the stream over a whole series; NaN rows are dropped first
+        (parity: window_segmentor.py:140-151)."""
+        self.reset()
+        values = np.asarray(values, dtype=np.float64)
+        two_d = values.ndim == 2
+        mask = ~(np.isnan(values).any(axis=1) if two_d else np.isnan(values))
+        if times is None:
+            times = np.arange(values.shape[0])
+        times = np.asarray(times)[mask]
+        values = values[mask]
+        cpts = []
+        for t in range(values.shape[0]):
+            self.update(values[t])
+            if self.change_detected:
+                cpts += [t - cpt for cpt in self._changepoints]
+        self.changepoints_ = [times[c] for c in cpts]
+        return self
+
+    def predict(self) -> list:
+        if not hasattr(self, "changepoints_"):
+            raise RuntimeError(f"This {type(self).__name__} is not fitted yet.")
+        return list(self.changepoints_)
+
+    def fit_predict(self, values, times=None) -> list:
+        return self.fit(values, times).predict()

@@ -1,0 +1,75 @@
+"""Ported from /root/reference/tests/test_pelt.py and test_capa.py, plus the
+offline PELT variant."""
+
+import numpy as np
+
+from streamchange_spark.kernels import (
+    Capa,
+    ConstMeanL2,
+    L2Cost,
+    OfflinePelt,
+    Pelt,
+    simulate,
+)
+
+
+def test_pelt_accuracy():
+    seg_len = 100
+    x = simulate([0, 30, 0], [seg_len], p=1, seed=2)
+    detector = Pelt(L2Cost(), minsl=2, maxsl=10000)
+    segments = detector.fit_predict(x[:, 0])
+    assert len(segments) == 3
+    assert len(detector.changepoints_) == 2
+    # Quirk preserved: changepoints_ come out in descending time order.
+    assert detector.changepoints_[0] == 2 * seg_len - 1
+    assert detector.changepoints_[1] == seg_len - 1
+    for segment in segments:
+        assert segment["start"] >= 0
+        assert segment["end"] <= x.shape[0] - 1
+        assert segment["start"] <= segment["end"]
+
+
+def test_capa_accuracy():
+    seg_len = 100
+    x = simulate([0, 30], [seg_len], p=1, seed=2)
+    point_anom_pos = 10
+    x[point_anom_pos] = 200
+    capa = Capa(ConstMeanL2(), minsl=2, maxsl=1000, predict_point_anomalies=True)
+    capa.fit(x[:, 0])
+    assert len(capa.collective_anomalies_) == 1
+    assert capa.collective_anomalies_[0]["end"] == x.shape[0] - 1
+    assert capa.collective_anomalies_[0]["start"] == seg_len
+    assert len(capa.point_anomalies_) == 1
+    assert capa.point_anomalies_[0]["start"] == point_anom_pos
+    assert len(capa.predict()) == 2
+
+
+def test_offline_pelt():
+    seg_len = 100
+    x = simulate([0, 30, 0], [seg_len], p=1, seed=2)
+    detector = OfflinePelt(minsl=2)
+    detector.fit(x)
+    starts = [s["start"] for s in detector.segments_]
+    ends = [s["end"] for s in detector.segments_]
+    assert starts == [0, 100, 200]
+    assert ends == [99, 199, 299]
+    assert all(s["size"] == seg_len for s in detector.segments_)
+
+
+def test_offline_pelt_multivariate():
+    x = simulate([0, 10], [80], p=3, seed=7)
+    detector = OfflinePelt(minsl=2)
+    detector.fit(x)
+    assert len(detector.segments_) == 2
+    assert detector.segments_[0]["end"] == 79
+
+
+def test_online_vs_offline_pelt_consistency():
+    """Both PELT variants should find the same change points on a clear
+    signal (the offline one lists them ascending, online descending)."""
+    x = simulate([0, 20, 0], [60], p=1, seed=11)
+    online = Pelt(L2Cost(), minsl=2, maxsl=10000).fit(x[:, 0])
+    offline = OfflinePelt(minsl=2).fit(x)
+    online_cpts = sorted(int(c) for c in online.changepoints_)
+    offline_cpts = sorted(int(s["end"]) for s in offline.segments_[:-1])
+    assert online_cpts == offline_cpts == [59, 119]
