@@ -215,11 +215,15 @@ class WindowSegmentor:
         times = np.asarray(times)[mask]
         values = values[mask]
         cpts = []
+        detections = []
         for t in range(values.shape[0]):
             self.update(values[t])
             if self.change_detected:
                 cpts += [t - cpt for cpt in self._changepoints]
+                detections += [t] * len(self._changepoints)
         self.changepoints_ = [times[c] for c in cpts]
+        # (detection time, changepoint time) pairs — when each change was seen.
+        self.detections_ = [(times[d], times[c]) for d, c in zip(detections, cpts)]
         return self
 
     def predict(self) -> list:

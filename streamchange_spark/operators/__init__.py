@@ -1,0 +1,82 @@
+"""Spark DataFrame operators: detector scans, retention rollups, gap-fill,
+Gorilla compression, dedup / similarity / text analysis."""
+
+from .dedup import (
+    cosine_col,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash,
+    simhash_pairs,
+    tokens_col,
+)
+from .detect import (
+    capa_anomalies,
+    offline_pelt_segments,
+    pelt_segments,
+    segmentation_with_stats,
+    sequential_scores,
+    window_segmentor_changepoints,
+)
+from .gapfill import dense_grid, gapfill
+from .gorilla import (
+    compress_series,
+    compression_ratio,
+    decompress_series,
+)
+from .multimodal import (
+    decode_image_features,
+    extract_binary_meta,
+    sample_video_frames,
+)
+from .rollup import (
+    TIER_SECONDS,
+    retention_filter,
+    rollup_all_tiers,
+    rollup_raw,
+    rollup_tier,
+    with_avg,
+)
+from .similarity import cosine_topk, lsh_ann_pairs
+from .textstats import fingerprint, lang_id, quality_features
+
+__all__ = [
+    "TIER_SECONDS",
+    "cosine_col",
+    "cosine_topk",
+    "decode_image_features",
+    "embedding_neardup_pairs",
+    "exact_dedup",
+    "extract_binary_meta",
+    "fingerprint",
+    "lang_id",
+    "lsh_ann_pairs",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "quality_features",
+    "sample_video_frames",
+    "shingles_col",
+    "simhash",
+    "simhash_pairs",
+    "tokens_col",
+    "capa_anomalies",
+    "compress_series",
+    "compression_ratio",
+    "decompress_series",
+    "dense_grid",
+    "gapfill",
+    "offline_pelt_segments",
+    "pelt_segments",
+    "retention_filter",
+    "rollup_all_tiers",
+    "rollup_raw",
+    "rollup_tier",
+    "segmentation_with_stats",
+    "sequential_scores",
+    "window_segmentor_changepoints",
+    "with_avg",
+]

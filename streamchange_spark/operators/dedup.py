@@ -1,0 +1,317 @@
+"""Document deduplication for web-scale training-data pipelines.
+
+All hot paths are JVM-side column expressions (whole-stage codegen; no Python
+in the per-row path):
+
+- exact:     hash-groupBy on md5(text) — one shuffle of (hash, id) pairs only.
+- minhash:   word-shingle -> k minhashes via higher-order array functions
+             (``transform``/``aggregate``) -> banded LSH -> self-join on band
+             buckets. The self-join key is (band_index, band_hash): at scale
+             this is the classic shuffle-bounded candidate generation; exact
+             Jaccard verification runs only on candidates.
+- simhash:   64-bit sign-aggregated token hashes; near-dups = small Hamming
+             distance (bit_count(xor)).
+- n-gram Jaccard: inverted-index join on shared shingles computes
+             |intersection| per pair in one aggregation; |union| by
+             inclusion-exclusion — never materializes pairwise token sets.
+- embedding: cosine similarity via ``zip_with``/``aggregate`` on
+             array<double>; see similarity.py for the LSH-bucketed ANN path.
+
+``hash_fn='md5'`` keeps every hash reproducible in ANSI SQL (DuckDB oracle:
+``('0x' || substr(md5(x), 1, 15))::BIGINT``); ``'xxhash'`` is the cheaper
+scale path (one JVM hash vs md5's full digest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash64(col: Column, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        # 15 hex chars = 60 bits, fits a signed 64-bit int; reproducible in
+        # any SQL engine with md5().
+        return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+    if hash_fn == "xxhash":
+        return F.xxhash64(col)
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
+def tokens_col(text_col: str) -> Column:
+    """Lower-cased whitespace tokens (empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def shingles_col(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (built from the
+    token array with ``sequence`` + ``transform`` + ``slice`` — no UDF)."""
+    toks = tokens_col(text_col)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(ngrams)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative (min id) per byte-identical text:
+    (text_md5, keep_id, dup_count)."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, mh_0 .. mh_{k-1}): k-permutation minhash of the shingle set.
+    Each permutation i hashes ``shingle || '#i'``; the min over the shingle
+    array is an ``aggregate`` fold — all inside codegen."""
+    sh = shingles_col(text_col, shingle_size).alias("_sh")
+    base = df.select(F.col(id_col), sh).where(F.size("_sh") > 0)
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        hashed = F.transform(
+            F.col("_sh"), lambda s, i=i: _hash64(F.concat(s, F.lit(f"#{i}")), hash_fn)
+        )
+        cols.append(F.array_min(hashed).alias(f"mh_{i}"))
+    return base.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that collide in >= 1 LSH
+    band. rows_per_band = num_hashes / bands; collision threshold ~
+    (1/bands)^(1/rows_per_band)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, hash_fn)
+    band_rows = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(":", *[m.cast("string") for m in members])).alias(
+                    "band_key"
+                ),
+            )
+        )
+    exploded = band_rows[0]
+    for extra in band_rows[1:]:
+        exploded = exploded.unionAll(extra)
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, simhash): 64-bit SimHash over whitespace tokens. Bit b of the
+    result is the sign of sum over tokens of (+1 if bit b of token-hash else
+    -1) — computed as one fold over the token array."""
+    toks = tokens_col(text_col).alias("_toks")
+    base = df.select(F.col(id_col), toks).where(F.size("_toks") > 0)
+    hashed = F.transform(F.col("_toks"), lambda t: _hash64(t, hash_fn))
+    # Fold: accumulate an array of 64 counters, then collapse sign bits.
+    counters = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).cast("long"),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return base.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "md5",
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash. Candidate generation blocks on each of the
+    four 16-bit quarters (pigeonhole: any pair within Hamming distance 3 of a
+    64-bit hash agrees on >= 1 quarter), then verifies with bit_count(xor)."""
+    sig = simhash(df, id_col, text_col, hash_fn)
+    blocks = None
+    n_blocks = 64 // block_bits
+    for q in range(n_blocks):
+        part = sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(q).alias("block"),
+            F.shiftright(F.col("simhash"), q * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1))
+            .alias("block_key"),
+        )
+        blocks = part if blocks is None else blocks.unionAll(part)
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.block_key") == F.col("r.block_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with n-gram-set Jaccard >= threshold.
+    Scale path: explode distinct shingles to an inverted index, self-join on
+    the shingle (bounded by document frequency), count shared shingles per
+    pair, union size by inclusion-exclusion."""
+    sets = df.select(
+        F.col(id_col), shingles_col(text_col, n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    sizes = sets.select(F.col(id_col), F.size("_sh").alias("_sz"))
+    inv = sets.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(
+            r,
+            (F.col("l._s") == F.col("r._s"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force (id_a, id_b, cosine) pairs above threshold — the exact
+    baseline; use similarity.lsh_ann_pairs for the bucketed scale path."""
+    l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_col(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,135 @@
+"""Continuous-aggregate retention tiers: raw -> 1h -> 1d -> 30d.
+
+Engine-only operators mandated by the north rule (no reference counterpart;
+see SURVEY.md §2.8). Design rules for exact re-aggregability at 100 TB scale:
+
+- Every tier carries *associative* state — n_points, sum_v, min_v, max_v,
+  first_v/last_v with their timestamps — never averages, so tier N+1 is
+  computed from tier N alone (no raw re-scan) and equals the direct
+  aggregation from raw bit-for-bit (sums of doubles re-associate, so equality
+  holds when partial aggregation trees match; tests assert value equality vs
+  both a DuckDB oracle and a direct-from-raw rollup).
+- Buckets are epoch-floor buckets (``floor(unix_ts / seconds) * seconds``) —
+  deterministic, timezone-free, identical in Spark and DuckDB, and cheap
+  (whole-stage codegen; no UDF).
+- The aggregation is a plain ``groupBy(key, bucket)`` — Catalyst plans a
+  partial (map-side) hash aggregate before the shuffle, so the shuffle volume
+  is one row per (key, bucket) per task, not per input row.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HOUR = 3600
+DAY = 86400
+DAYS_30 = 30 * 86400
+
+TIER_SECONDS = {"1h": HOUR, "1d": DAY, "30d": DAYS_30}
+
+#: Columns every tier table carries (after the key + bucket_start).
+TIER_STATE_COLS = [
+    "n_points",
+    "sum_v",
+    "min_v",
+    "max_v",
+    "first_ts",
+    "first_v",
+    "last_ts",
+    "last_v",
+]
+
+
+def bucket_col(ts_col: str, seconds: int):
+    """Epoch-floor bucket as a timestamp column (codegen-friendly, no UDF)."""
+    return F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / seconds).cast("long") * seconds
+    )
+
+
+def rollup_raw(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tier: str = "1h",
+) -> DataFrame:
+    """Aggregate raw points into one tier:
+    (keys..., bucket_start, n_points, sum_v, min_v, max_v, first_ts, first_v,
+    last_ts, last_v)."""
+    seconds = TIER_SECONDS[tier]
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*key_cols, bucket_col(ts_col, seconds).alias("bucket_start"))
+        .agg(
+            F.count(v).alias("n_points"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.min(F.col(ts_col)).alias("first_ts"),
+            F.min_by(v, F.col(ts_col)).alias("first_v"),
+            F.max(F.col(ts_col)).alias("last_ts"),
+            F.max_by(v, F.col(ts_col)).alias("last_v"),
+        )
+    )
+
+
+def rollup_tier(
+    tier_df: DataFrame,
+    key_cols: Sequence[str],
+    tier: str,
+) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one using only the finer
+    tier's associative state (the continuous-aggregate property: no raw
+    scan)."""
+    seconds = TIER_SECONDS[tier]
+    return (
+        tier_df.groupBy(
+            *key_cols, bucket_col("bucket_start", seconds).alias("bucket_start")
+        )
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.min("first_ts").alias("first_ts"),
+            F.min_by("first_v", F.col("first_ts")).alias("first_v"),
+            F.max("last_ts").alias("last_ts"),
+            F.max_by("last_v", F.col("last_ts")).alias("last_v"),
+        )
+    )
+
+
+def rollup_all_tiers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> dict[str, DataFrame]:
+    """The full retention cascade raw -> 1h -> 1d -> 30d; each coarser tier is
+    derived from the previous one, so the raw table is scanned exactly once."""
+    tier_1h = rollup_raw(df, key_cols, ts_col, value_col, "1h")
+    tier_1d = rollup_tier(tier_1h, key_cols, "1d")
+    tier_30d = rollup_tier(tier_1d, key_cols, "30d")
+    return {"1h": tier_1h, "1d": tier_1d, "30d": tier_30d}
+
+
+def with_avg(tier_df: DataFrame) -> DataFrame:
+    """Derived average (kept out of the stored state on purpose — averages
+    don't re-aggregate)."""
+    return tier_df.withColumn("avg_v", F.col("sum_v") / F.col("n_points"))
+
+
+def retention_filter(
+    tier_df: DataFrame, now_ts, max_age_seconds: int
+) -> DataFrame:
+    """Retention policy: keep only buckets younger than the tier's max age.
+    On a partitioned table this prunes whole partitions (no data rewrite)."""
+    cutoff = F.timestamp_seconds(
+        F.unix_timestamp(F.lit(now_ts)) - F.lit(max_age_seconds)
+    )
+    return tier_df.where(F.col("bucket_start") >= cutoff)

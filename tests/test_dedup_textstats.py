@@ -1,0 +1,202 @@
+"""Dedup / text-analysis / similarity operators on the driver's documents and
+embeddings tables, cross-checked against pandas/NumPy recomputations."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streamchange_spark.operators import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    exact_dedup,
+    extract_binary_meta,
+    decode_image_features,
+    lang_id,
+    lsh_ann_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_features,
+    sample_video_frames,
+    simhash_pairs,
+)
+from streamchange_spark.operators.textstats import fingerprint
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text").toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    by_md5 = pdf.groupby(pdf["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()))
+    expected = by_md5["doc_id"].min().sort_values()
+    assert sorted(out["keep_id"]) == sorted(expected)
+    assert out["dup_count"].sum() == len(pdf)
+
+
+def test_minhash_jaccard_behaviour(spark):
+    # Near-identical docs must collide; unrelated docs must not.
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [
+        (0, base),
+        (1, base + "extra tail words here"),
+        (2, "completely different content about spark engines and parquet files " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=4).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_minhash_signature_is_min_over_shingles(spark):
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    sig = minhash_signatures(df, "doc_id", "text", num_hashes=2, shingle_size=2).toPandas()
+    shingles = ["a b", "b c", "c d", "d e"]
+
+    def h(s, i):
+        return int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:15], 16)
+
+    for i in range(2):
+        assert sig[f"mh_{i}"][0] == min(h(s, i) for s in shingles)
+
+
+def test_simhash_pairs(spark):
+    base = "tokens shared across both documents in large numbers " * 20
+    rows = [(0, base), (1, base + " tiny difference"), (2, "unrelated words entirely " * 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(df, "doc_id", "text", max_hamming=8).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in got
+    assert (0, 2) not in got
+
+
+def test_ngram_jaccard_matches_numpy(spark, docs):
+    sample = docs.limit(40)
+    got = ngram_jaccard_pairs(sample, "doc_id", "text", n=3, threshold=0.2).toPandas()
+    pdf = sample.select("doc_id", "text").toPandas()
+
+    def shingle_set(t):
+        toks = [w for w in t.lower().split() if w]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {r.doc_id: shingle_set(r.text) for r in pdf.itertuples()}
+    expected = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= 0.2:
+                    expected[(a, b)] = j
+    got_map = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert set(got_map) == set(expected)
+    for k in expected:
+        assert got_map[k] == pytest.approx(expected[k], rel=1e-12)
+
+
+def test_embedding_neardup_and_topk(spark, embs):
+    pdf = embs.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # top-k vs numpy for 3 query vectors
+    qids = sorted(vecs)[:3]
+    queries = embs.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(embs, queries, k=5).toPandas()
+    for q in qids:
+        scored = sorted(
+            ((cos(vecs[q], v), -i) for i, v in vecs.items()), reverse=True
+        )
+        expected_ids = [-s[1] for s in scored[:5]]
+        actual = got[got.query_id == q].sort_values("rank")["vec_id"].tolist()
+        assert actual == expected_ids, q
+
+
+def test_lsh_ann_recall(spark, embs):
+    exact = embedding_neardup_pairs(embs.limit(120), "vec_id", "embedding", 0.9).toPandas()
+    approx = lsh_ann_pairs(
+        embs.limit(120), "vec_id", "embedding", n_planes=16, bucket_bits=6,
+        n_bands=2, threshold=0.9,
+    ).toPandas()
+    exact_pairs = set(map(tuple, exact[["id_a", "id_b"]].values))
+    approx_pairs = set(map(tuple, approx[["id_a", "id_b"]].values))
+    assert approx_pairs <= exact_pairs  # no false positives (verified cosine)
+    if exact_pairs:
+        recall = len(approx_pairs) / len(exact_pairs)
+        assert recall >= 0.5, recall
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (0, "the cat and the dog sat in the garden and it is warm"),
+        (1, "der hund und die katze das ist nicht ein problem zu haben"),
+        (2, "le chat et la maison les fleurs des jardins est une merveille"),
+        (3, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lang_id(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "de"
+    assert out.loc[2, "lang_pred"] == "fr"
+    assert out.loc[3, "lang_pred"] == "und"
+
+    q = quality_features(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert (q["quality_score"] >= 0).all() and (q["quality_score"] <= 1).all()
+    assert q.loc[0, "quality_score"] > q.loc[3, "quality_score"]
+
+
+def test_fingerprint_matches_python(spark, docs):
+    sample = docs.limit(20)
+    got = fingerprint(sample, "doc_id", "text").toPandas().set_index("doc_id")
+    for r in sample.select("doc_id", "text").toPandas().itertuples():
+        h = 0
+        for ch in r.text:
+            h = (h * 31 + ord(ch)) % 2147483647
+        assert got.loc[r.doc_id, "fp"] == h
+
+
+def test_multimodal_meta_and_stubs(spark):
+    rows = [
+        (0, bytearray(b"\x89PNG\r\n" + b"x" * 100)),
+        (1, bytearray(b"\xff\xd8\xff\xe0" + b"y" * 50)),
+        (2, bytearray(b"RIFFxxxx" + b"z" * 64)),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    meta = extract_binary_meta(df, "id", "payload").toPandas().set_index("id")
+    assert meta.loc[0, "mime"] == "image/png"
+    assert meta.loc[1, "mime"] == "image/jpeg"
+    assert meta.loc[2, "mime"] == "audio/wav"
+    assert meta.loc[0, "n_bytes"] == 106
+    assert meta.loc[0, "sha256"] == hashlib.sha256(bytes(rows[0][1])).hexdigest()
+
+    feats = decode_image_features(df, "id", "payload", feature_dim=4).toPandas()
+    assert len(feats) == 3
+    assert all(len(f) == 4 for f in feats["features"])
+    # Deterministic: same payload -> same features.
+    feats2 = decode_image_features(df, "id", "payload", feature_dim=4).toPandas()
+    assert feats.sort_values("id")["features"].tolist() == feats2.sort_values("id")["features"].tolist()
+
+    frames = sample_video_frames(df, "id", "payload", n_frames=3).toPandas()
+    assert len(frames) == 9
+    assert set(frames["frame_idx"]) == {0, 1, 2}

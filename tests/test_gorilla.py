@@ -1,0 +1,89 @@
+"""Gorilla codec: pure-codec round trips + the Spark compress/decompress
+operators (binary tier columns) end to end."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from streamchange_spark.operators import compress_series, decompress_series
+from streamchange_spark.operators.gorilla import (
+    compress_timestamps,
+    compress_values,
+    decompress_timestamps,
+    decompress_values,
+)
+
+
+def test_timestamp_roundtrip_exact():
+    rng = np.random.RandomState(3)
+    ts = np.cumsum(rng.choice([1, 3600, 3600, 3600, 7200, 86400 * 40], 4000)) + 1_700_000_000
+    assert np.array_equal(decompress_timestamps(compress_timestamps(ts)), ts)
+
+
+def test_timestamp_regular_grid_compresses_hard():
+    ts = 1_700_000_000 + 3600 * np.arange(10000)
+    blob = compress_timestamps(ts)
+    # constant delta -> dod = 0 -> 1 bit per point after the header
+    assert len(blob) < 10000 / 8 + 32
+
+
+def test_value_roundtrip_bitexact():
+    rng = np.random.RandomState(4)
+    for vals in [
+        rng.normal(0, 1, 3000),
+        np.repeat(2.5, 500),
+        np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 5e-324, 1.7e308]),
+        rng.randint(0, 100, 1000).astype(float),
+    ]:
+        back = decompress_values(compress_values(vals))
+        assert np.array_equal(vals.view(np.uint64), back.view(np.uint64))
+
+
+def test_empty_and_singleton():
+    assert decompress_timestamps(compress_timestamps(np.array([], dtype=np.int64))).size == 0
+    assert decompress_values(compress_values(np.array([]))).size == 0
+    assert decompress_timestamps(compress_timestamps(np.array([7])))[0] == 7
+    assert decompress_values(compress_values(np.array([1.5])))[0] == 1.5
+
+
+@pytest.fixture(scope="module")
+def tier_df(spark):
+    rng = np.random.RandomState(5)
+    frames = []
+    for key in ["u1", "u2"]:
+        n = 300
+        ts = 1_704_067_200 + 3600 * np.arange(n) + rng.choice([0, 3600], n).cumsum()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "key": key,
+                    "bucket_start": pd.to_datetime(ts, unit="s"),
+                    "v": rng.normal(50, 4, n),
+                }
+            )
+        )
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+def test_spark_compress_decompress_roundtrip(spark, tier_df):
+    compressed = compress_series(tier_df, ["key"], "bucket_start", "v")
+    comp_pd = compressed.toPandas()
+    assert set(comp_pd["key"]) == {"u1", "u2"}
+    assert (comp_pd["n_points"] == 300).all()
+
+    restored = (
+        decompress_series(compressed, ["key"], ts_col="bucket_start", value_col="v")
+        .orderBy("key", "bucket_start")
+        .toPandas()
+    )
+    original = tier_df.orderBy("key", "bucket_start").toPandas()
+    assert len(restored) == len(original)
+    assert (restored["key"].to_numpy() == original["key"].to_numpy()).all()
+    assert np.array_equal(
+        restored["bucket_start"].to_numpy(), original["bucket_start"].to_numpy()
+    )
+    # bit-for-bit on the doubles
+    assert np.array_equal(
+        restored["v"].to_numpy().view(np.uint64),
+        original["v"].to_numpy().view(np.uint64),
+    )

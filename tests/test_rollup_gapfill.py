@@ -1,0 +1,133 @@
+"""Retention-tier rollups and gap-fill: exactness vs pandas recomputation and
+the continuous-aggregate (associativity) property."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streamchange_spark.operators import (
+    gapfill,
+    rollup_all_tiers,
+    rollup_raw,
+    rollup_tier,
+    with_avg,
+)
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    base = pd.Timestamp("2024-01-01", tz=None).value // 10**9
+    for key in ["a", "b", "c"]:
+        n = 500
+        # minute-level points with gaps
+        offsets = np.cumsum(rng.choice([60, 60, 120, 3600, 7200], size=n))
+        ts = base + offsets + rng.randint(0, 50, n)
+        vals = rng.normal(10, 3, n)
+        rows.append(pd.DataFrame({"key": key, "ts": pd.to_datetime(ts, unit="s"), "value": vals}))
+    return spark.createDataFrame(pd.concat(rows, ignore_index=True))
+
+
+def _pandas_rollup(pdf: pd.DataFrame, seconds: int) -> pd.DataFrame:
+    pdf = pdf.copy()
+    epoch = pdf["ts"].astype("int64") // 10**9
+    pdf["bucket"] = (epoch // seconds) * seconds
+    grouped = pdf.sort_values("ts").groupby(["key", "bucket"])
+    out = grouped.agg(
+        n_points=("value", "count"),
+        sum_v=("value", "sum"),
+        min_v=("value", "min"),
+        max_v=("value", "max"),
+        first_v=("value", "first"),
+        last_v=("value", "last"),
+    ).reset_index()
+    return out
+
+
+def test_rollup_1h_matches_pandas(spark, points_df):
+    got = (
+        rollup_raw(points_df, ["key"], "ts", "value", "1h")
+        .withColumn("bucket", F.unix_timestamp("bucket_start"))
+        .toPandas()
+        .sort_values(["key", "bucket"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        _pandas_rollup(points_df.toPandas(), 3600)
+        .sort_values(["key", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected)
+    assert (got["n_points"].to_numpy() == expected["n_points"].to_numpy()).all()
+    assert np.allclose(got["sum_v"], expected["sum_v"], rtol=0, atol=1e-9)
+    assert np.array_equal(got["min_v"].to_numpy(), expected["min_v"].to_numpy())
+    assert np.array_equal(got["max_v"].to_numpy(), expected["max_v"].to_numpy())
+    assert np.array_equal(got["first_v"].to_numpy(), expected["first_v"].to_numpy())
+    assert np.array_equal(got["last_v"].to_numpy(), expected["last_v"].to_numpy())
+
+
+def test_tier_reaggregation_equals_direct(spark, points_df):
+    """tier(1d) from tier(1h) must equal tier(1d) straight from raw — the
+    continuous-aggregate property that lets coarser tiers skip the raw scan."""
+    tiers = rollup_all_tiers(points_df, ["key"], "ts", "value")
+    for tier_name in ["1d", "30d"]:
+        from_chain = (
+            tiers[tier_name].orderBy("key", "bucket_start").toPandas()
+        )
+        direct = (
+            rollup_raw(points_df, ["key"], "ts", "value", tier_name)
+            .orderBy("key", "bucket_start")
+            .toPandas()
+        )
+        assert len(from_chain) == len(direct)
+        for col in ["n_points", "min_v", "max_v", "first_v", "last_v"]:
+            assert np.array_equal(
+                from_chain[col].to_numpy(), direct[col].to_numpy()
+            ), (tier_name, col)
+        assert np.allclose(from_chain["sum_v"], direct["sum_v"], rtol=0, atol=1e-8)
+
+
+def test_avg_and_counts(spark, points_df):
+    tier = with_avg(rollup_raw(points_df, ["key"], "ts", "value", "1h"))
+    row = tier.agg(F.sum("n_points").alias("n")).collect()[0]
+    assert row["n"] == points_df.count()
+
+
+def test_gapfill_locf(spark, points_df):
+    tier = rollup_raw(points_df, ["key"], "ts", "value", "1h").select(
+        "key", "bucket_start", F.col("sum_v").alias("v")
+    )
+    filled = gapfill(tier, ["key"], "bucket_start", "v", 3600, method="locf").toPandas()
+    # Dense grid: every key covers every hour between its min and max.
+    for key, sub in filled.groupby("key"):
+        sub = sub.sort_values("bucket_start")
+        deltas = sub["bucket_start"].diff().dropna().dt.total_seconds()
+        assert (deltas == 3600).all()
+        assert sub["v"].notna().all()  # LOCF fills everything after the first obs
+    # Spot-check LOCF semantics against pandas ffill.
+    tier_pd = tier.toPandas()
+    for key in ["a", "b"]:
+        sub = filled[filled.key == key].sort_values("bucket_start")
+        obs = tier_pd[tier_pd.key == key].set_index("bucket_start")["v"]
+        expected = obs.reindex(sub["bucket_start"]).ffill()
+        assert np.allclose(sub["v"].to_numpy(), expected.to_numpy(), equal_nan=True)
+
+
+def test_gapfill_linear(spark):
+    pdf = pd.DataFrame(
+        {
+            "key": ["k"] * 3,
+            "bucket_start": pd.to_datetime([0, 3600, 10800], unit="s"),
+            "v": [0.0, 36.0, 108.0],
+        }
+    )
+    filled = (
+        gapfill(spark.createDataFrame(pdf), ["key"], "bucket_start", "v", 3600, "linear")
+        .orderBy("bucket_start")
+        .toPandas()
+    )
+    # hour 2 (7200) is missing; linear between 36 (t=3600) and 108 (t=10800).
+    assert list(filled["v"]) == [0.0, 36.0, 72.0, 108.0]
+    assert list(filled["gap_filled"]) == [False, False, True, False]

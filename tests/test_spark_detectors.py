@@ -1,0 +1,167 @@
+"""Spark detector operators == pure-NumPy oracle, per key, exactly.
+
+Builds a multi-key series table from the reference fixtures, runs each
+operator through Spark (applyInPandas path: Arrow, shuffles, schema), and
+asserts the collected output equals a driver-side run of the same kernel.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from streamchange_spark.kernels import (
+    BIC,
+    CUSUM,
+    Capa,
+    ConstMeanL2,
+    L2Cost,
+    LordenPollakScore,
+    Mean,
+    OfflinePelt,
+    Pelt,
+    SequentialChangeDetector,
+    StatBuffer,
+    StatUnion,
+    WindowSegmentor,
+    simulate,
+)
+from streamchange_spark.operators import (
+    capa_anomalies,
+    offline_pelt_segments,
+    pelt_segments,
+    segmentation_with_stats,
+    sequential_scores,
+    window_segmentor_changepoints,
+)
+
+FIXTURES = {
+    "step-100": dict(means=[0, 30], seg_lens=[100], p=1, seed=2),
+    "updown-100": dict(means=[0, 10, 0], seg_lens=[100], p=1, seed=5),
+    "many-steps-20": dict(
+        means=[0, 10, 0, 20, 0, 1, 0, 3, 5, 0, 4], seg_lens=[20], p=1, seed=34
+    ),
+    "nochange": dict(means=[0], seg_lens=[200], p=1, seed=145),
+}
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    frames = []
+    for key, kw in FIXTURES.items():
+        x = simulate(**kw)[:, 0]
+        frames.append(pd.DataFrame({"key": key, "t": np.arange(x.size), "value": x}))
+    pdf = pd.concat(frames, ignore_index=True)
+    # Shuffle row order on purpose: operators must sort per key themselves.
+    pdf = pdf.sample(frac=1.0, random_state=0)
+    return spark.createDataFrame(pdf)
+
+
+def test_window_segmentor_matches_oracle(series_df):
+    factory = lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=10)), 4, 100)
+    got = (
+        window_segmentor_changepoints(
+            series_df, factory, key_cols=["key"], ts_col="t", value_cols=["value"]
+        )
+        .toPandas()
+        .sort_values(["key", "changepoint_ts"])
+        .reset_index(drop=True)
+    )
+    for key, kw in FIXTURES.items():
+        x = simulate(**kw)[:, 0]
+        oracle = factory()
+        oracle.fit(x)
+        expected = sorted(int(c) for _, c in oracle.detections_)
+        actual = sorted(got.loc[got.key == key, "changepoint_ts"].astype(int))
+        assert actual == expected, key
+    # The pinned fixture: step-100 detects exactly [99].
+    assert sorted(got.loc[got.key == "step-100", "changepoint_ts"].astype(int)) == [99]
+
+
+def test_sequential_scores_match_oracle(series_df):
+    factory = lambda: SequentialChangeDetector(
+        LordenPollakScore(rho=1.0).penalise(20.0), reset_on_change=True, restart_delay=5
+    )
+    got = sequential_scores(
+        series_df, factory, key_cols=["key"], ts_col="t", value_cols=["value"]
+    ).toPandas()
+    for key, kw in FIXTURES.items():
+        x = simulate(**kw)[:, 0]
+        oracle = factory()
+        oracle.fit(x)
+        sub = got[got.key == key].sort_values("ts")
+        assert np.array_equal(sub["penalised_score"].to_numpy(), oracle.penalised_scores_)
+        assert sorted(sub.loc[sub.is_alarm, "ts"].astype(int)) == sorted(
+            int(a) for a in oracle.alarms_
+        )
+
+
+def test_pelt_segments_match_oracle(series_df):
+    factory = lambda: Pelt(L2Cost(), minsl=2, maxsl=10000)
+    got = pelt_segments(
+        series_df, factory, key_cols=["key"], ts_col="t", value_col="value"
+    ).toPandas()
+    for key, kw in FIXTURES.items():
+        x = simulate(**kw)[:, 0]
+        oracle = factory().fit(x)
+        expected = sorted(
+            (int(s["start"]), int(s["end"]), int(s["size"])) for s in oracle.segments_
+        )
+        sub = got[got.key == key]
+        actual = sorted(zip(sub.start_ts.astype(int), sub.end_ts.astype(int), sub["size"]))
+        assert actual == expected, key
+
+
+def test_capa_matches_oracle(series_df):
+    factory = lambda: Capa(ConstMeanL2(), minsl=2, maxsl=1000, predict_point_anomalies=True)
+    got = capa_anomalies(
+        series_df, factory, key_cols=["key"], ts_col="t", value_col="value"
+    ).toPandas()
+    for key, kw in FIXTURES.items():
+        x = simulate(**kw)[:, 0]
+        oracle = factory().fit(x)
+        expected = sorted(
+            [("collective", int(a["start"]), int(a["end"])) for a in oracle.collective_anomalies_]
+            + [("point", int(a["start"]), int(a["end"])) for a in oracle.point_anomalies_]
+        )
+        sub = got[got.key == key]
+        actual = sorted(zip(sub.kind, sub.start_ts.astype(int), sub.end_ts.astype(int)))
+        assert actual == expected, key
+
+
+def test_offline_pelt_matches_oracle(series_df):
+    factory = lambda: OfflinePelt(minsl=2)
+    got = offline_pelt_segments(
+        series_df, factory, key_cols=["key"], ts_col="t", value_cols=["value"]
+    ).toPandas()
+    for key, kw in FIXTURES.items():
+        x = simulate(**kw)
+        oracle = factory().fit(x)
+        expected = sorted((int(s["start"]), int(s["end"])) for s in oracle.segments_)
+        sub = got[got.key == key]
+        actual = sorted(zip(sub.start_ts.astype(int), sub.end_ts.astype(int)))
+        assert actual == expected, key
+
+
+def test_segmentation_with_stats_matches_oracle(series_df):
+    det_factory = lambda: WindowSegmentor(CUSUM(20), 5, 100)
+    stat_factory = lambda: StatUnion({"mean": StatBuffer(Mean())}, int(1e5))
+    got = segmentation_with_stats(
+        series_df,
+        det_factory,
+        stat_factory,
+        stat_names=["mean"],
+        key_cols=["key"],
+        ts_col="t",
+        value_col="value",
+    ).toPandas()
+    from streamchange_spark.kernels import fit_segmentation
+
+    for key, kw in FIXTURES.items():
+        x = simulate(**kw)[:, 0]
+        oracle = fit_segmentation(det_factory(), stat_factory(), x)
+        expected = sorted((int(s["start"]), int(s["end"]), s["mean"]) for s in oracle)
+        sub = got[got.key == key]
+        actual = sorted(zip(sub.start_ts.astype(int), sub.end_ts.astype(int), sub["mean"]))
+        assert len(actual) == len(expected), key
+        for a, e in zip(actual, expected):
+            assert a[0] == e[0] and a[1] == e[1] and a[2] == pytest.approx(e[2], abs=0), key
