@@ -68,6 +68,10 @@ class OfflinePelt:
         if x.ndim == 1:
             x = x.reshape(-1, 1)
         n = x.shape[0]
+        if n == 0:
+            self.segments_ = []
+            self.changepoints_ = []
+            return self
         self.cost.fit(x)
         pen = self.penalty()
 

@@ -98,14 +98,18 @@ class Pelt:
         size = len(last_cpts)
         while i >= -size:
             cpt_i = int(last_cpts[i])
+            # cpt_i == 0 happens only for t < minsl (the DP never ran there);
+            # the reference walk would stall forever on such a point — emit a
+            # single-point segment and keep moving instead.
+            step = max(cpt_i, 1)
             segments.append(
                 {
-                    "start": times[i - cpt_i + 1],
+                    "start": times[i - step + 1],
                     "end": times[i],
-                    "size": abs(cpt_i),
+                    "size": step,
                 }
             )
-            i -= cpt_i
+            i -= step
         return segments
 
     def fit(self, values: np.ndarray, times=None) -> "Pelt":
@@ -113,6 +117,16 @@ class Pelt:
         values, times = dropna_series(values, times)
         if values.ndim == 2:
             values = values[:, 0]
+        n = values.shape[0]
+        if n < self.minsl:
+            # Too short to ever set last_cpt > 0; the reference's backward
+            # extraction would loop forever here (pelt/pelt.py:57-72 with
+            # last_cpt == 0). Treat the whole series as one segment.
+            self.segments_ = (
+                [{"start": times[0], "end": times[-1], "size": n}] if n else []
+            )
+            self.changepoints_ = []
+            return self
         last_cpts = np.empty(values.shape[0], dtype=np.int64)
         for t in range(values.shape[0]):
             self.update(values[t])

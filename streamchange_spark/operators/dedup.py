@@ -49,10 +49,15 @@ def shingles_col(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string> (built from the
     token array with ``sequence`` + ``transform`` + ``slice`` — no UDF)."""
     toks = tokens_col(text_col)
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # Guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark and
+    # slice(_, 0, n) throws — short texts get an empty shingle set instead.
+    ngrams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(ngrams)
 
 
@@ -88,12 +93,16 @@ def minhash_signatures(
     array is an ``aggregate`` fold — all inside codegen."""
     sh = shingles_col(text_col, shingle_size).alias("_sh")
     base = df.select(F.col(id_col), sh).where(F.size("_sh") > 0)
-    cols = [F.col(id_col)]
-    for i in range(num_hashes):
-        hashed = F.transform(
-            F.col("_sh"), lambda s, i=i: _hash64(F.concat(s, F.lit(f"#{i}")), hash_fn)
+
+    def min_hash(i: int):
+        # NB: the transform lambda must take exactly one arg — a two-arg
+        # lambda would be interpreted as (element, array_index) by Spark.
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: _hash64(F.concat(s, suffix), hash_fn))
         )
-        cols.append(F.array_min(hashed).alias(f"mh_{i}"))
+
+    cols = [F.col(id_col)] + [min_hash(i).alias(f"mh_{i}") for i in range(num_hashes)]
     return base.select(*cols)
 
 
@@ -156,33 +165,31 @@ def simhash(
     """(id, simhash): 64-bit SimHash over whitespace tokens. Bit b of the
     result is the sign of sum over tokens of (+1 if bit b of token-hash else
     -1) — computed as one fold over the token array."""
-    toks = tokens_col(text_col).alias("_toks")
-    base = df.select(F.col(id_col), toks).where(F.size("_toks") > 0)
-    hashed = F.transform(F.col("_toks"), lambda t: _hash64(t, hash_fn))
-    # Fold: accumulate an array of 64 counters, then collapse sign bits.
-    counters = F.aggregate(
-        hashed,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).cast("long"),
-            ),
-            lambda a, d: a + d,
-        ),
-    )
-    sim = F.aggregate(
-        F.zip_with(
-            counters,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+    toks = tokens_col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: _hash64(t, hash_fn)).alias("_h"),
+    ).where(F.size("_h") > 0)
+
+    def ones(b: int):
+        # count of tokens with bit b set; one fold, b is a plain int so the
+        # shift amount is a literal (Spark's shiftright requires that).
+        return F.aggregate(
+            F.col("_h"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+        )
+
+    # bit b of the simhash = sign of sum(+1/-1) = (2 * ones_b > n_tokens)
+    n = F.size("_h").cast("long")
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        bit = (1 << b) if b < 63 else -(1 << 63)  # avoid int64 overflow at b=63
+        sim = sim.bitwiseOR(
+            F.when(ones(b) * 2 > n, F.lit(bit).cast("long")).otherwise(
                 F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
-    )
+            )
+        )
     return base.select(F.col(id_col), sim.alias("simhash"))
 
 

@@ -67,7 +67,10 @@ def extract_binary_meta(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[payload_col]
+            # Arrow may surface binary cells as uint8 ndarrays — normalize.
+            payloads = pdf[payload_col].map(
+                lambda b: bytes(b) if b is not None else None
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -76,7 +79,7 @@ def extract_binary_meta(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
                     "mime": payloads.map(
-                        lambda b: _sniff(bytes(b)) if b is not None else None
+                        lambda b: _sniff(b) if b is not None else None
                     ),
                 }
             )

@@ -195,7 +195,9 @@ def test_multimodal_meta_and_stubs(spark):
     assert all(len(f) == 4 for f in feats["features"])
     # Deterministic: same payload -> same features.
     feats2 = decode_image_features(df, "id", "payload", feature_dim=4).toPandas()
-    assert feats.sort_values("id")["features"].tolist() == feats2.sort_values("id")["features"].tolist()
+    a = [list(map(float, f)) for f in feats.sort_values("id")["features"]]
+    b = [list(map(float, f)) for f in feats2.sort_values("id")["features"]]
+    assert a == b
 
     frames = sample_video_frames(df, "id", "payload", n_frames=3).toPandas()
     assert len(frames) == 9

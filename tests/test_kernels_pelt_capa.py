@@ -64,6 +64,25 @@ def test_offline_pelt_multivariate():
     assert detector.segments_[0]["end"] == 79
 
 
+def test_pelt_short_series_terminates():
+    """Series shorter than minsl: the reference's extraction would spin
+    forever; our fit emits one whole-series segment instead."""
+    det = Pelt(L2Cost(), minsl=2, maxsl=100)
+    det.fit(np.array([5.0]))
+    assert det.segments_ == [{"start": 0, "end": 0, "size": 1}]
+    assert det.changepoints_ == []
+    det.fit(np.array([]))
+    assert det.segments_ == []
+    cap = Capa(ConstMeanL2(), minsl=2, maxsl=100)
+    cap.fit(np.array([5.0]))
+    assert cap.collective_anomalies_ == []
+    off = OfflinePelt(minsl=2)
+    off.fit(np.array([5.0]))
+    assert len(off.segments_) == 1
+    off.fit(np.array([]))
+    assert off.segments_ == []
+
+
 def test_online_vs_offline_pelt_consistency():
     """Both PELT variants should find the same change points on a clear
     signal (the offline one lists them ascending, online descending)."""

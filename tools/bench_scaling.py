@@ -1,0 +1,145 @@
+"""Two-parallelism-level scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors; sandbox substitution per BASELINE.md:
+the same job at local[8] vs local[32] on the same pre-generated input).
+
+The job is the flagship pages pipeline:
+  pages parquet -> select(url, warc_ts, length(text))       [column pruning]
+  -> 1h/1d/30d continuous-aggregate tiers                   [rolled-up points]
+  -> Gorilla-compress the 1h tier                           [binary columns]
+  -> WindowSegmentor change points on each url's 1h mean    [change points]
+
+Usage:
+  PYTHONPATH=/root/repo python tools/bench_scaling.py [--urls 20000] \
+      [--snapshots 60] [--levels 8,32] [--keep]
+
+Prints one JSON line per level plus a summary line with scaling efficiency
+  eff = (throughput_hi / throughput_lo) / (hi / lo).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_input(path: str, n_urls: int, snapshots: int, cpus: int) -> None:
+    from streamchange_spark.session import get_spark
+    from streamchange_spark.sources import generate_pages
+
+    spark = get_spark("bench_gen", master=f"local[{cpus}]")
+    t0 = time.time()
+    pages = generate_pages(spark, n_urls=n_urls, mean_snapshots=snapshots,
+                           num_partitions=cpus * 4)
+    pages.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    print(f"# generated {n} rows in {time.time() - t0:.1f}s -> {path}",
+          file=sys.stderr)
+    spark.stop()
+
+
+def run_level(path: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from streamchange_spark.kernels import BIC, CUSUM, WindowSegmentor
+    from streamchange_spark.operators import (
+        compress_series,
+        rollup_all_tiers,
+        window_segmentor_changepoints,
+    )
+    from streamchange_spark.session import get_spark
+
+    spark = get_spark("bench_scaling", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    metrics = (
+        spark.read.parquet(path)
+        .select("url", "warc_ts", F.length("text").cast("double").alias("text_len"))
+    )
+    n_rows = metrics.count()
+
+    t0 = time.time()
+    tiers = rollup_all_tiers(metrics, ["url"], "warc_ts", "text_len")
+    for tier in tiers.values():
+        tier.write.mode("overwrite").format("noop").save()
+    rollup_sec = time.time() - t0
+
+    t0 = time.time()
+    compress_series(tiers["1h"], ["url"], "bucket_start", "sum_v").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    gorilla_sec = time.time() - t0
+
+    hourly_mean = tiers["1h"].select(
+        "url", "bucket_start", (F.col("sum_v") / F.col("n_points")).alias("v")
+    )
+    n_points = hourly_mean.count()
+    t0 = time.time()
+    cpts = window_segmentor_changepoints(
+        hourly_mean,
+        lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=2.0)), 4, 100),
+        key_cols=["url"],
+        ts_col="bucket_start",
+        value_cols=["v"],
+    )
+    n_cpts = cpts.count()
+    detect_sec = time.time() - t0
+
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "input_rows": n_rows,
+        "rollup_sec": round(rollup_sec, 2),
+        "rolled_points_per_sec": round(3 * n_rows / rollup_sec, 1),
+        "gorilla_sec": round(gorilla_sec, 2),
+        "hourly_points": n_points,
+        "detect_sec": round(detect_sec, 2),
+        "detect_points_per_sec": round(n_points / detect_sec, 1),
+        "changepoints": n_cpts,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--urls", type=int, default=20000)
+    ap.add_argument("--snapshots", type=int, default=60)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--workdir", default="/root/repo/.bench")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    levels = sorted(int(x) for x in args.levels.split(","))
+    path = os.path.join(args.workdir, f"pages_{args.urls}x{args.snapshots}.parquet")
+    if not os.path.exists(path):
+        build_input(path, args.urls, args.snapshots, cpus=os.cpu_count() or 8)
+
+    results = []
+    for cpus in levels:
+        r = run_level(path, cpus)
+        results.append(r)
+        print(json.dumps(r))
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cpus"] / lo["cpus"]
+    summary = {
+        "levels": [r["cpus"] for r in results],
+        "rollup_scaling_efficiency": round(
+            (hi["rolled_points_per_sec"] / lo["rolled_points_per_sec"]) / ratio, 3
+        ),
+        "detect_scaling_efficiency": round(
+            (hi["detect_points_per_sec"] / lo["detect_points_per_sec"]) / ratio, 3
+        ),
+    }
+    print(json.dumps(summary))
+    if not args.keep:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
