@@ -251,11 +251,16 @@ def ngram_jaccard_pairs(
     Scale path: explode distinct shingles to an inverted index, self-join on
     the shingle (bounded by document frequency), count shared shingles per
     pair, union size by inclusion-exclusion."""
-    sets = df.select(
-        F.col(id_col), shingles_col(text_col, n).alias("_sh")
-    ).where(F.size("_sh") > 0)
-    sizes = sets.select(F.col(id_col), F.size("_sh").alias("_sz"))
-    inv = sets.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    # Inverted index with the set size carried on every row: shingles are
+    # computed ONCE and persisted — both join sides and the size lookups
+    # reuse it (without this, Catalyst re-evaluates the expensive shingle
+    # expression on each side of the self-join).
+    inv = (
+        df.select(F.col(id_col), shingles_col(text_col, n).alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select(F.col(id_col), F.size("_sh").alias("_sz"), F.explode("_sh").alias("_s"))
+        .persist()
+    )
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
         l.join(
@@ -264,25 +269,20 @@ def ngram_jaccard_pairs(
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l._sz").alias("_sza"),
+            F.col("r._sz").alias("_szb"),
         )
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("_inter")
-                / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return shared.select(
+        "id_a",
+        "id_b",
+        (F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))).alias(
+            "jaccard"
+        ),
+    ).where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -122,12 +122,22 @@ class SnapshotStore:
         return snapshot_id
 
     # -- reads -----------------------------------------------------------------
-    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
-        """Read the table as of a snapshot (time travel); HEAD by default."""
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        prefix: str | None = None,
+    ) -> DataFrame:
+        """Read the table as of a snapshot (time travel); HEAD by default.
+        ``prefix`` selects a partition family (e.g. 'tier1h/') — required when
+        a store holds heterogeneous partition schemas."""
         m = self.manifest(snapshot_id)
         if m is None:
             raise FileNotFoundError(f"no snapshot in {self.table_dir}")
-        all_files = [f for part in sorted(m["files"]) for f in m["files"][part]]
+        parts = sorted(
+            p for p in m["files"] if prefix is None or p.startswith(prefix)
+        )
+        all_files = [f for part in parts for f in m["files"][part]]
         return spark.read.parquet(*all_files)
 
     def completed_partitions(self, snapshot_id: str | None = None) -> set[str]:

@@ -1,0 +1,82 @@
+"""End-to-end flagship pipeline: resume semantics, lineage, text invariant,
+and plan hygiene (column pruning)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamchange_spark.pipeline import extract_metrics, run_pipeline
+from streamchange_spark.sources import SnapshotStore, generate_pages, text_manifest
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, n_urls=12, mean_snapshots=30).cache()
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path, pages):
+    store_dir = str(tmp_path / "table")
+    r1 = run_pipeline(spark, pages, store_dir)
+    assert r1["days_built"] == r1["days_total"] > 0
+    assert r1["rolled_rows"] > 0
+    assert r1["snapshot_id"] is not None
+
+    # Resume over the same store: nothing to rebuild, same outputs.
+    r2 = run_pipeline(spark, pages, store_dir)
+    assert r2["days_built"] == 0
+    assert r2["snapshot_id"] is None
+    assert r2["rolled_rows"] == r1["rolled_rows"]
+    assert r2["changepoints"] == r1["changepoints"]
+
+    # Lineage: one row per committed partition (tiers + gorilla per day).
+    store = SnapshotStore(store_dir)
+    lineage = store.lineage(spark).toPandas()
+    assert len(lineage) == 2 * r1["days_total"]
+    assert (lineage["bytes"] > 0).all()
+
+
+def test_interrupted_equals_clean(spark, tmp_path, pages):
+    """Build half the days, then resume; final tier table equals a clean
+    uninterrupted run byte-for-byte."""
+    all_days = sorted(
+        str(r["day"])
+        for r in pages.select(F.to_date("warc_ts").alias("day")).distinct().collect()
+    )
+    half = pages.where(F.to_date("warc_ts") <= F.lit(all_days[len(all_days) // 2]))
+
+    interrupted_dir = str(tmp_path / "interrupted")
+    run_pipeline(spark, half, interrupted_dir)  # "crash" mid-backfill
+    run_pipeline(spark, pages, interrupted_dir)  # resume with full input
+
+    clean_dir = str(tmp_path / "clean")
+    run_pipeline(spark, pages, clean_dir)
+
+    a = SnapshotStore(interrupted_dir).read(spark, prefix="tier1h/").orderBy(
+        "url", "bucket_start"
+    )
+    b = SnapshotStore(clean_dir).read(spark, prefix="tier1h/").orderBy(
+        "url", "bucket_start"
+    )
+    cols = ["url", "bucket_start", "n_points", "sum_v", "min_v", "max_v"]
+    pa = a.select(cols).toPandas()
+    pb = b.select(cols).toPandas()
+    assert pa.equals(pb)
+
+
+def test_metric_extraction_prunes_heavy_columns(spark, tmp_path, pages):
+    """The physical plan's Parquet ReadSchema must not contain html/text
+    payloads beyond length — i.e. only url, warc_ts, text are read, html is
+    pruned."""
+    path = str(tmp_path / "pages_pruned.parquet")
+    pages.write.mode("overwrite").parquet(path)
+    plan = extract_metrics(spark.read.parquet(path))._jdf.queryExecution().executedPlan().toString()
+    assert "html" not in plan
+    assert "url" in plan
+
+
+def test_text_invariant_preserved(spark, tmp_path, pages):
+    """sha256(text) manifest equal before/after the pipeline's storage hop."""
+    before = text_manifest(pages).orderBy("url", "warc_ts").toPandas()
+    path = str(tmp_path / "pages_rt.parquet")
+    pages.write.mode("overwrite").parquet(path)
+    after = text_manifest(spark.read.parquet(path)).orderBy("url", "warc_ts").toPandas()
+    assert before.equals(after)
