@@ -72,6 +72,14 @@ class RingBuffer:
         """View with index 0 = most recent observation (no copy)."""
         return self._buf[self._lo : self._hi][::-1]
 
+    def load(self, oldest_first: np.ndarray) -> "RingBuffer":
+        """Replace contents with the given oldest-first rows (fast-path state
+        reconstruction)."""
+        arr = np.ascontiguousarray(oldest_first, dtype=np.float64)
+        self._buf = arr.copy()
+        self._lo, self._hi = 0, arr.shape[0]
+        return self
+
     def __len__(self) -> int:
         return self._hi - self._lo
 
@@ -205,7 +213,15 @@ class WindowSegmentor:
     # -- batch -------------------------------------------------------------
     def fit(self, values: np.ndarray, times=None) -> "WindowSegmentor":
         """Run the stream over a whole series; NaN rows are dropped first
-        (parity: window_segmentor.py:140-151)."""
+        (parity: window_segmentor.py:140-151).
+
+        Steady-state fast path: once the window is full and no change has
+        been seen for a full window, each update is exactly one full-window
+        test with a fixed candidate set — those steps are scored in one
+        vectorized pass over a sliding-window matrix (bit-identical
+        arithmetic: row-wise cumsums match the per-step cumsums), and the
+        exact per-step loop resumes at the first flagged detection.
+        """
         self.reset()
         values = np.asarray(values, dtype=np.float64)
         two_d = values.ndim == 2
@@ -214,17 +230,98 @@ class WindowSegmentor:
             times = np.arange(values.shape[0])
         times = np.asarray(times)[mask]
         values = values[mask]
+
+        flat = values[:, 0] if (two_d and values.shape[1] == 1) else values
+        batch_scorer = (
+            self._batch_scorer() if flat.ndim == 1 and values.shape[0] > 0 else None
+        )
+
         cpts = []
         detections = []
-        for t in range(values.shape[0]):
+        n = values.shape[0]
+        W = self.max_window
+        t = 0
+        while t < n:
+            if (
+                batch_scorer is not None
+                and not self.change_detected
+                and len(self.window) == W
+                and self.last_changepoint >= W + self.minsl - 2
+                and t + 1 < n
+            ):
+                t_det = self._fast_scan(flat, t, batch_scorer)
+                if t_det > t:
+                    # no detections in [t, t_det): jump state forward
+                    self.window.load(
+                        values[t_det - W : t_det]
+                        if not two_d
+                        else values[t_det - W : t_det]
+                    )
+                    self.last_changepoint = min(
+                        self.last_changepoint + (t_det - t), _LAST_CPT_CAP
+                    )
+                    t = t_det
+                    if t >= n:
+                        break
             self.update(values[t])
             if self.change_detected:
                 cpts += [t - cpt for cpt in self._changepoints]
                 detections += [t] * len(self._changepoints)
+            t += 1
         self.changepoints_ = [times[c] for c in cpts]
         # (detection time, changepoint time) pairs — when each change was seen.
         self.detections_ = [(times[d], times[c]) for d, c in zip(detections, cpts)]
         return self
+
+    # -- vectorized steady-state scan ---------------------------------------
+    def _batch_scorer(self):
+        """Row-batched (detected?) scorer for the estimator, or None if the
+        estimator has no exact batch formulation."""
+        from .amoc import CUSUM, CUSUM0
+
+        W = self.max_window
+        tt = self.candidate_cpts[self.candidate_cpts < W].astype(np.int64)
+        if tt.size == 0:
+            return None
+        pen = self.estimator.penalty()
+        if type(self.estimator) is CUSUM:
+            coef = np.sqrt(W / (tt * (W - tt)))
+            frac = tt / W
+
+            def score(S: np.ndarray) -> np.ndarray:
+                trans = coef * (frac * S[:, -1:] - S[:, tt - 1])
+                return (trans**2).max(axis=1) - pen > 0
+
+            return score
+        if type(self.estimator) is CUSUM0:
+            sq = np.sqrt(tt)
+
+            def score(S: np.ndarray) -> np.ndarray:
+                trans = S[:, tt - 1] / sq
+                return (trans**2).max(axis=1) - pen > 0
+
+            return score
+        return None
+
+    def _fast_scan(self, flat: np.ndarray, t: int, batch_scorer, chunk: int = 4096) -> int:
+        """Return the first step >= t whose full-window test detects a change
+        (or len(flat) if none). Windows are full and the candidate set fixed
+        throughout — guaranteed by the caller."""
+        W = self.max_window
+        n = flat.shape[0]
+        sw = np.lib.stride_tricks.sliding_window_view(flat, W)
+        while t < n:
+            hi = min(t + chunk, n)
+            # rows t..hi-1: window after pushing flat[k] = flat[k-W+1..k],
+            # newest first
+            M = sw[t - W + 1 : hi - W + 1][:, ::-1]
+            S = np.cumsum(M, axis=1)
+            hits = batch_scorer(S)
+            idx = np.nonzero(hits)[0]
+            if idx.size:
+                return t + int(idx[0])
+            t = hi
+        return n
 
     def predict(self) -> list:
         if not hasattr(self, "changepoints_"):

@@ -49,7 +49,6 @@ def run_level(path: str, cpus: int) -> dict:
     from streamchange_spark.kernels import BIC, CUSUM, WindowSegmentor
     from streamchange_spark.operators import (
         compress_series,
-        rollup_all_tiers,
         window_segmentor_changepoints,
     )
     from streamchange_spark.session import get_spark
@@ -64,32 +63,47 @@ def run_level(path: str, cpus: int) -> dict:
     )
     n_rows = metrics.count()
 
+    from streamchange_spark.operators import rollup_raw, rollup_tier
+
+    # Materialize the 1h tier once; coarser tiers re-aggregate the persisted
+    # tier (the continuous-aggregate contract — no raw re-scan per tier).
     t0 = time.time()
-    tiers = rollup_all_tiers(metrics, ["url"], "warc_ts", "text_len")
-    for tier in tiers.values():
-        tier.write.mode("overwrite").format("noop").save()
+    tier1h = rollup_raw(metrics, ["url"], "warc_ts", "text_len", "1h").persist()
+    n_points = tier1h.count()
+    tier1d = rollup_tier(tier1h, ["url"], "1d")
+    tier1d.write.mode("overwrite").format("noop").save()
+    rollup_tier(tier1d, ["url"], "30d").write.mode("overwrite").format("noop").save()
     rollup_sec = time.time() - t0
 
     t0 = time.time()
-    compress_series(tiers["1h"], ["url"], "bucket_start", "sum_v").write.mode(
+    compress_series(tier1h, ["url"], "bucket_start", "sum_v").write.mode(
         "overwrite"
     ).format("noop").save()
     gorilla_sec = time.time() - t0
 
-    hourly_mean = tiers["1h"].select(
-        "url", "bucket_start", (F.col("sum_v") / F.col("n_points")).alias("v")
+    # Detectors assume standardized series (reference: pelt/pelt.py:12,
+    # capa/capa.py:12); standardize each url's hourly mean JVM-side.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url")
+    hourly_mean = (
+        tier1h.withColumn("_m", F.col("sum_v") / F.col("n_points"))
+        .withColumn("v", (F.col("_m") - F.avg("_m").over(w)) /
+                    F.coalesce(F.stddev("_m").over(w), F.lit(1.0)))
+        .where(F.col("v").isNotNull())
+        .select("url", "bucket_start", "v")
     )
-    n_points = hourly_mean.count()
     t0 = time.time()
     cpts = window_segmentor_changepoints(
         hourly_mean,
-        lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=2.0)), 4, 100),
+        lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=1.0)), 4, 100),
         key_cols=["url"],
         ts_col="bucket_start",
         value_cols=["v"],
     )
     n_cpts = cpts.count()
     detect_sec = time.time() - t0
+    tier1h.unpersist()
 
     spark.stop()
     return {
