@@ -66,6 +66,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Testdata parquet files are a single row group, so the scan is ONE task
+    no matter what ``spark.sql.files.maxPartitionBytes`` says. Spread rows
+    round-robin across all cores before CPU-heavy per-row expressions
+    (shingling, hashing, language ID). On a real multi-file table the scan
+    itself yields thousands of partitions and this repartition is dropped."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _epoch(col):
     return F.unix_timestamp(col).cast("long")
 
@@ -270,13 +279,13 @@ def q_event_type_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 def q_dedup_exact(spark, sf_dir):
     _configure(spark)
-    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return exact_dedup(_spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 def q_minhash_signatures(spark, sf_dir):
     _configure(spark)
     return minhash_signatures(
-        _t(spark, sf_dir, "documents"),
+        _spread(spark, _t(spark, sf_dir, "documents")),
         "doc_id",
         "text",
         num_hashes=4,
@@ -287,13 +296,13 @@ def q_minhash_signatures(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     _configure(spark)
-    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", hash_fn="md5")
+    return simhash(_spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text", hash_fn="md5")
 
 
 def q_ngram_jaccard(spark, sf_dir):
     _configure(spark)
     pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.15
+        _spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text", n=3, threshold=0.15
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -301,7 +310,7 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_embedding_neardup(spark, sf_dir):
     _configure(spark)
     pairs = embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+        _spread(spark, _t(spark, sf_dir, "embeddings")), "vec_id", "embedding", threshold=0.4
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
 
@@ -310,7 +319,7 @@ def q_ann_topk(spark, sf_dir):
     """Exact brute-force top-5 by cosine for the 3 lowest vec_ids; ranking on
     the rounded score (+ id tiebreak) so both engines rank identically."""
     _configure(spark)
-    embs = _t(spark, sf_dir, "embeddings")
+    embs = _spread(spark, _t(spark, sf_dir, "embeddings"))
     queries = embs.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -329,12 +338,12 @@ def q_ann_topk(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     _configure(spark)
-    return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return lang_id(_spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 def q_quality(spark, sf_dir):
     _configure(spark)
-    q = quality_features(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    q = quality_features(_spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text")
     return q.select(
         "doc_id",
         "n_chars",
@@ -349,13 +358,13 @@ def q_quality(spark, sf_dir):
 
 def q_token_count(spark, sf_dir):
     _configure(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select("doc_id", token_count_col("text").cast("long").alias("n_tokens"))
 
 
 def q_fingerprint(spark, sf_dir):
     _configure(spark)
-    return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return fingerprint(_spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -363,7 +372,7 @@ def q_multimodal_meta(spark, sf_dir):
     (n_bytes, sha256, mime) through the mapInPandas metadata extractor; the
     oracle recomputes the same from SQL (octet_length / sha256)."""
     _configure(spark)
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return extract_binary_meta(docs, "doc_id", "payload")
