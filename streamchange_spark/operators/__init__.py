@@ -8,6 +8,7 @@ from .dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_rows,
     shingles_col,
     simhash,
     simhash_pairs,
@@ -59,6 +60,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "quality_features",
     "sample_video_frames",
+    "shingle_rows",
     "shingles_col",
     "simhash",
     "simhash_pairs",

@@ -24,7 +24,7 @@ scale path (one JVM hash vs md5's full digest).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -61,6 +61,39 @@ def shingles_col(text_col: str, n: int = 3) -> Column:
     return F.array_distinct(ngrams)
 
 
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, one per n-gram POSITION (duplicates kept).
+
+    Row-wise twin of :func:`shingles_col` built from explode + window
+    ``lead`` instead of array lambdas: higher-order functions fall out of
+    whole-stage codegen (interpreted per element), and any filter on the
+    shingle array gets pushed into the scan where it serializes on a
+    single task. Exploding first keeps the narrow scan cheap; the window
+    sort shuffles token rows across the cluster by document, and
+    everything downstream is codegen'd. Docs with < n tokens yield no
+    rows (== ``size(shingles) == 0`` filter)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "_pos", "_tok"
+        ),
+    ).where(F.col("_tok") != "")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok").alias("_t0")] + [
+        F.lead("_tok", i).over(w).alias(f"_t{i}") for i in range(1, n)
+    ]
+    return (
+        toks.select(F.col(id_col), *parts)
+        .where(F.col(f"_t{n - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", *[f"_t{i}" for i in range(n)]).alias("shingle"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -89,21 +122,20 @@ def minhash_signatures(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, mh_0 .. mh_{k-1}): k-permutation minhash of the shingle set.
-    Each permutation i hashes ``shingle || '#i'``; the min over the shingle
-    array is an ``aggregate`` fold — all inside codegen."""
-    sh = shingles_col(text_col, shingle_size).alias("_sh")
-    base = df.select(F.col(id_col), sh).where(F.size("_sh") > 0)
-
-    def min_hash(i: int):
-        # NB: the transform lambda must take exactly one arg — a two-arg
-        # lambda would be interpreted as (element, array_index) by Spark.
-        suffix = F.lit(f"#{i}")
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda s: _hash64(F.concat(s, suffix), hash_fn))
-        )
-
-    cols = [F.col(id_col)] + [min_hash(i).alias(f"mh_{i}") for i in range(num_hashes)]
-    return base.select(*cols)
+    Each permutation i hashes ``shingle || '#i'``; ``min`` is insensitive to
+    duplicates, so positional shingle rows feed a plain hash aggregate with
+    map-side partial min — one shuffle of k longs per doc, whole plan in
+    codegen (no array lambdas, no distinct)."""
+    sh = shingle_rows(df, id_col, text_col, shingle_size)
+    hashes = [
+        _hash64(F.concat(F.col("shingle"), F.lit(f"#{i}")), hash_fn).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.select(F.col(id_col), *hashes)
+        .groupBy(id_col)
+        .agg(*[F.min(f"_h{i}").alias(f"mh_{i}") for i in range(num_hashes)])
+    )
 
 
 def minhash_lsh_pairs(
@@ -251,15 +283,16 @@ def ngram_jaccard_pairs(
     Scale path: explode distinct shingles to an inverted index, self-join on
     the shingle (bounded by document frequency), count shared shingles per
     pair, union size by inclusion-exclusion."""
-    # Inverted index with the set size carried on every row: shingles are
-    # computed ONCE and persisted — both join sides and the size lookups
-    # reuse it (without this, Catalyst re-evaluates the expensive shingle
-    # expression on each side of the self-join).
-    inv = (
-        df.select(F.col(id_col), shingles_col(text_col, n).alias("_sh"))
-        .where(F.size("_sh") > 0)
-        .select(F.col(id_col), F.size("_sh").alias("_sz"), F.explode("_sh").alias("_s"))
-        .persist()
+    # Inverted index: distinct (id, shingle) rows via groupBy (codegen hash
+    # agg), set sizes re-attached with a join on id (sizes is one row per
+    # doc — AQE broadcasts it when small, shuffle-joins at scale). The two
+    # self-join sides are identical subplans — ReuseExchange evaluates once.
+    distinct_sh = shingle_rows(df, id_col, text_col, n).groupBy(id_col, "shingle").agg(
+        F.lit(1).alias("_one")
+    )
+    sizes = distinct_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    inv = distinct_sh.join(sizes, id_col).select(
+        F.col(id_col), F.col("_sz"), F.col("shingle").alias("_s")
     )
     l, r = inv.alias("l"), inv.alias("r")
     shared = (

@@ -80,41 +80,82 @@ class _BitReader:
 
 
 # ---------------------------------------------------------------------------
+# Bit packing (vectorized): tokens are (value, nbits) pairs, nbits <= 64
+# ---------------------------------------------------------------------------
+def _pack_tokens(values: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Concatenate variable-width big-endian tokens into a byte blob.
+    Final byte is zero-padded in the low bits (== _BitWriter.getvalue)."""
+    nbits = np.asarray(nbits, dtype=np.int64)
+    values = np.asarray(values, dtype=np.uint64)
+    keep = nbits > 0
+    nbits, values = nbits[keep], values[keep]
+    total = int(nbits.sum())
+    if total == 0:
+        return b""
+    offs = np.cumsum(nbits) - nbits
+    bits = np.zeros(-(-total // 8) * 8, dtype=np.uint8)
+    for b in range(int(nbits.max())):
+        m = nbits > b
+        shift = (nbits[m] - 1 - b).astype(np.uint64)
+        bits[offs[m] + b] = ((values[m] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+_POW2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized int.bit_length for uint64 (no float round-off)."""
+    return np.searchsorted(_POW2, x, side="right").astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
 # Timestamp codec (int64, e.g. epoch seconds)
 # ---------------------------------------------------------------------------
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
 def compress_timestamps(ts: np.ndarray) -> bytes:
+    """Delta-of-delta prefix codes, fully vectorized: classify every dod into
+    its bucket with np.select, then bit-pack prefix+payload token pairs in
+    one shot. Buckets are two's-complement widths 7/9/12/64 (so the decoder's
+    sign-extension is exact for every representable value)."""
     ts = np.asarray(ts, dtype=np.int64)
-    w = _BitWriter()
-    w.write(len(ts), 32)
-    if len(ts) == 0:
-        return w.getvalue()
-    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
-    if len(ts) == 1:
-        return w.getvalue()
-    prev_delta = int(ts[1]) - int(ts[0])
-    w.write(prev_delta & ((1 << 64) - 1), 64)
-    prev = int(ts[1])
-    for i in range(2, len(ts)):
-        t = int(ts[i])
-        delta = t - prev
-        dod = delta - prev_delta
-        if dod == 0:
-            w.write(0b0, 1)
-        elif -63 <= dod <= 64:
-            w.write(0b10, 2)
-            w.write(dod & 0x7F, 7)
-        elif -255 <= dod <= 256:
-            w.write(0b110, 3)
-            w.write(dod & 0x1FF, 9)
-        elif -2047 <= dod <= 2048:
-            w.write(0b1110, 4)
-            w.write(dod & 0xFFF, 12)
-        else:
-            w.write(0b1111, 4)
-            w.write(dod & ((1 << 64) - 1), 64)
-        prev = t
-        prev_delta = delta
-    return w.getvalue()
+    n = len(ts)
+    head_v = [np.uint64(n & 0xFFFFFFFF)]
+    head_b = [32]
+    if n >= 1:
+        head_v.append(ts[:1].view(np.uint64)[0])
+        head_b.append(64)
+    if n >= 2:
+        head_v.append((ts[1:2] - ts[:1]).view(np.uint64)[0])
+        head_b.append(64)
+    if n <= 2:
+        return _pack_tokens(np.array(head_v, dtype=np.uint64), np.array(head_b))
+
+    d = np.diff(ts)
+    dod = d[1:] - d[:-1]
+    zero = dod == 0
+    c7 = (dod >= -64) & (dod <= 63) & ~zero
+    c9 = (dod >= -256) & (dod <= 255) & ~c7 & ~zero
+    c12 = (dod >= -2048) & (dod <= 2047) & ~c9 & ~c7 & ~zero
+    conds = [zero, c7, c9, c12]
+    prefix_v = np.select(conds, [0b0, 0b10, 0b110, 0b1110], 0b1111).astype(np.uint64)
+    prefix_b = np.select(conds, [1, 2, 3, 4], 4)
+    pay_b = np.select(conds, [0, 7, 9, 12], 64)
+    mask = np.where(
+        pay_b >= 64, _M64, np.left_shift(np.uint64(1), np.minimum(pay_b, 63).astype(np.uint64)) - np.uint64(1)
+    )
+    pay_v = dod.view(np.uint64) & mask
+
+    m = len(dod)
+    vals = np.empty(len(head_v) + 2 * m, dtype=np.uint64)
+    bits = np.empty(len(head_b) + 2 * m, dtype=np.int64)
+    vals[: len(head_v)] = head_v
+    bits[: len(head_b)] = head_b
+    vals[len(head_v)::2], vals[len(head_v) + 1::2] = prefix_v, pay_v
+    bits[len(head_b)::2], bits[len(head_b) + 1::2] = prefix_b, pay_b
+    return _pack_tokens(vals, bits)
 
 
 def _sign_extend(value: int, nbits: int) -> int:
@@ -158,42 +199,57 @@ def decompress_timestamps(blob: bytes) -> np.ndarray:
 # Value codec (float64)
 # ---------------------------------------------------------------------------
 def compress_values(values: np.ndarray) -> bytes:
-    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
-    w = _BitWriter()
-    w.write(len(bits), 32)
-    if len(bits) == 0:
-        return w.getvalue()
-    w.write(int(bits[0]), 64)
-    prev = int(bits[0])
+    """XOR float codec. The leading/trailing-zero counts of every xor are
+    vectorized up front (exact, via binary search — no float log round-off);
+    the remaining Python loop only tracks the sequential window-reuse state
+    and emits (value, nbits) tokens, packed vectorized at the end."""
+    fbits = np.asarray(values, dtype=np.float64).view(np.uint64)
+    n = len(fbits)
+    if n == 0:
+        return _pack_tokens(np.array([0], dtype=np.uint64), np.array([32]))
+    xors_np = fbits[:-1] ^ fbits[1:]
+    bl = _bit_length_u64(xors_np)
+    leading_np = np.minimum(64 - bl, 31)
+    low = xors_np & (np.uint64(0) - xors_np)  # isolate lowest set bit
+    trailing_np = _bit_length_u64(low) - 1  # -1 for xor==0 (unused)
+    xors = xors_np.tolist()
+    leadings = leading_np.tolist()
+    trailings = trailing_np.tolist()
+
+    vals = [n & 0xFFFFFFFF, int(fbits[0])]
+    bits = [32, 64]
     prev_leading, prev_length = 65, 0  # "no previous window"
-    for i in range(1, len(bits)):
-        cur = int(bits[i])
-        xor = prev ^ cur
+    for i in range(n - 1):
+        xor = xors[i]
         if xor == 0:
-            w.write(0b0, 1)
+            vals.append(0b0)
+            bits.append(1)
+            continue
+        leading = leadings[i]
+        trailing = trailings[i]
+        length = 64 - leading - trailing
+        if (
+            prev_length
+            and leading >= prev_leading
+            and 64 - prev_leading - prev_length <= trailing
+        ):
+            # reuse previous window: '10' control token + payload token
+            # (separate tokens: control+payload can exceed 64 bits combined)
+            shift = 64 - prev_leading - prev_length
+            vals.append(0b10)
+            bits.append(2)
+            vals.append((xor >> shift) & ((1 << prev_length) - 1))
+            bits.append(prev_length)
         else:
-            leading = 64 - xor.bit_length()
-            trailing = (xor & -xor).bit_length() - 1
-            if leading > 31:
-                leading = 31  # 5-bit field
-            length = 64 - leading - trailing
-            if (
-                prev_length
-                and leading >= prev_leading
-                and 64 - prev_leading - prev_length <= trailing
-            ):
-                # reuse previous window
-                w.write(0b10, 2)
-                shift = 64 - prev_leading - prev_length
-                w.write((xor >> shift) & ((1 << prev_length) - 1), prev_length)
-            else:
-                w.write(0b11, 2)
-                w.write(leading, 5)
-                w.write(length - 1, 6)  # length in [1, 64]
-                w.write(xor >> trailing, length)
-                prev_leading, prev_length = leading, length
-        prev = cur
-    return w.getvalue()
+            # '11' + 5-bit leading + 6-bit (length-1), then payload token
+            vals.append((0b11 << 11) | (leading << 6) | (length - 1))
+            bits.append(13)
+            vals.append(xor >> trailing)
+            bits.append(length)
+            prev_leading, prev_length = leading, length
+    return _pack_tokens(
+        np.array(vals, dtype=np.uint64), np.array(bits, dtype=np.int64)
+    )
 
 
 def decompress_values(blob: bytes) -> np.ndarray:

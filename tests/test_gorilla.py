@@ -87,3 +87,38 @@ def test_spark_compress_decompress_roundtrip(spark, tier_df):
         restored["v"].to_numpy().view(np.uint64),
         original["v"].to_numpy().view(np.uint64),
     )
+
+
+def test_timestamp_dod_bucket_boundaries():
+    """dod values at the two's-complement bucket edges (+-64, +-256, +-2048)
+    must survive the round trip — a sign-extension regression guard."""
+    deltas = [100]
+    for dod in (64, -64, 63, -65, 256, -256, 255, -257, 2048, -2048, 2047, -2049):
+        deltas.append(deltas[-1] + dod)
+    ts = np.concatenate([[0], np.cumsum(deltas)]).astype(np.int64)
+    from streamchange_spark.operators.gorilla import (
+        compress_timestamps,
+        decompress_timestamps,
+    )
+    assert np.array_equal(decompress_timestamps(compress_timestamps(ts)), ts)
+
+
+def test_random_walk_fuzz_roundtrip():
+    from streamchange_spark.operators.gorilla import (
+        compress_timestamps,
+        compress_values,
+        decompress_timestamps,
+        decompress_values,
+    )
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = int(rng.integers(1, 4000))
+        ts = np.cumsum(rng.integers(-5000, 5000, n)).astype(np.int64)
+        vals = np.where(
+            rng.random(n) < 0.3, rng.normal(0, 1e6, n), np.round(rng.normal(0, 10, n), 3)
+        )
+        assert np.array_equal(decompress_timestamps(compress_timestamps(ts)), ts)
+        assert np.array_equal(
+            decompress_values(compress_values(vals)).view(np.uint64),
+            vals.view(np.uint64),
+        )
