@@ -50,9 +50,16 @@ def _ts_field(df: DataFrame, ts_col: str, out_name: str) -> StructField:
 
 
 def _prepare(df: DataFrame, key_cols, num_partitions):
-    if num_partitions:
-        return df.repartition(num_partitions, *key_cols)
-    return df.repartition(*key_cols)
+    """Explicit hash repartition by key ahead of the grouped-map UDF.
+
+    The partition COUNT is pinned (REPARTITION_BY_NUM) rather than left to
+    AQE: the kernel stage is CPU-bound in the Python workers, and AQE's
+    size-based coalescing sees a few MB of aggregated series and happily
+    folds the stage to 1-2 tasks — serializing thousands of per-key kernels
+    behind one worker. Default = defaultParallelism (cluster cores); pass
+    num_partitions to raise it for many-key workloads."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *key_cols)
 
 
 def _values(pdf: pd.DataFrame, value_cols: Sequence[str]) -> np.ndarray:

@@ -311,8 +311,10 @@ def compress_series(
         row["val_gorilla"] = compress_values(vals)
         return pd.DataFrame([row], columns=[f.name for f in schema.fields])
 
-    out = df.repartition(num_partitions, *key_cols) if num_partitions else df.repartition(*key_cols)
-    return out.groupBy(*key_cols).applyInPandas(run, schema)
+    # Pin the partition count: AQE size-based coalescing would fold this
+    # CPU-bound python stage to 1-2 tasks for small tiers (see detect._prepare).
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *key_cols).groupBy(*key_cols).applyInPandas(run, schema)
 
 
 def decompress_series(

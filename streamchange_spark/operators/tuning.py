@@ -67,8 +67,11 @@ def grid_detection_counts(
         row.update({"penalty_scale": scale, "detection_count": count})
         return pd.DataFrame([row], columns=[f.name for f in schema.fields])
 
+    # Pinned partition count: the grid evaluation is CPU-bound python work,
+    # and AQE's size-based coalescing would serialize it (see detect._prepare).
+    n = df.sparkSession.sparkContext.defaultParallelism
     return (
-        fanned.repartition(*key_cols, "penalty_scale")
+        fanned.repartition(n, *key_cols, "penalty_scale")
         .groupBy(*key_cols, "penalty_scale")
         .applyInPandas(run, schema)
     )
