@@ -460,6 +460,217 @@ def q_sequential_alarms(spark, sf_dir):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Additional engine queries: gap-fill variants, retention, MOSUM-SQL, LSH
+# pair generation, offline detectors, tuning fan-out
+# ---------------------------------------------------------------------------
+def q_gapfill_linear(spark, sf_dir):
+    """Linear interpolation between bracketing observations on the 1h tier
+    (ends stay null outside the first/last observation)."""
+    _configure(spark)
+    # The tier sums aggregate in DECIMAL (exact, order-independent) so both
+    # engines interpolate from bit-identical doubles with the same operation
+    # order — the final 4dp rounding can then never straddle a boundary.
+    events = _t(spark, sf_dir, "events")
+    tier = events.groupBy(
+        "user_id", F.window("ts", "1 hour").getField("start").alias("bucket_start")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_v")
+    )
+    filled = gapfill(tier, ["user_id"], "bucket_start", "sum_v", 3600, "linear")
+    # floor(x*1e4+0.5)/1e4 instead of round(): pure IEEE ops, so bit-identical
+    # inputs give bit-identical output in ANY engine — decimal round() ties
+    # (frac=1/2 interpolations end in ...5) break differently per engine.
+    return filled.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        (F.floor(F.col("sum_v") * 10000 + F.lit(0.5)) / 10000.0).alias("v"),
+        "gap_filled",
+    )
+
+
+def q_retention_1h(spark, sf_dir):
+    """Retention policy on the 1h tier: keep the last 10 days as of a fixed
+    'now'. On a date-partitioned table this prunes whole partitions."""
+    _configure(spark)
+    from streamchange_spark.operators.rollup import retention_filter
+
+    kept = retention_filter(
+        _hourly_tier(spark, sf_dir), "2024-01-31 00:00:00", 10 * 86400
+    )
+    return kept.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        "n_points",
+        F.round("sum_v", 4).alias("sum_v"),
+    )
+
+
+def q_mosum_scores_sql(spark, sf_dir):
+    """CUSUM0Score / MOSUM family relationally (sequential/scores.py:177-198):
+    per window w, score_w = MovingSum_w(x)^2 / w; score = max over windows
+    {4, 8, 16} — the SQL-auditable twin of the multi-window kernel."""
+    _configure(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH o AS (
+          SELECT user_id, event_id,
+                 sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s4,
+                 sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s8,
+                 sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS s16,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+          FROM events
+        )
+        SELECT user_id, event_id,
+               round(sqrt(greatest(CASE WHEN t >= 4  THEN s4 * s4 / 4.0   END,
+                              CASE WHEN t >= 8  THEN s8 * s8 / 8.0   END,
+                              CASE WHEN t >= 16 THEN s16 * s16 / 16.0 END)), 4)
+                 AS mosum_score
+        FROM o WHERE t >= 4
+        """
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Banded-LSH candidate pairs from the minhash signatures (2 bands x 2
+    rows): the shuffle-bounded candidate-generation step of near-dup dedup."""
+    _configure(spark)
+    from streamchange_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        num_hashes=4,
+        bands=2,
+        shingle_size=3,
+        hash_fn="md5",
+    )
+    return pairs.select("id_a", "id_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3. The engine blocks on
+    16-bit quarters (pigeonhole: <= 3 flipped bits leave >= 1 of 4 quarters
+    intact), so the blocked result EQUALS the exhaustive O(n^2) oracle."""
+    _configure(spark)
+    from streamchange_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        max_hamming=3,
+        hash_fn="md5",
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+def q_offline_pelt(spark, sf_dir):
+    """OfflinePelt (offline/pelt.py:13-68): full optimal partitioning with
+    admissible-set pruning per key; not SQL-expressible (rows-only check;
+    exactness is pytest-verified against the vendored kernel oracle)."""
+    _configure(spark)
+    from streamchange_spark.kernels import BIC as _BIC
+    from streamchange_spark.kernels import OfflineL2Cost, OfflinePelt
+    from streamchange_spark.operators.detect import offline_pelt_segments
+
+    segs = offline_pelt_segments(
+        _hourly_mean(spark, sf_dir),
+        lambda: OfflinePelt(OfflineL2Cost(), penalty=_BIC(scale=2.0), minsl=2),
+        key_cols=["user_id"],
+        ts_col="bucket_start",
+        value_cols=["v"],
+    )
+    return segs.select(
+        "user_id",
+        _epoch("start_ts").alias("start_epoch"),
+        _epoch("end_ts").alias("end_epoch"),
+    )
+
+
+def q_segmentation_stats(spark, sf_dir):
+    """fit_segmentation (conveniences/fit_segmentation.py:8-38): joint online
+    changepoints + per-segment running stats, one row per segment."""
+    _configure(spark)
+    from streamchange_spark.operators.detect import segmentation_with_stats
+
+    from streamchange_spark.kernels import Mean, StatBuffer, StatUnion
+
+    segs = segmentation_with_stats(
+        _hourly_mean(spark, sf_dir),
+        lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=2.0)), 4, 100),
+        lambda: StatUnion({"mean": StatBuffer(Mean(), max_history=100000)}),
+        stat_names=["mean"],
+        key_cols=["user_id"],
+        ts_col="bucket_start",
+        value_col="v",
+    )
+    return segs.select(
+        "user_id",
+        _epoch("start_ts").alias("start_epoch"),
+        _epoch("end_ts").alias("end_epoch"),
+        F.round("mean", 4).alias("seg_mean"),
+    )
+
+
+def q_tuning_grid(spark, sf_dir):
+    """Penalty-scale grid fan-out (tuners.py:59-186 re-expressed as a
+    crossJoin + one grouped kernel pass): detections per (key, scale)."""
+    _configure(spark)
+    from streamchange_spark.operators.tuning import grid_detection_counts
+
+    counts = grid_detection_counts(
+        _hourly_mean(spark, sf_dir).where(F.col("user_id") < 40),
+        lambda: WindowSegmentor(CUSUM(), 4, 100),
+        penalty_scales=[0.5, 1.0, 2.0, 4.0],
+        key_cols=["user_id"],
+        ts_col="bucket_start",
+        value_cols=["v"],
+    )
+    return counts.select(
+        "user_id", F.round("penalty_scale", 4).alias("penalty_scale"), "detection_count"
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN pairs (the scale path next to the exact
+    embedding_neardup baseline); float-sign sensitivity makes a SQL twin
+    brittle, so this is a rows-only check with pytest covering recall."""
+    _configure(spark)
+    from streamchange_spark.operators.similarity import lsh_ann_pairs
+
+    pairs = lsh_ann_pairs(
+        _spread(spark, _t(spark, sf_dir, "embeddings")),
+        "vec_id",
+        "embedding",
+        n_planes=16,
+        bucket_bits=8,
+        n_bands=2,
+        threshold=0.4,
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
+
+
+def q_compression_ratio(spark, sf_dir):
+    """Bytes/point of the Gorilla-compressed 1h tier (diagnostic surface of
+    the compressed retention tiers)."""
+    _configure(spark)
+    from streamchange_spark.operators.gorilla import compression_ratio
+
+    tier = _hourly_tier(spark, sf_dir).select("user_id", "bucket_start", "sum_v")
+    blobs = compress_series(tier, ["user_id"], "bucket_start", "sum_v")
+    return compression_ratio(blobs).select(
+        "points", "bytes", F.round("bytes_per_point", 2).alias("bytes_per_point")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h": q_rollup_1h,
@@ -487,6 +698,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt_segments": q_pelt_segments,
         "capa_anomalies": q_capa_anomalies,
         "sequential_alarms": q_sequential_alarms,
+        "gapfill_linear": q_gapfill_linear,
+        "retention_1h": q_retention_1h,
+        "mosum_scores_sql": q_mosum_scores_sql,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "offline_pelt": q_offline_pelt,
+        "segmentation_stats": q_segmentation_stats,
+        "tuning_grid": q_tuning_grid,
+        "ann_lsh": q_ann_lsh,
+        "compression_ratio": q_compression_ratio,
     }
 
 
@@ -526,6 +747,34 @@ def _minhash_oracle() -> str:
         for i in range(4)
     )
     return f"WITH {_SHINGLES_CTE} SELECT doc_id,\n       {mh}\nFROM sh WHERE len(sh) > 0"
+
+
+def _minhash_lsh_oracle() -> str:
+    """Band collision (2 bands x 2 rows) == equality of the underlying
+    minhash pairs (md5 band keys are injective on these inputs)."""
+    mh = _minhash_oracle()
+    return f"""
+WITH sig AS ({mh})
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM sig l JOIN sig r
+  ON l.doc_id < r.doc_id
+ AND ((l.mh_0 = r.mh_0 AND l.mh_1 = r.mh_1)
+   OR (l.mh_2 = r.mh_2 AND l.mh_3 = r.mh_3))
+"""
+
+
+def _simhash_pairs_oracle() -> str:
+    """Exhaustive O(n^2) Hamming check — equals the engine's quarter-blocked
+    candidate generation by the pigeonhole guarantee (max_hamming 3 < 4
+    blocks)."""
+    sim = _simhash_oracle()
+    return f"""
+WITH s AS ({sim})
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM s l JOIN s r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
 
 
 def _simhash_oracle() -> str:
@@ -681,6 +930,68 @@ SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY 1
 """,
         "minhash_signatures": _minhash_oracle(),
+        "gapfill_linear": """
+WITH tier AS (
+  SELECT user_id, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,
+         (sum(value::DECIMAL(28,6)))::DOUBLE AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM tier GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS b FROM bounds),
+joined AS (
+  SELECT g.user_id, g.b, t.v, t.v IS NULL AS gap_filled
+  FROM grid g LEFT JOIN tier t ON g.user_id = t.user_id AND g.b = t.b
+),
+br AS (
+  SELECT user_id, b, v, gap_filled,
+         last_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY b) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY b) AS pt,
+         last_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY b DESC) AS nv,
+         last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY b DESC) AS nt
+  FROM joined
+)
+SELECT user_id, b AS bucket,
+       floor(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * ((b - pt)::DOUBLE / (nt - pt))
+             END * 10000 + 0.5) / 10000.0 AS v,
+       gap_filled
+FROM br
+""",
+        "retention_1h": """
+SELECT user_id,
+       (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket,
+       count(*) AS n_points,
+       round(sum(value), 4) AS sum_v
+FROM events
+GROUP BY 1, 2
+HAVING bucket >= epoch(TIMESTAMP '2024-01-31 00:00:00') - 10 * 86400
+""",
+        "mosum_scores_sql": """
+WITH o AS (
+  SELECT user_id, event_id,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s4,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s8,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS s16,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM events
+)
+SELECT user_id, event_id,
+       round(sqrt(greatest(CASE WHEN t >= 4  THEN s4 * s4 / 4.0   END,
+                      CASE WHEN t >= 8  THEN s8 * s8 / 8.0   END,
+                      CASE WHEN t >= 16 THEN s16 * s16 / 16.0 END)), 4)
+         AS mosum_score
+FROM o WHERE t >= 4
+""",
+        "minhash_lsh_pairs": _minhash_lsh_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
         "simhash": _simhash_oracle(),
         "ngram_jaccard": f"""
 WITH {_SHINGLES_CTE}

@@ -1,12 +1,11 @@
 """Per-key stateful change-point detection as Spark operators.
 
-Every detector from the kernel layer becomes a grouped-map pandas UDF
-(`groupBy(keys).applyInPandas`): Spark shuffles rows by key (one explicit
-repartition — the only shuffle in the plan), Arrow hands each key's rows to a
-Python worker as one pandas DataFrame, the worker sorts by time and runs the
-*exact same* NumPy kernel that the test oracle runs, and emits result rows.
-No per-row Python, no driver-side loops; parallelism scales with distinct
-keys across executors.
+Every detector from the kernel layer becomes a batched grouped-map pandas
+UDF (see _grouped.grouped_apply): one explicit hash repartition by key — the
+only shuffle in the plan — then one Arrow crossing per partition, an
+in-worker pandas groupby, and the *exact same* NumPy kernel the test oracle
+runs per key. No per-row Python, no per-group Arrow toll, no driver-side
+loops; parallelism scales with distinct keys across executors.
 
 Skew note: a detector's state is inherently sequential per key, so a single
 hot key cannot be split without changing semantics; the mitigation is key
@@ -37,6 +36,7 @@ from pyspark.sql.types import (
 )
 
 from ..kernels.segmentation import fit_segmentation as _fit_segmentation
+from ._grouped import grouped_apply
 
 
 def _key_fields(df: DataFrame, key_cols: Sequence[str]) -> list[StructField]:
@@ -47,19 +47,6 @@ def _key_fields(df: DataFrame, key_cols: Sequence[str]) -> list[StructField]:
 def _ts_field(df: DataFrame, ts_col: str, out_name: str) -> StructField:
     by_name = {f.name: f for f in df.schema.fields}
     return StructField(out_name, by_name[ts_col].dataType, True)
-
-
-def _prepare(df: DataFrame, key_cols, num_partitions):
-    """Explicit hash repartition by key ahead of the grouped-map UDF.
-
-    The partition COUNT is pinned (REPARTITION_BY_NUM) rather than left to
-    AQE: the kernel stage is CPU-bound in the Python workers, and AQE's
-    size-based coalescing sees a few MB of aggregated series and happily
-    folds the stage to 1-2 tasks — serializing thousands of per-key kernels
-    behind one worker. Default = defaultParallelism (cluster cores); pass
-    num_partitions to raise it for many-key workloads."""
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *key_cols)
 
 
 def _values(pdf: pd.DataFrame, value_cols: Sequence[str]) -> np.ndarray:
@@ -92,13 +79,9 @@ def window_segmentor_changepoints(
             {**keys, "detection_ts": d, "changepoint_ts": c}
             for d, c in detector.detections_
         ]
-        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+        return rows
 
-    return (
-        _prepare(df, key_cols, num_partitions)
-        .groupBy(*key_cols)
-        .applyInPandas(run, schema)
-    )
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
 
 
 def sequential_scores(
@@ -140,11 +123,7 @@ def sequential_scores(
             out[c] = pdf[c].iloc[0]
         return out[[f.name for f in schema.fields]]
 
-    return (
-        _prepare(df, key_cols, num_partitions)
-        .groupBy(*key_cols)
-        .applyInPandas(run, schema)
-    )
+    return grouped_apply(df, key_cols, run, schema, num_partitions)
 
 
 def pelt_segments(
@@ -180,13 +159,9 @@ def pelt_segments(
             {**keys, "start_ts": s["start"], "end_ts": s["end"], "size": s["size"]}
             for s in sorted(detector.segments_, key=lambda s: s["start"])
         ]
-        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+        return rows
 
-    return (
-        _prepare(df, key_cols, num_partitions)
-        .groupBy(*key_cols)
-        .applyInPandas(run, schema)
-    )
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
 
 
 def capa_anomalies(
@@ -224,14 +199,10 @@ def capa_anomalies(
             {**keys, "start_ts": a["start"], "end_ts": a["end"], "size": a["size"], "kind": "point"}
             for a in detector.point_anomalies_
         ]
-        out = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
-        return out.sort_values("start_ts") if len(out) else out
+        rows.sort(key=lambda r: r["start_ts"])
+        return rows
 
-    return (
-        _prepare(df, key_cols, num_partitions)
-        .groupBy(*key_cols)
-        .applyInPandas(run, schema)
-    )
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
 
 
 def offline_pelt_segments(
@@ -270,13 +241,9 @@ def offline_pelt_segments(
             }
             for s in detector.segments_
         ]
-        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+        return rows
 
-    return (
-        _prepare(df, key_cols, num_partitions)
-        .groupBy(*key_cols)
-        .applyInPandas(run, schema)
-    )
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
 
 
 def segmentation_with_stats(
@@ -315,10 +282,6 @@ def segmentation_with_stats(
             }
             for s in segments
         ]
-        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+        return rows
 
-    return (
-        _prepare(df, key_cols, num_partitions)
-        .groupBy(*key_cols)
-        .applyInPandas(run, schema)
-    )
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")

@@ -301,7 +301,7 @@ def compress_series(
         ]
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(pdf: pd.DataFrame) -> list[dict]:
         pdf = pdf.sort_values(ts_col)
         ts = (pdf[ts_col].astype("int64").to_numpy() // 1_000_000_000).astype(np.int64)
         vals = pdf[value_col].to_numpy(dtype=np.float64)
@@ -309,12 +309,11 @@ def compress_series(
         row["n_points"] = len(pdf)
         row["ts_gorilla"] = compress_timestamps(ts)
         row["val_gorilla"] = compress_values(vals)
-        return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+        return [row]
 
-    # Pin the partition count: AQE size-based coalescing would fold this
-    # CPU-bound python stage to 1-2 tasks for small tiers (see detect._prepare).
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *key_cols).groupBy(*key_cols).applyInPandas(run, schema)
+    from ._grouped import grouped_apply
+
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
 
 
 def decompress_series(
@@ -339,9 +338,10 @@ def decompress_series(
     def run(batches):
         for pdf in batches:
             frames = []
-            for _, row in pdf.iterrows():
-                ts = decompress_timestamps(row["ts_gorilla"])
-                vals = decompress_values(row["val_gorilla"])
+            key_series = {c: pdf[c] for c in key_cols}
+            for i in range(len(pdf)):
+                ts = decompress_timestamps(pdf["ts_gorilla"].iloc[i])
+                vals = decompress_values(pdf["val_gorilla"].iloc[i])
                 frame = pd.DataFrame(
                     {
                         ts_col: pd.to_datetime(ts, unit="s"),
@@ -349,7 +349,7 @@ def decompress_series(
                     }
                 )
                 for c in key_cols:
-                    frame[c] = row[c]
+                    frame[c] = key_series[c].iloc[i]
                 frames.append(frame[[*key_cols, ts_col, value_col]])
             if frames:
                 yield pd.concat(frames, ignore_index=True)

@@ -65,15 +65,12 @@ def grid_detection_counts(
         count = len(detector.fit_predict(values))
         row = {c: pdf[c].iloc[0] for c in key_cols}
         row.update({"penalty_scale": scale, "detection_count": count})
-        return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+        return [row]
 
-    # Pinned partition count: the grid evaluation is CPU-bound python work,
-    # and AQE's size-based coalescing would serialize it (see detect._prepare).
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        fanned.repartition(n, *key_cols, "penalty_scale")
-        .groupBy(*key_cols, "penalty_scale")
-        .applyInPandas(run, schema)
+    from ._grouped import grouped_apply
+
+    return grouped_apply(
+        fanned, [*key_cols, "penalty_scale"], run, schema, None, returns="rows"
     )
 
 

@@ -72,8 +72,10 @@ def generate_url_history(
     rng = np.random.RandomState(seed)
     n = _snapshots_for_rank(url_id, n_urls, mean_snapshots)
 
-    # Crawl times: hourly grid with jitter, ~10% of hours skipped (gaps).
-    steps = rng.choice([3600, 3600, 3600, 3600, 3600, 3600, 3600, 3600, 7200, 10800], n)
+    # Crawl times: 15-min grid with jitter (~2.4 snapshots per hour bucket,
+    # so the 1h rollup genuinely aggregates map-side), ~20% multi-hour gaps
+    # for the gap-fill path.
+    steps = rng.choice([900, 900, 900, 900, 900, 900, 900, 900, 7200, 10800], n)
     jitter = rng.randint(0, 60, n)
     ts = _EPOCH_START + (url_id % 24) * 3600 + np.cumsum(steps) + jitter
 

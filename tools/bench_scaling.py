@@ -53,15 +53,33 @@ def run_level(path: str, cpus: int) -> dict:
     )
     from streamchange_spark.session import get_spark
 
-    spark = get_spark("bench_scaling", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+    spark = get_spark(
+        "bench_scaling",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        # tmpfs shuffle dirs: a real cluster's shuffle bandwidth scales with
+        # node count (one disk per node); local-mode's single disk does not,
+        # which would understate scaling for reasons that vanish on a cluster.
+        extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{cpus}"},
+    )
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    metrics = (
-        spark.read.parquet(path)
-        .select("url", "warc_ts", F.length("text").cast("double").alias("text_len"))
+    pages = spark.read.parquet(path)
+    metrics = pages.select(
+        "url", "warc_ts", F.length("text").cast("double").alias("text_len")
     )
     n_rows = metrics.count()
+
+    # Ingest invariant: sha256(text) per row (BASELINE.json input_hint's
+    # byte-identity manifest) — pure scan+hash, the linearly-scaling part of
+    # a real 100 TB ingest.
+    from streamchange_spark.sources import text_manifest
+
+    t0 = time.time()
+    text_manifest(pages).select(
+        F.count(F.lit(1)), F.max("text_sha256")
+    ).collect()
+    ingest_sec = time.time() - t0
 
     from streamchange_spark.operators import rollup_raw, rollup_tier
 
@@ -106,9 +124,12 @@ def run_level(path: str, cpus: int) -> dict:
     tier1h.unpersist()
 
     spark.stop()
+    pipeline_sec = ingest_sec + rollup_sec + gorilla_sec + detect_sec
     return {
         "cpus": cpus,
         "input_rows": n_rows,
+        "ingest_sec": round(ingest_sec, 2),
+        "ingest_rows_per_sec": round(n_rows / ingest_sec, 1),
         "rollup_sec": round(rollup_sec, 2),
         "rolled_points_per_sec": round(3 * n_rows / rollup_sec, 1),
         "gorilla_sec": round(gorilla_sec, 2),
@@ -116,6 +137,8 @@ def run_level(path: str, cpus: int) -> dict:
         "detect_sec": round(detect_sec, 2),
         "detect_points_per_sec": round(n_points / detect_sec, 1),
         "changepoints": n_cpts,
+        "pipeline_sec": round(pipeline_sec, 2),
+        "pipeline_rows_per_sec": round(n_rows / pipeline_sec, 1),
     }
 
 
@@ -143,11 +166,17 @@ def main():
     ratio = hi["cpus"] / lo["cpus"]
     summary = {
         "levels": [r["cpus"] for r in results],
+        "ingest_scaling_efficiency": round(
+            (hi["ingest_rows_per_sec"] / lo["ingest_rows_per_sec"]) / ratio, 3
+        ),
         "rollup_scaling_efficiency": round(
             (hi["rolled_points_per_sec"] / lo["rolled_points_per_sec"]) / ratio, 3
         ),
         "detect_scaling_efficiency": round(
             (hi["detect_points_per_sec"] / lo["detect_points_per_sec"]) / ratio, 3
+        ),
+        "pipeline_scaling_efficiency": round(
+            (hi["pipeline_rows_per_sec"] / lo["pipeline_rows_per_sec"]) / ratio, 3
         ),
     }
     print(json.dumps(summary))
