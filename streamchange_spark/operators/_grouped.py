@@ -27,6 +27,7 @@ def grouped_apply(
     schema,
     num_partitions: int | None = None,
     returns: str = "frame",
+    needed_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equivalent of ``df.repartition(n, keys).groupBy(keys).applyInPandas``
     with per-partition (not per-group) Arrow crossings. ``run_one`` receives
@@ -39,6 +40,10 @@ def grouped_apply(
     bounded by the shuffle partition size, which the explicit partition count
     controls; raise ``num_partitions`` for larger-than-memory partitions."""
     key_cols = list(key_cols)
+    if needed_cols is not None:
+        # Project before the shuffle: unused columns would be shuffled,
+        # Arrow-converted, and concat'd in every worker for nothing.
+        df = df.select(*dict.fromkeys([*key_cols, *needed_cols]))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     colnames = [f.name for f in schema.fields]
 

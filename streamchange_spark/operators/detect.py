@@ -81,7 +81,8 @@ def window_segmentor_changepoints(
         ]
         return rows
 
-    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows",
+                         needed_cols=[ts_col, *value_cols])
 
 
 def sequential_scores(
@@ -123,7 +124,8 @@ def sequential_scores(
             out[c] = pdf[c].iloc[0]
         return out[[f.name for f in schema.fields]]
 
-    return grouped_apply(df, key_cols, run, schema, num_partitions)
+    return grouped_apply(df, key_cols, run, schema, num_partitions,
+                         needed_cols=[ts_col, *value_cols])
 
 
 def pelt_segments(
@@ -161,7 +163,8 @@ def pelt_segments(
         ]
         return rows
 
-    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows",
+                         needed_cols=[ts_col, value_col])
 
 
 def capa_anomalies(
@@ -202,7 +205,8 @@ def capa_anomalies(
         rows.sort(key=lambda r: r["start_ts"])
         return rows
 
-    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows",
+                         needed_cols=[ts_col, value_col])
 
 
 def offline_pelt_segments(
@@ -243,7 +247,8 @@ def offline_pelt_segments(
         ]
         return rows
 
-    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows",
+                         needed_cols=[ts_col, *value_cols])
 
 
 def segmentation_with_stats(
@@ -284,4 +289,5 @@ def segmentation_with_stats(
         ]
         return rows
 
-    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
+    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows",
+                         needed_cols=[ts_col, value_col])

@@ -92,13 +92,15 @@ def _pack_tokens(values: np.ndarray, nbits: np.ndarray) -> bytes:
     total = int(nbits.sum())
     if total == 0:
         return b""
-    offs = np.cumsum(nbits) - nbits
-    bits = np.zeros(-(-total // 8) * 8, dtype=np.uint8)
-    for b in range(int(nbits.max())):
-        m = nbits > b
-        shift = (nbits[m] - 1 - b).astype(np.uint64)
-        bits[offs[m] + b] = ((values[m] >> shift) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits).tobytes()
+    # Token i's nbits_i bits are the tail of its 64-bit big-endian image;
+    # gather them all with one fancy-index into the unpacked bit matrix —
+    # O(total_bits) with a fixed handful of numpy calls (a per-bit-position
+    # loop costs ~1.2 ms/call on short series; this is ~30x cheaper).
+    allbits = np.unpackbits(values.astype(">u8").view(np.uint8))
+    reps = np.repeat(np.arange(len(nbits)), nbits)
+    k = np.arange(total) - np.repeat(np.cumsum(nbits) - nbits, nbits)
+    src = reps * 64 + (64 - np.repeat(nbits, nbits)) + k
+    return np.packbits(allbits[src]).tobytes()
 
 
 _POW2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
@@ -301,19 +303,40 @@ def compress_series(
         ]
     )
 
-    def run(pdf: pd.DataFrame) -> list[dict]:
-        pdf = pdf.sort_values(ts_col)
-        ts = (pdf[ts_col].astype("int64").to_numpy() // 1_000_000_000).astype(np.int64)
-        vals = pdf[value_col].to_numpy(dtype=np.float64)
-        row = {c: pdf[c].iloc[0] for c in key_cols}
-        row["n_points"] = len(pdf)
-        row["ts_gorilla"] = compress_timestamps(ts)
-        row["val_gorilla"] = compress_values(vals)
-        return [row]
+    colnames = [f.name for f in schema.fields]
 
-    from ._grouped import grouped_apply
+    def run(batches):
+        # One sort + two array conversions per PARTITION, then pure NumPy
+        # slices per key — per-group pandas ops (sort_values/astype/iloc)
+        # cost ~1 ms each and dominate on short per-URL series.
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values([*key_cols, ts_col], ignore_index=True)
+        ts_all = (pdf[ts_col].astype("int64").to_numpy() // 1_000_000_000).astype(
+            np.int64
+        )
+        vals_all = pdf[value_col].to_numpy(dtype=np.float64)
+        rows = []
+        for key, idx in pdf.groupby(key_cols, sort=False, dropna=False).indices.items():
+            if not isinstance(key, tuple):
+                key = (key,)
+            lo, hi = idx[0], idx[-1] + 1  # contiguous after the sort
+            row = dict(zip(key_cols, key))
+            row["n_points"] = hi - lo
+            row["ts_gorilla"] = compress_timestamps(ts_all[lo:hi])
+            row["val_gorilla"] = compress_values(vals_all[lo:hi])
+            rows.append(row)
+        yield pd.DataFrame(rows, columns=colnames)
 
-    return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Project BEFORE the shuffle: extra input columns would be shuffled,
+    # Arrow-converted, and concat'd in the workers for nothing.
+    slim = df.select(*key_cols, ts_col, value_col)
+    return slim.repartition(n, *key_cols).mapInPandas(run, schema)
 
 
 def decompress_series(

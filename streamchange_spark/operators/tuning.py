@@ -70,7 +70,8 @@ def grid_detection_counts(
     from ._grouped import grouped_apply
 
     return grouped_apply(
-        fanned, [*key_cols, "penalty_scale"], run, schema, None, returns="rows"
+        fanned, [*key_cols, "penalty_scale"], run, schema, None, returns="rows",
+        needed_cols=[ts_col, *value_cols],
     )
 
 
