@@ -162,23 +162,25 @@ def main():
         results.append(r)
         print(json.dumps(r))
 
-    lo, hi = results[0], results[-1]
-    ratio = hi["cpus"] / lo["cpus"]
-    summary = {
-        "levels": [r["cpus"] for r in results],
-        "ingest_scaling_efficiency": round(
-            (hi["ingest_rows_per_sec"] / lo["ingest_rows_per_sec"]) / ratio, 3
-        ),
-        "rollup_scaling_efficiency": round(
-            (hi["rolled_points_per_sec"] / lo["rolled_points_per_sec"]) / ratio, 3
-        ),
-        "detect_scaling_efficiency": round(
-            (hi["detect_points_per_sec"] / lo["detect_points_per_sec"]) / ratio, 3
-        ),
-        "pipeline_scaling_efficiency": round(
-            (hi["pipeline_rows_per_sec"] / lo["pipeline_rows_per_sec"]) / ratio, 3
-        ),
+    metrics = {
+        "ingest": "ingest_rows_per_sec",
+        "rollup": "rolled_points_per_sec",
+        "gorilla": "gorilla_sec",  # inverted below
+        "detect": "detect_points_per_sec",
+        "pipeline": "pipeline_rows_per_sec",
     }
+
+    def thr(r, key):
+        v = r[key]
+        return 1.0 / v if key.endswith("_sec") else v
+
+    summary = {"levels": [r["cpus"] for r in results], "pairs": {}}
+    for lo, hi in zip(results, results[1:]):
+        ratio = hi["cpus"] / lo["cpus"]
+        summary["pairs"][f'{lo["cpus"]}->{hi["cpus"]}'] = {
+            name: round((thr(hi, key) / thr(lo, key)) / ratio, 3)
+            for name, key in metrics.items()
+        }
     print(json.dumps(summary))
     if not args.keep:
         shutil.rmtree(args.workdir, ignore_errors=True)
