@@ -671,6 +671,39 @@ def q_compression_ratio(spark, sf_dir):
     )
 
 
+
+
+def q_multivariate_alarms(spark, sf_dir):
+    """Multivariate sequential detection (AggregatedScore p=2 over the
+    hourly (mean, count) series; parity: sequential/scores.py:111-133) —
+    rows-only check, exactness pytest-verified against the kernel oracle."""
+    _configure(spark)
+    from streamchange_spark.kernels import AggregatedScore
+
+    series = _hourly_tier(spark, sf_dir).select(
+        "user_id",
+        "bucket_start",
+        (F.col("sum_v") / F.col("n_points")).alias("v1"),
+        F.col("n_points").cast("double").alias("v2"),
+    )
+    scores = sequential_scores(
+        series,
+        lambda: SequentialChangeDetector(
+            AggregatedScore(LordenPollakScore(rho=1.0)).penalise(100.0),
+            reset_on_change=True,
+            restart_delay=5,
+        ),
+        key_cols=["user_id"],
+        ts_col="bucket_start",
+        value_cols=["v1", "v2"],
+        alarms_only=True,
+    )
+    return scores.select(
+        "user_id", _epoch("ts").alias("alarm_epoch"),
+        F.round("penalised_score", 4).alias("score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h": q_rollup_1h,
@@ -708,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuning_grid": q_tuning_grid,
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
+        "multivariate_alarms": q_multivariate_alarms,
     }
 
 

@@ -39,6 +39,11 @@ HEADLINE = [
     "lang_id",
     "quality",
     "fingerprint",
+    "gapfill_linear",
+    "retention_1h",
+    "mosum_scores_sql",
+    "minhash_lsh_pairs",
+    "multivariate_alarms",
 ]
 
 

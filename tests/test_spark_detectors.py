@@ -165,3 +165,45 @@ def test_segmentation_with_stats_matches_oracle(series_df):
         assert len(actual) == len(expected), key
         for a, e in zip(actual, expected):
             assert a[0] == e[0] and a[1] == e[1] and a[2] == pytest.approx(e[2], abs=0), key
+
+
+def test_multivariate_sequential_matches_oracle(spark):
+    """AggregatedScore (p=3) through the Spark operator == kernel run."""
+    from streamchange_spark.kernels import AggregatedScore
+
+    frames = []
+    for key, seed in (("a", 11), ("b", 17)):
+        x = simulate(means=[0, 8, 0], seg_lens=[80], p=3, seed=seed)
+        frames.append(
+            pd.DataFrame(
+                {"key": key, "t": np.arange(x.shape[0]),
+                 "v1": x[:, 0], "v2": x[:, 1], "v3": x[:, 2]}
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=1)
+    df = spark.createDataFrame(pdf)
+
+    factory = lambda: SequentialChangeDetector(
+        AggregatedScore(LordenPollakScore(rho=1.0)).penalise(60.0),
+        reset_on_change=True,
+        restart_delay=3,
+    )
+    got = (
+        sequential_scores(
+            df, factory, key_cols=["key"], ts_col="t",
+            value_cols=["v1", "v2", "v3"],
+        )
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    for key in ("a", "b"):
+        sub = pdf[pdf.key == key].sort_values("t")
+        det = factory()
+        det.fit(sub[["v1", "v2", "v3"]].to_numpy(), times=sub["t"].to_numpy())
+        g = got[got.key == key]
+        assert np.array_equal(g["ts"].to_numpy(), np.asarray(det.times_))
+        assert np.array_equal(
+            g["penalised_score"].to_numpy(), np.asarray(det.penalised_scores_)
+        )
+        assert set(g[g["is_alarm"]]["ts"]) == set(det.alarms_)
