@@ -241,6 +241,16 @@ class WindowSegmentor:
         n = values.shape[0]
         W = self.max_window
         t = 0
+        if batch_scorer is not None and n > 0:
+            # Growth-phase fast path: from a fresh state every update is one
+            # fit on the whole (growing) window with a candidate bound that
+            # is a pure function of t — score all growth steps in one
+            # vectorized pass and fast-forward to the first detection.
+            t_first = self._growth_scan(flat)
+            if t_first > 0:
+                self.window.load(values[:t_first])
+                self.last_changepoint = min(t_first, _LAST_CPT_CAP)
+                t = t_first
         while t < n:
             if (
                 batch_scorer is not None
@@ -302,6 +312,61 @@ class WindowSegmentor:
 
             return score
         return None
+
+    def _growth_scan(self, flat: np.ndarray) -> int:
+        """First update index t in the growth phase (window not yet full)
+        whose single full-window test detects a change — or the first
+        steady-state index if none does. Bit-identical to the per-update
+        loop: same row-wise newest-first cumsums, same integer-typed
+        transform arithmetic, same candidate bound
+        ``tt < min(last_changepoint - minsl + 1, window_length)`` with
+        ``last_changepoint == t + 1`` (incremented, never reset: no
+        detections happened before the first hit by construction)."""
+        from .amoc import CUSUM, CUSUM0
+
+        W = self.max_window
+        n = flat.shape[0]
+        t_stop = min(n, W)
+        t0 = self.min_window - 1  # first update that actually fits
+        if t0 >= t_stop:
+            return t_stop
+        kind = type(self.estimator)
+        if kind is not CUSUM and kind is not CUSUM0:
+            return 0
+        tt = self.candidate_cpts.astype(np.int64)
+        if tt.size == 0:
+            return t_stop
+        pen = self.estimator.penalty()
+        # chunk rows so the (rows x t_stop) window matrix stays ~<=32 MB
+        block = max(1, (1 << 22) // max(t_stop, 1))
+        for lo in range(t0, t_stop, block):
+            hi = min(lo + block, t_stop)
+            rows = np.arange(lo, hi, dtype=np.int64)
+            width = int(rows[-1]) + 1
+            k = np.arange(width, dtype=np.int64)
+            live = k[None, :] <= rows[:, None]
+            M = np.where(live, flat[(rows[:, None] - k[None, :]).clip(min=0)], 0.0)
+            S = np.cumsum(M, axis=1)
+            L = rows + 1  # window length at step t
+            bound = np.minimum(rows + 2 - self.minsl, L)
+            mask = tt[None, :] < bound[:, None]
+            if not mask.any():
+                continue
+            ttc = np.minimum(tt, width)  # clip gathers; out-of-row is masked
+            S_tt = S[:, ttc - 1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                if kind is CUSUM:
+                    S_n = S[np.arange(len(rows)), rows]  # full-window sum
+                    trans = np.sqrt(L[:, None] / (tt[None, :] * (L[:, None] - tt[None, :]))) * (
+                        tt[None, :] / L[:, None] * S_n[:, None] - S_tt
+                    )
+                else:  # CUSUM0
+                    trans = S_tt / np.sqrt(tt[None, :].astype(np.float64))
+            raw = np.where(mask, trans**2, -np.inf).max(axis=1)
+            detect = raw - pen > 0
+            if detect.any():
+                return int(rows[int(np.argmax(detect))])
+        return t_stop
 
     def _fast_scan(self, flat: np.ndarray, t: int, batch_scorer, chunk: int = 4096) -> int:
         """Return the first step >= t whose full-window test detects a change

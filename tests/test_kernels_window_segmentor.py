@@ -75,3 +75,47 @@ def test_candidates():
         WindowSegmentor(CUSUM(), candidate_type="geom", candidate_step=1.0)
     with pytest.raises(ValueError):
         WindowSegmentor(CUSUM(), candidate_type="nope")
+
+
+def test_fast_paths_bit_identical_to_pure_loop():
+    """The vectorized growth-phase and steady-state scans must reproduce the
+    per-update loop exactly (same changepoints_ AND detections_) across
+    estimators, candidate types, minsl values, and NaN-laced series."""
+    import streamchange_spark.kernels.window_segmentor as ws_mod
+    from streamchange_spark.kernels import BIC, CUSUM
+    from streamchange_spark.kernels.amoc import CUSUM0
+
+    cases = []
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(1, 300))
+        x = r.normal(0, 1, n) + np.where(
+            np.arange(n) > n // 2, r.choice([0, 4, 12]), 0
+        )
+        if seed % 3 == 0 and n > 5:
+            x[r.integers(0, n, 2)] = np.nan
+        cases.append(x)
+
+    cfgs = [
+        dict(est=lambda: CUSUM(penalty=BIC(scale=1.0)), kw=dict(min_window=4, max_window=100, minsl=1)),
+        dict(est=lambda: CUSUM(penalty=BIC(scale=0.2)), kw=dict(min_window=2, max_window=50, minsl=5)),
+        dict(est=lambda: CUSUM0(penalty=BIC(scale=1.0)), kw=dict(min_window=4, max_window=64, minsl=2)),
+        dict(est=lambda: CUSUM(penalty=BIC(scale=1.0)),
+             kw=dict(min_window=4, max_window=100, minsl=1,
+                     candidate_type="geom", candidate_step=1.5)),
+    ]
+    orig = ws_mod.WindowSegmentor._batch_scorer
+    try:
+        for cfg in cfgs:
+            for x in cases:
+                det = ws_mod.WindowSegmentor(cfg["est"](), **cfg["kw"])
+                det.fit(x)
+                fast = (det.changepoints_, det.detections_)
+                ws_mod.WindowSegmentor._batch_scorer = lambda self: None
+                det = ws_mod.WindowSegmentor(cfg["est"](), **cfg["kw"])
+                det.fit(x)
+                slow = (det.changepoints_, det.detections_)
+                ws_mod.WindowSegmentor._batch_scorer = orig
+                assert fast == slow
+    finally:
+        ws_mod.WindowSegmentor._batch_scorer = orig
