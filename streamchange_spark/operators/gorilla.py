@@ -35,29 +35,6 @@ from pyspark.sql.types import (
 )
 
 
-class _BitWriter:
-    __slots__ = ("_acc", "_nbits", "_out")
-
-    def __init__(self):
-        self._acc = 0
-        self._nbits = 0
-        self._out = bytearray()
-
-    def write(self, value: int, nbits: int):
-        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
-        self._nbits += nbits
-        while self._nbits >= 8:
-            self._nbits -= 8
-            self._out.append((self._acc >> self._nbits) & 0xFF)
-        self._acc &= (1 << self._nbits) - 1
-
-    def getvalue(self) -> bytes:
-        if self._nbits:
-            pad = 8 - self._nbits
-            return bytes(self._out) + bytes([(self._acc << pad) & 0xFF])
-        return bytes(self._out)
-
-
 class _BitReader:
     __slots__ = ("_data", "_pos")
 
@@ -84,7 +61,7 @@ class _BitReader:
 # ---------------------------------------------------------------------------
 def _pack_tokens(values: np.ndarray, nbits: np.ndarray) -> bytes:
     """Concatenate variable-width big-endian tokens into a byte blob.
-    Final byte is zero-padded in the low bits (== _BitWriter.getvalue)."""
+    Final byte is zero-padded in the low bits (bit-stream convention: big-endian, zero-padded tail)."""
     nbits = np.asarray(nbits, dtype=np.int64)
     values = np.asarray(values, dtype=np.uint64)
     keep = nbits > 0
