@@ -196,33 +196,31 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash): 64-bit SimHash over whitespace tokens. Bit b of the
     result is the sign of sum over tokens of (+1 if bit b of token-hash else
-    -1) — computed as one fold over the token array."""
-    toks = tokens_col(text_col)
-    base = df.select(
+    -1).
+
+    Plan shape: explode tokens -> one 64-bit hash per token row -> a single
+    hash aggregate with 64 conditional-sum columns (all whole-stage codegen;
+    higher-order ``aggregate`` folds are interpreted per element and were
+    ~5x slower) -> assemble the sign bits."""
+    toks = df.select(
         F.col(id_col),
-        F.transform(toks, lambda t: _hash64(t, hash_fn)).alias("_h"),
-    ).where(F.size("_h") > 0)
-
-    def ones(b: int):
-        # count of tokens with bit b set; one fold, b is a plain int so the
-        # shift amount is a literal (Spark's shiftright requires that).
-        return F.aggregate(
-            F.col("_h"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
-        )
-
-    # bit b of the simhash = sign of sum(+1/-1) = (2 * ones_b > n_tokens)
-    n = F.size("_h").cast("long")
+        F.explode(tokens_col(text_col)).alias("_t"),
+    ).select(F.col(id_col), _hash64(F.col("_t"), hash_fn).alias("_h"))
+    ones = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+            for b in range(64)
+        ],
+    )
     sim = F.lit(0).cast("long")
     for b in range(64):
         bit = (1 << b) if b < 63 else -(1 << 63)  # avoid int64 overflow at b=63
         sim = sim.bitwiseOR(
-            F.when(ones(b) * 2 > n, F.lit(bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(F.col(f"_o{b}") * 2 > F.col("_n"), F.lit(bit).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
-    return base.select(F.col(id_col), sim.alias("simhash"))
+    return ones.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
