@@ -162,24 +162,26 @@ def main():
         results.append(r)
         print(json.dumps(r))
 
+    # (result key, invert?) — gorilla is recorded as seconds, the rest as
+    # throughput already
     metrics = {
-        "ingest": "ingest_rows_per_sec",
-        "rollup": "rolled_points_per_sec",
-        "gorilla": "gorilla_sec",  # inverted below
-        "detect": "detect_points_per_sec",
-        "pipeline": "pipeline_rows_per_sec",
+        "ingest": ("ingest_rows_per_sec", False),
+        "rollup": ("rolled_points_per_sec", False),
+        "gorilla": ("gorilla_sec", True),
+        "detect": ("detect_points_per_sec", False),
+        "pipeline": ("pipeline_rows_per_sec", False),
     }
 
-    def thr(r, key):
-        v = r[key]
-        return 1.0 / v if key.endswith("_sec") else v
+    def thr(r, spec):
+        key, invert = spec
+        return 1.0 / r[key] if invert else r[key]
 
     summary = {"levels": [r["cpus"] for r in results], "pairs": {}}
     for lo, hi in zip(results, results[1:]):
         ratio = hi["cpus"] / lo["cpus"]
         summary["pairs"][f'{lo["cpus"]}->{hi["cpus"]}'] = {
-            name: round((thr(hi, key) / thr(lo, key)) / ratio, 3)
-            for name, key in metrics.items()
+            name: round((thr(hi, spec) / thr(lo, spec)) / ratio, 3)
+            for name, spec in metrics.items()
         }
     print(json.dumps(summary))
     if not args.keep:
