@@ -28,6 +28,7 @@ def grouped_apply(
     num_partitions: int | None = None,
     returns: str = "frame",
     needed_cols: Sequence[str] | None = None,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Equivalent of ``df.repartition(n, keys).groupBy(keys).applyInPandas``
     with per-partition (not per-group) Arrow crossings. ``run_one`` receives
@@ -70,4 +71,11 @@ def grouped_apply(
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
+    if assume_partitioned:
+        # Caller guarantees rows are already hash-clustered by key; skip the
+        # exchange. NB: repartitioning RAW data to feed aggregation + kernels
+        # shuffle-free measured SLOWER than partial-agg-then-shuffle (the agg
+        # reduces rows before the wire); use this only when the input is
+        # already key-clustered at matching volume.
+        return df.mapInPandas(run, schema)
     return df.repartition(n, *key_cols).mapInPandas(run, schema)

@@ -62,6 +62,7 @@ def window_segmentor_changepoints(
     ts_col: str = "ts",
     value_cols: Sequence[str] = ("value",),
     num_partitions: int | None = None,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """(keys..., detection_ts, changepoint_ts) — one row per detected change."""
     key_cols = list(key_cols)
@@ -82,7 +83,8 @@ def window_segmentor_changepoints(
         return rows
 
     return grouped_apply(df, key_cols, run, schema, num_partitions, returns="rows",
-                         needed_cols=[ts_col, *value_cols])
+                         needed_cols=[ts_col, *value_cols],
+                         assume_partitioned=assume_partitioned)
 
 
 def sequential_scores(

@@ -266,9 +266,12 @@ def compress_series(
     ts_col: str,
     value_col: str,
     num_partitions: int | None = None,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """One row per key: (keys..., n_points, ts_gorilla, val_gorilla).
-    Timestamps are packed as epoch seconds (int64)."""
+    Timestamps are packed as epoch seconds (int64). Pass
+    ``assume_partitioned=True`` when rows are already hash-clustered by key
+    to skip the exchange."""
     key_cols = list(key_cols)
     by_name = {f.name: f for f in df.schema.fields}
     schema = StructType(
@@ -313,6 +316,8 @@ def compress_series(
     # Project BEFORE the shuffle: extra input columns would be shuffled,
     # Arrow-converted, and concat'd in the workers for nothing.
     slim = df.select(*key_cols, ts_col, value_col)
+    if assume_partitioned:
+        return slim.mapInPandas(run, schema)
     return slim.repartition(n, *key_cols).mapInPandas(run, schema)
 
 
