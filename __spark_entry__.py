@@ -704,6 +704,32 @@ def q_multivariate_alarms(spark, sf_dir):
     )
 
 
+
+
+def q_ann_topk_gemm(spark, sf_dir):
+    """Same exact top-5 as q_ann_topk via the GEMM path (BLAS matmul per
+    Arrow batch + local top-k before the shuffle) — shares ann_topk's
+    oracle; ranking on the rounded score so both engines rank identically."""
+    _configure(spark)
+    from pyspark.sql import Window
+
+    from streamchange_spark.operators.similarity import cosine_topk_gemm
+
+    embs = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    scored = cosine_topk_gemm(embs, queries, k=1_000_000).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h": q_rollup_1h,
@@ -742,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
         "multivariate_alarms": q_multivariate_alarms,
+        "ann_topk_gemm": q_ann_topk_gemm,
     }
 
 
@@ -1046,6 +1073,22 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
         "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4)
+           AS cosine
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+        "ann_topk_gemm": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
 scored AS (
   SELECT q.query_id, e.vec_id,

@@ -41,13 +41,14 @@ from .rollup import (
     rollup_tier,
     with_avg,
 )
-from .similarity import cosine_topk, lsh_ann_pairs
+from .similarity import cosine_topk, cosine_topk_gemm, lsh_ann_pairs
 from .textstats import fingerprint, lang_id, quality_features
 
 __all__ = [
     "TIER_SECONDS",
     "cosine_col",
     "cosine_topk",
+    "cosine_topk_gemm",
     "decode_image_features",
     "embedding_neardup_pairs",
     "exact_dedup",

@@ -117,3 +117,65 @@ def lsh_ann_pairs(
         .distinct()
     )
     return cand.where(F.col("cosine") >= threshold)
+
+
+def cosine_topk_gemm(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine per query — the throughput path.
+
+    The (small) query set is collected once, L2-normalized, and shipped in
+    the UDF closure; each Arrow batch of candidates becomes one BLAS matrix
+    multiply (B x D @ D x Q), and only each batch's local top-k per query
+    (ordered by -cosine, then id — the global tie-break) crosses the wire,
+    so the shuffle carries at most partitions*k*Q rows regardless of N.
+    A final window re-ranks the survivors exactly."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qids = qpdf[query_id_col].to_numpy()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    in_fields = {f.name: f for f in candidates.schema.fields}
+    q_fields = {f.name: f for f in queries.schema.fields}
+    schema = StructType(
+        [
+            q_fields[query_id_col],
+            in_fields[id_col],
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = Cn @ Qn.T  # (B, Q)
+            kk = min(k, sims.shape[0])
+            out_q, out_id, out_c = [], [], []
+            order_ids = np.argsort(ids, kind="stable")
+            for qi in range(sims.shape[1]):
+                col = sims[:, qi]
+                # top-kk by (-cosine, id): sort ids first (stable), then by
+                # -cosine — lexicographic without building tuples
+                top = order_ids[np.argsort(-col[order_ids], kind="stable")[:kk]]
+                out_q.extend([qids[qi]] * len(top))
+                out_id.extend(ids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "cosine": out_c}
+            )
+
+    scored = candidates.select(id_col, vec_col).mapInPandas(run, schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -202,3 +202,38 @@ def test_multimodal_meta_and_stubs(spark):
     frames = sample_video_frames(df, "id", "payload", n_frames=3).toPandas()
     assert len(frames) == 9
     assert set(frames["frame_idx"]) == {0, 1, 2}
+
+
+def test_cosine_topk_gemm_matches_fold(spark):
+    """GEMM top-k == zip_with-fold top-k (same ids and ranks) on random
+    embeddings; both exact, so only float ULP noise could differ — random
+    normal vectors have no near-ties at rank boundaries."""
+    import numpy as np
+    import pandas as pd
+    from streamchange_spark.operators import cosine_topk
+    from streamchange_spark.operators.similarity import cosine_topk_gemm
+
+    rng = np.random.default_rng(5)
+    n, d = 300, 16
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(rng.normal(0, 1, (n, d)))}
+    )
+    cands = spark.createDataFrame(pdf).repartition(6)
+    queries = spark.createDataFrame(pdf.iloc[:4]).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    a = (
+        cosine_topk(cands, queries, k=7)
+        .select("query_id", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        cosine_topk_gemm(cands, queries, k=7)
+        .select("query_id", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
