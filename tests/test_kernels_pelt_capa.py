@@ -92,3 +92,30 @@ def test_online_vs_offline_pelt_consistency():
     online_cpts = sorted(int(c) for c in online.changepoints_)
     offline_cpts = sorted(int(s["end"]) for s in offline.segments_[:-1])
     assert online_cpts == offline_cpts == [59, 119]
+
+
+def test_pelt_batch_fit_identical_to_update_loop():
+    """Pelt.fit's view-based L2 fast path == literal update() replay (same
+    segments, changepoints, and post-fit streaming state)."""
+    from streamchange_spark.kernels import BIC, L2Cost, Pelt
+
+    class L2CostSlow(L2Cost):  # type(cost) check routes to the update loop
+        pass
+
+    for minsl, maxsl in ((1, 1000), (2, 50), (5, 30)):
+        for seed in range(8):
+            r = np.random.default_rng(seed)
+            n = int(r.integers(1, 400))
+            x = r.normal(0, 1, n) + np.where(
+                np.arange(n) > n // 2, r.choice([0, 3, 8]), 0
+            )
+            if seed % 3 == 0 and n > 4:
+                x[r.integers(0, n, 2)] = np.nan
+            a = Pelt(L2Cost(BIC()), minsl=minsl, maxsl=maxsl).fit(x)
+            b = Pelt(L2CostSlow(BIC()), minsl=minsl, maxsl=maxsl).fit(x)
+            assert a.segments_ == b.segments_
+            assert a.changepoints_ == b.changepoints_
+            if n > 10 and not np.isnan(x).any():
+                a.update(1.23)
+                b.update(1.23)
+                assert a.last_cpt == b.last_cpt
