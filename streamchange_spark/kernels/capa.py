@@ -113,10 +113,45 @@ class Capa:
         values, times = dropna_series(values, times)
         if values.ndim == 2:
             values = values[:, 0]
-        starts = np.empty(values.shape[0], dtype=np.int64)
-        for t in range(values.shape[0]):
-            self.update(values[t])
-            starts[t] = self.anomaly_start
+        n = values.shape[0]
+        starts = np.empty(n, dtype=np.int64)
+        if type(self.csaving) is ConstMeanL2 and type(self.psaving) is ConstMeanL2:
+            # Batch replay of update(): identical arithmetic (same reversed
+            # slices, same cumsums, same argmax tie-breaks) with array views
+            # instead of per-update RingBuffer reversal copies.
+            cpen = self.csaving.penalty()
+            maxsl, minsl = self.maxsl, self.minsl
+            ks = np.arange(1, maxsl + 1, dtype=float)
+            os = np.empty(n + 1)  # os[j] = opt saving after j points
+            os[0] = 0
+            for t in range(n):
+                m = min(t + 1, maxsl)
+                base_saving = os[t]
+                collective_saving = 0
+                point_saving = 0
+                cpt = 0
+                if m >= minsl:
+                    v_rev = values[t - m + 1 : t + 1][::-1]
+                    sums = np.cumsum(v_rev)
+                    csavings = (sums**2 / ks[:m] - cpen)[minsl - 1 :]
+                    opt_savings = os[t + 1 - m : t - minsl + 2][::-1]
+                    candidate_savings = opt_savings + csavings
+                    best = int(np.argmax(candidate_savings))
+                    cpt = minsl + best
+                    collective_saving = candidate_savings[best]
+                    point_saving = base_saving + self.psaving.opt(values[t])
+                savings = [base_saving, point_saving, collective_saving]
+                best_kind = int(np.argmax(savings))
+                os[t + 1] = savings[best_kind]
+                starts[t] = (cpt - 1) if best_kind == 2 else (0 if best_kind == 1 else -1)
+            if n:
+                self.anomaly_start = int(starts[-1])
+            self.window.load(values[max(0, n - maxsl) :])
+            self.opt_saving.load(os[max(0, n + 1 - maxsl) :])
+        else:
+            for t in range(n):
+                self.update(values[t])
+                starts[t] = self.anomaly_start
         self.collective_anomalies_ = self.extract_collective_anomalies(starts, times)
         self.point_anomalies_ = self.extract_point_anomalies(starts, times)
         return self

@@ -119,3 +119,31 @@ def test_pelt_batch_fit_identical_to_update_loop():
                 a.update(1.23)
                 b.update(1.23)
                 assert a.last_cpt == b.last_cpt
+
+
+def test_capa_batch_fit_identical_to_update_loop():
+    """Capa.fit's view-based fast path == literal update() replay."""
+    from streamchange_spark.kernels import Capa, ConstMeanL2
+
+    class SlowSaving(ConstMeanL2):  # type check routes to the update loop
+        pass
+
+    for minsl, maxsl in ((2, 1000), (2, 50), (5, 30)):
+        for seed in range(8):
+            r = np.random.default_rng(seed)
+            n = int(r.integers(0, 400))
+            x = r.normal(0, 1, n)
+            if n > 20:
+                a0 = int(r.integers(0, n - 10))
+                x[a0 : a0 + 8] += r.choice([0, 5, 10])
+                x[int(r.integers(0, n))] += r.choice([0, 15])
+            if seed % 3 == 0 and n > 4:
+                x[r.integers(0, n, 2)] = np.nan
+            a = Capa(ConstMeanL2(), minsl=minsl, maxsl=maxsl).fit(x)
+            b = Capa(SlowSaving(), minsl=minsl, maxsl=maxsl).fit(x)
+            assert a.collective_anomalies_ == b.collective_anomalies_
+            assert a.point_anomalies_ == b.point_anomalies_
+            if n > 10 and not np.isnan(x).any():
+                a.update(2.5)
+                b.update(2.5)
+                assert a.anomaly_start == b.anomaly_start
