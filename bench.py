@@ -50,32 +50,48 @@ HEADLINE = [
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
     from streamchange_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    # Self-contained environment pinning (everything the number depends on):
+    # - get_spark() pins a fixed pre-touched ParallelGC heap (no G1 heap
+    #   uncommit -> hypervisor refault storms) and UTC/Arrow/AQE confs.
+    # - shuffle dirs on tmpfs so local-disk contention does not pollute
+    #   timings (a cluster's shuffle bandwidth scales with node count).
+    local_dir = f"/dev/shm/spark-bench-{os.getpid()}"
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.local.dir": local_dir},
+    )
     # Warm the JVM + Arrow path once so per-query timings measure the queries.
     spark.range(1000).selectExpr("sum(id)").collect()
 
     events_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     queries = entry_mod.queries()
-    timings: dict[str, float] = {}
-    # min of 2 executions per query: this sandbox VM shows sporadic multi-
-    # second host-level stalls in the serial driver phases (planning/codegen);
-    # the min is the reproducible engine cost.
-    for name in HEADLINE:
-        fn = queries[name]
-        best = None
-        for _ in range(2):
+    # This sandbox VM shows sporadic multi-second host-level stalls that can
+    # last longer than one query. Back-to-back repeats of the same query both
+    # eat the same stall, so min-of-N per query is only robust if the repeats
+    # are spread out in time: run full INTERLEAVED passes over all queries
+    # and take the per-query min across passes.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for p in range(passes):
+        for name in HEADLINE:
+            fn = queries[name]
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+            samples[name].append(time.time() - t0)
+        print(f"# pass {p}: {round(sum(s[-1] for s in samples.values()), 2)}s",
+              file=sys.stderr)
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
+    for name in HEADLINE:
+        print(f"# {name}: {timings[name]}s (all: "
+              f"{[round(x, 2) for x in samples[name]]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -92,8 +108,19 @@ def main():
         "cpus": cpus,
         "events_rows": events_rows,
         "rollup_points_per_sec": round(events_rows / timings["rollup_1h"], 1),
+        "env": {
+            "passes": passes,
+            "aggregation": "min per query across interleaved passes",
+            "spark_local_dir": "tmpfs (/dev/shm)",
+            "jvm": "-Xms==-Xmx pre-touched ParallelGC heap (see session.py)",
+            "shuffle_partitions": max(cpus, 8),
+        },
     }
     print(json.dumps(result))
+    import shutil
+
+    spark.stop()
+    shutil.rmtree(local_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

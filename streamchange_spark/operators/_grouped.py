@@ -73,9 +73,14 @@ def grouped_apply(
 
     if assume_partitioned:
         # Caller guarantees rows are already hash-clustered by key; skip the
-        # exchange. NB: repartitioning RAW data to feed aggregation + kernels
-        # shuffle-free measured SLOWER than partial-agg-then-shuffle (the agg
-        # reduces rows before the wire); use this only when the input is
-        # already key-clustered at matching volume.
+        # exchange. WARNING: this is an unchecked contract — if any key's rows
+        # span two partitions, ``run_one`` fires once per fragment and the
+        # output silently contains duplicate/partial results for that key.
+        # Only pass True when the immediately preceding op was a
+        # repartition/bucketed-read on exactly ``key_cols``. NB: repartitioning
+        # RAW data to feed aggregation + kernels shuffle-free measured SLOWER
+        # than partial-agg-then-shuffle (the agg reduces rows before the
+        # wire); use this only when the input is already key-clustered at
+        # matching volume.
         return df.mapInPandas(run, schema)
     return df.repartition(n, *key_cols).mapInPandas(run, schema)

@@ -15,6 +15,12 @@ Encoding follows the Gorilla paper (Pelkonen et al., VLDB 2015):
 The encoder is plain NumPy/int Python and runs inside Arrow-batched grouped
 pandas UDFs (compress) / mapInPandas (decompress); round-trip equality is
 bit-for-bit on doubles and exact on int64 timestamps (tests).
+
+The read path uses ``decompress_*_batch``: all blobs of an Arrow batch are
+decoded in lockstep, one token per vectorized round across rows (see the
+"Vectorized batch decoders" section). The scalar ``decompress_timestamps`` /
+``decompress_values`` loops are kept as the readable reference
+implementation; fuzz tests assert batch == scalar bit-for-bit.
 """
 
 from __future__ import annotations
@@ -143,20 +149,14 @@ def _sign_extend(value: int, nbits: int) -> int:
     return value
 
 
-def decompress_timestamps(blob: bytes) -> np.ndarray:
-    r = _BitReader(blob)
-    n = r.read(32)
-    out = np.empty(n, dtype=np.int64)
-    if n == 0:
-        return out
-    first = _sign_extend(r.read(64), 64)
-    out[0] = first
-    if n == 1:
-        return out
-    prev_delta = _sign_extend(r.read(64), 64)
-    prev = first + prev_delta
-    out[1] = prev
-    for i in range(2, n):
+def _finish_timestamps_scalar(
+    r: _BitReader, out: np.ndarray, base: int, start: int, n: int,
+    prev: int, prev_delta: int,
+) -> None:
+    """Token loop shared by the scalar decoder and the batch decoder's
+    narrow-tail fallback: decode points ``start..n-1`` into
+    ``out[base+start : base+n]`` given mid-stream state."""
+    for i in range(start, n):
         if r.read(1) == 0:
             dod = 0
         else:
@@ -170,7 +170,23 @@ def decompress_timestamps(blob: bytes) -> np.ndarray:
                 dod = _sign_extend(r.read(64), 64)
         prev_delta += dod
         prev += prev_delta
-        out[i] = prev
+        out[base + i] = prev
+
+
+def decompress_timestamps(blob: bytes) -> np.ndarray:
+    r = _BitReader(blob)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    first = _sign_extend(r.read(64), 64)
+    out[0] = first
+    if n == 1:
+        return out
+    prev_delta = _sign_extend(r.read(64), 64)
+    prev = first + prev_delta
+    out[1] = prev
+    _finish_timestamps_scalar(r, out, 0, 2, n, prev, prev_delta)
     return out
 
 
@@ -178,10 +194,76 @@ def decompress_timestamps(blob: bytes) -> np.ndarray:
 # Value codec (float64)
 # ---------------------------------------------------------------------------
 def compress_values(values: np.ndarray) -> bytes:
-    """XOR float codec. The leading/trailing-zero counts of every xor are
-    vectorized up front (exact, via binary search — no float log round-off);
-    the remaining Python loop only tracks the sequential window-reuse state
-    and emits (value, nbits) tokens, packed vectorized at the end."""
+    """XOR float codec, fully vectorized.
+
+    Window policy (the one encoder choice the format leaves open): a token
+    reuses the previous window ('10') iff its (leading, length) pair equals
+    the previous nonzero token's, else it re-declares the window ('11').
+    This differs from the paper's greedy containment reuse — which needs a
+    sequential scan, see ``compress_values_greedy`` — but produces an
+    equally valid stream for the same decoder: runs of identical windows
+    (the common smooth-series case) pay the 13-bit header once. Everything
+    is array arithmetic + one vectorized bit-pack, ~100x the greedy loop's
+    throughput."""
+    fbits = np.asarray(values, dtype=np.float64).view(np.uint64)
+    n = len(fbits)
+    if n == 0:
+        return _pack_tokens(np.array([0], dtype=np.uint64), np.array([32]))
+    head_v = np.array([n & 0xFFFFFFFF, fbits[0]], dtype=np.uint64)
+    head_b = np.array([32, 64], dtype=np.int64)
+    if n == 1:
+        return _pack_tokens(head_v, head_b)
+    xors = fbits[:-1] ^ fbits[1:]
+    bl = _bit_length_u64(xors)
+    leading = np.minimum(64 - bl, 31)
+    low = xors & (np.uint64(0) - xors)
+    trailing = _bit_length_u64(low) - 1
+    length = 64 - leading - trailing  # garbage where xor==0 (masked below)
+
+    nz = xors != 0
+    m = len(xors)
+    # Window of the previous NONZERO token (zero tokens don't touch window
+    # state): forward-fill each nonzero position's predecessor index.
+    nzidx = np.flatnonzero(nz)
+    same = np.zeros(m, dtype=bool)
+    if nzidx.size > 1:
+        cur, prv = nzidx[1:], nzidx[:-1]
+        same[cur] = (leading[cur] == leading[prv]) & (length[cur] == length[prv])
+    # Token layout per xor: zero -> ('0',1); reuse -> ('10',2)+(payload,len);
+    # new window -> (13-bit header,13)+(payload,len).
+    n_tok = np.where(nz, 2, 1)
+    off = np.cumsum(n_tok) - n_tok + 2  # +2 for the two header tokens
+    total = 2 + int(n_tok.sum())
+    vals = np.zeros(total, dtype=np.uint64)
+    bits = np.zeros(total, dtype=np.int64)
+    vals[:2], bits[:2] = head_v, head_b
+    # control / header token
+    ctrl_v = np.where(
+        nz,
+        np.where(
+            same,
+            np.uint64(0b10),
+            (np.uint64(0b11) << np.uint64(11))
+            | (leading.astype(np.uint64) << np.uint64(6))
+            | np.where(nz, length - 1, 0).astype(np.uint64),
+        ),
+        np.uint64(0),
+    )
+    ctrl_b = np.where(nz, np.where(same, 2, 13), 1)
+    vals[off] = ctrl_v
+    bits[off] = ctrl_b
+    # payload token (nonzero xors only)
+    pay_pos = off[nz] + 1
+    vals[pay_pos] = xors[nz] >> trailing[nz].astype(np.uint64)
+    bits[pay_pos] = length[nz]
+    return _pack_tokens(vals, bits)
+
+
+def compress_values_greedy(values: np.ndarray) -> bytes:
+    """The paper's greedy containment window-reuse policy (reuse while the
+    previous window still covers the xor's meaningful bits). Sequential by
+    nature — kept as the readable reference; decodes with the same decoder
+    and is used to fuzz encoder-policy equivalence after round-trip."""
     fbits = np.asarray(values, dtype=np.float64).view(np.uint64)
     n = len(fbits)
     if n == 0:
@@ -231,18 +313,15 @@ def compress_values(values: np.ndarray) -> bytes:
     )
 
 
-def decompress_values(blob: bytes) -> np.ndarray:
-    r = _BitReader(blob)
-    n = r.read(32)
-    out = np.empty(n, dtype=np.uint64)
-    if n == 0:
-        return out.view(np.float64)
-    prev = r.read(64)
-    out[0] = prev
-    prev_leading, prev_length = 65, 0
-    for i in range(1, n):
+def _finish_values_scalar(
+    r: _BitReader, out: np.ndarray, base: int, start: int, n: int,
+    prev: int, prev_leading: int, prev_length: int,
+) -> None:
+    """Token loop shared by the scalar decoder and the batch decoder's
+    narrow-tail fallback (see _finish_timestamps_scalar)."""
+    for i in range(start, n):
         if r.read(1) == 0:
-            out[i] = prev
+            out[base + i] = prev
             continue
         if r.read(1) == 0:
             shift = 64 - prev_leading - prev_length
@@ -253,8 +332,226 @@ def decompress_values(blob: bytes) -> np.ndarray:
             shift = 64 - prev_leading - prev_length
             xor = r.read(prev_length) << shift
         prev ^= xor
-        out[i] = prev
+        out[base + i] = prev
+
+
+def decompress_values(blob: bytes) -> np.ndarray:
+    r = _BitReader(blob)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    prev = r.read(64)
+    out[0] = prev
+    _finish_values_scalar(r, out, 0, 1, n, prev, 65, 0)
     return out.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch decoders (the read path).
+#
+# Variable-width prefix codes are inherently sequential WITHIN one stream —
+# token i+1's position depends on token i — but a partition of a compressed
+# tier carries thousands of per-key blobs, so the decoder vectorizes ACROSS
+# streams instead: every blob in the batch advances one token per "round",
+# and each round is a handful of NumPy gathers over all still-active rows.
+# Work is O(total tokens) with NumPy-width = #active rows, replacing the
+# per-bit Python loop (~0.7 s per 100k points) that dominated the read path.
+# Rounds = longest series in the batch, so per-key series of similar length
+# (the rollup-tier shape) decode at near-full vector width throughout.
+# ---------------------------------------------------------------------------
+def _concat_bits(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """All blobs as one 0/1 uint8 bit array (+tail padding so classification
+    reads never index out of bounds) and each blob's starting bit offset."""
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+    data = np.frombuffer(b"".join(blobs) + b"\x00" * 16, dtype=np.uint8)
+    bits = np.unpackbits(data)
+    starts = (np.cumsum(lens) - lens) * 8
+    return bits, starts
+
+
+def _read_fixed(bits: np.ndarray, pos: np.ndarray, width: int) -> np.ndarray:
+    """Read a ``width``-bit big-endian uint at each position (vectorized)."""
+    if pos.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    chunk = bits[pos[:, None] + np.arange(width)].astype(np.uint64)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(width - 1, -1, -1, dtype=np.uint64)
+    )
+    return (chunk * weights).sum(axis=1, dtype=np.uint64)
+
+
+def _read_var(bits: np.ndarray, pos: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Per-row variable-width big-endian reads (widths in 1..64)."""
+    if pos.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    k = np.arange(int(widths.max()))
+    chunk = bits[pos[:, None] + k].astype(np.uint64)
+    active = k[None, :] < widths[:, None]
+    shift = np.where(active, widths[:, None] - 1 - k, 0).astype(np.uint64)
+    return np.where(active, chunk << shift, np.uint64(0)).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+_TS_PREFIX = np.array([1, 2, 3, 4, 4], dtype=np.int64)
+_TS_WIDTH = np.array([0, 7, 9, 12, 64], dtype=np.int64)
+
+
+def decompress_timestamps_batch(
+    blobs: list[bytes],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode many timestamp blobs in lockstep.
+
+    Returns (values, lengths): all series concatenated in blob order as
+    int64, plus the per-blob point count."""
+    R = len(blobs)
+    if R == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    bits, pos = _concat_bits(blobs)
+    n = _read_fixed(bits, pos, 32).astype(np.int64)
+    pos = pos + 32
+    out_base = np.cumsum(n) - n
+    out = np.empty(int(n.sum()), dtype=np.int64)
+    prev = np.zeros(R, dtype=np.int64)
+    delta = np.zeros(R, dtype=np.int64)
+
+    has1 = n >= 1
+    first = _read_fixed(bits, pos[has1], 64).view(np.int64)
+    prev[has1] = first
+    out[out_base[has1]] = first
+    pos[has1] += 64
+
+    has2 = n >= 2
+    d0 = _read_fixed(bits, pos[has2], 64).view(np.int64)
+    delta[has2] = d0
+    prev[has2] += d0
+    out[out_base[has2] + 1] = prev[has2]
+    pos[has2] += 64
+
+    act = np.flatnonzero(n > 2)
+    pos_a, prev_a, delta_a = pos[act], prev[act], delta[act]
+    n_a, base_a = n[act], out_base[act]
+    cnt_a = np.full(act.size, 2, dtype=np.int64)
+    while pos_a.size:
+        if pos_a.size <= 8 and (n_a - cnt_a).max() > 4096:
+            # Lockstep width has collapsed to a few long series (skew tail);
+            # per-round NumPy overhead now exceeds the scalar loop's cost.
+            packed = np.packbits(bits).tobytes()
+            for j in range(pos_a.size):
+                r = _BitReader(packed)
+                r._pos = int(pos_a[j])
+                _finish_timestamps_scalar(
+                    r, out, int(base_a[j]), int(cnt_a[j]), int(n_a[j]),
+                    int(prev_a[j]), int(delta_a[j]),
+                )
+            break
+        b0, b1 = bits[pos_a], bits[pos_a + 1]
+        b2, b3 = bits[pos_a + 2], bits[pos_a + 3]
+        # class k reads only the k+1 leading prefix bits that belong to the
+        # token; later conditions are masked out, so the (possibly
+        # out-of-token) b1..b3 gathers are harmless.
+        cls = np.where(
+            b0 == 0,
+            0,
+            np.where(b1 == 0, 1, np.where(b2 == 0, 2, np.where(b3 == 0, 3, 4))),
+        )
+        prefix = _TS_PREFIX[cls]
+        width = _TS_WIDTH[cls]
+        dod = np.zeros(pos_a.size, dtype=np.int64)
+        nz = cls > 0
+        if nz.any():
+            w = width[nz]
+            v = _read_var(bits, (pos_a + prefix)[nz], w)
+            full = w == 64
+            small = v.astype(np.int64)  # < 2^63 whenever w < 64
+            signed = np.where(
+                full,
+                v.view(np.int64),
+                small
+                - np.where(
+                    (small >> np.maximum(w - 1, 0)) & 1 == 1,
+                    np.left_shift(np.int64(1), np.minimum(w, 63)),
+                    0,
+                ),
+            )
+            dod[nz] = signed
+        delta_a = delta_a + dod
+        prev_a = prev_a + delta_a
+        out[base_a + cnt_a] = prev_a
+        cnt_a += 1
+        pos_a = pos_a + prefix + width
+        alive = cnt_a < n_a
+        if not alive.all():
+            pos_a, prev_a, delta_a = pos_a[alive], prev_a[alive], delta_a[alive]
+            n_a, base_a, cnt_a = n_a[alive], base_a[alive], cnt_a[alive]
+    return out, n
+
+
+def decompress_values_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode many value blobs in lockstep.
+
+    Returns (values, lengths): all series concatenated in blob order as
+    float64 (bit-exact), plus the per-blob point count."""
+    R = len(blobs)
+    if R == 0:
+        return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64)
+    bits, pos = _concat_bits(blobs)
+    n = _read_fixed(bits, pos, 32).astype(np.int64)
+    pos = pos + 32
+    out_base = np.cumsum(n) - n
+    out = np.empty(int(n.sum()), dtype=np.uint64)
+    prev = np.zeros(R, dtype=np.uint64)
+
+    has1 = n >= 1
+    first = _read_fixed(bits, pos[has1], 64)
+    prev[has1] = first
+    out[out_base[has1]] = first
+    pos[has1] += 64
+
+    act = np.flatnonzero(n > 1)
+    pos_a, prev_a = pos[act], prev[act]
+    n_a, base_a = n[act], out_base[act]
+    cnt_a = np.full(act.size, 1, dtype=np.int64)
+    lead_a = np.full(act.size, 65, dtype=np.int64)
+    len_a = np.zeros(act.size, dtype=np.int64)
+    while pos_a.size:
+        if pos_a.size <= 8 and (n_a - cnt_a).max() > 4096:
+            packed = np.packbits(bits).tobytes()
+            for j in range(pos_a.size):
+                r = _BitReader(packed)
+                r._pos = int(pos_a[j])
+                _finish_values_scalar(
+                    r, out, int(base_a[j]), int(cnt_a[j]), int(n_a[j]),
+                    int(prev_a[j]), int(lead_a[j]), int(len_a[j]),
+                )
+            break
+        b0, b1 = bits[pos_a], bits[pos_a + 1]
+        zero = b0 == 0
+        new_win = (b0 == 1) & (b1 == 1)
+        if new_win.any():
+            lead_a[new_win] = _read_fixed(bits, (pos_a + 2)[new_win], 5).astype(
+                np.int64
+            )
+            len_a[new_win] = (
+                _read_fixed(bits, (pos_a + 7)[new_win], 6).astype(np.int64) + 1
+            )
+        prefix = np.where(zero, 1, np.where(new_win, 13, 2))
+        width = np.where(zero, 0, len_a)
+        nz = ~zero
+        if nz.any():
+            v = _read_var(bits, (pos_a + prefix)[nz], width[nz])
+            shift = (64 - lead_a[nz] - len_a[nz]).astype(np.uint64)
+            prev_a[nz] ^= v << shift
+        out[base_a + cnt_a] = prev_a
+        cnt_a += 1
+        pos_a = pos_a + prefix + width
+        alive = cnt_a < n_a
+        if not alive.all():
+            pos_a, prev_a, cnt_a = pos_a[alive], prev_a[alive], cnt_a[alive]
+            n_a, base_a = n_a[alive], base_a[alive]
+            lead_a, len_a = lead_a[alive], len_a[alive]
+    return out.view(np.float64), n
 
 
 # ---------------------------------------------------------------------------
@@ -342,22 +639,20 @@ def decompress_series(
 
     def run(batches):
         for pdf in batches:
-            frames = []
-            key_series = {c: pdf[c] for c in key_cols}
-            for i in range(len(pdf)):
-                ts = decompress_timestamps(pdf["ts_gorilla"].iloc[i])
-                vals = decompress_values(pdf["val_gorilla"].iloc[i])
-                frame = pd.DataFrame(
-                    {
-                        ts_col: pd.to_datetime(ts, unit="s"),
-                        value_col: vals,
-                    }
-                )
-                for c in key_cols:
-                    frame[c] = key_series[c].iloc[i]
-                frames.append(frame[[*key_cols, ts_col, value_col]])
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if pdf.empty:
+                continue
+            ts, n_ts = decompress_timestamps_batch(pdf["ts_gorilla"].tolist())
+            vals, _ = decompress_values_batch(pdf["val_gorilla"].tolist())
+            rep = np.repeat(np.arange(len(pdf)), n_ts)
+            frame = pd.DataFrame(
+                {
+                    ts_col: pd.to_datetime(ts, unit="s"),
+                    value_col: vals,
+                }
+            )
+            for c in key_cols:
+                frame[c] = pdf[c].to_numpy()[rep]
+            yield frame[[*key_cols, ts_col, value_col]]
 
     return df.mapInPandas(run, schema)
 

@@ -139,9 +139,13 @@ def cosine_topk_gemm(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if qpdf.empty:
+        raise ValueError("cosine_topk_gemm: query set is empty")
     qids = qpdf[query_id_col].to_numpy()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # Clamp norms so zero vectors score 0.0 instead of NaN (NaN would rank
+    # inconsistently between numpy's local top-k and Spark's final window).
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
 
     in_fields = {f.name: f for f in candidates.schema.fields}
     q_fields = {f.name: f for f in queries.schema.fields}
@@ -159,7 +163,7 @@ def cosine_topk_gemm(
                 continue
             ids = pdf[id_col].to_numpy()
             C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
             sims = Cn @ Qn.T  # (B, Q)
             kk = min(k, sims.shape[0])
             out_q, out_id, out_c = [], [], []

@@ -32,10 +32,11 @@ def streaming_rollup_raw(
     v = F.col(value_col)
     ts = F.col(ts_col)
     return (
-        stream.withWatermark(ts_col, watermark_delay)
+        stream.where(v.isNotNull())
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(*key_cols, F.window(ts_col, width).alias("_w"))
         .agg(
-            F.count(F.lit(1)).alias("n_points"),
+            F.count(v).alias("n_points"),
             F.sum(v).alias("sum_v"),
             F.min(v).alias("min_v"),
             F.max(v).alias("max_v"),

@@ -103,6 +103,71 @@ def test_timestamp_dod_bucket_boundaries():
     assert np.array_equal(decompress_timestamps(compress_timestamps(ts)), ts)
 
 
+def test_batch_decoders_match_scalar_fuzz():
+    """Lockstep batch decoders == scalar reference, bit for bit, across both
+    encoder policies (vectorized equal-window + greedy containment), empty/
+    1/2-point edge blobs, and one long series that exercises the batch
+    decoder's narrow-tail scalar fallback."""
+    from streamchange_spark.operators.gorilla import (
+        compress_timestamps,
+        compress_values,
+        compress_values_greedy,
+        decompress_timestamps,
+        decompress_timestamps_batch,
+        decompress_values,
+        decompress_values_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    ts_blobs, val_blobs = [], []
+    for trial in range(120):
+        n = int(rng.randint(0, 60))
+        ts = np.cumsum(rng.randint(-5000, 5000, n)).astype(np.int64)
+        vals = [
+            rng.randn(n),
+            np.round(np.cumsum(rng.randn(n)), 3),
+            np.repeat(rng.randn(max(n // 3, 1)), 3)[:n].astype(float),
+            rng.choice([0.0, 1.5, np.inf, -np.inf, np.nan, 1e300, 5e-324], n),
+        ][trial % 4]
+        enc = compress_values if trial % 2 else compress_values_greedy
+        ts_blobs.append(compress_timestamps(ts))
+        val_blobs.append(enc(np.asarray(vals, dtype=np.float64)))
+    n_long = 6000
+    ts_blobs.append(
+        compress_timestamps(np.cumsum(rng.randint(1, 3600, n_long)).astype(np.int64))
+    )
+    val_blobs.append(compress_values(np.round(np.cumsum(rng.randn(n_long)), 3)))
+
+    bt, nt = decompress_timestamps_batch(ts_blobs)
+    bv, nv = decompress_values_batch(val_blobs)
+    off = 0
+    for i, blob in enumerate(ts_blobs):
+        ref = decompress_timestamps(blob)
+        assert np.array_equal(bt[off : off + nt[i]], ref), f"ts blob {i}"
+        off += nt[i]
+    off = 0
+    for i, blob in enumerate(val_blobs):
+        ref = decompress_values(blob)
+        assert np.array_equal(
+            bv[off : off + nv[i]].view(np.uint64), ref.view(np.uint64)
+        ), f"val blob {i}"
+        off += nv[i]
+
+
+def test_vectorized_encoder_not_larger_than_greedy_on_smooth_series():
+    """The equal-window policy should compress typical rollup series at
+    least as well as greedy containment (narrower re-declared windows beat
+    wide-window reuse on rounded-value streams)."""
+    from streamchange_spark.operators.gorilla import (
+        compress_values,
+        compress_values_greedy,
+    )
+
+    rng = np.random.RandomState(12)
+    smooth = np.round(np.cumsum(rng.randn(20000)), 3)
+    assert len(compress_values(smooth)) <= len(compress_values_greedy(smooth))
+
+
 def test_random_walk_fuzz_roundtrip():
     from streamchange_spark.operators.gorilla import (
         compress_timestamps,

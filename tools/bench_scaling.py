@@ -158,7 +158,12 @@ def main():
 
     results = []
     for cpus in levels:
-        r = run_level(path, cpus)
+        try:
+            r = run_level(path, cpus)
+        finally:
+            # tmpfs shuffle dirs are outside workdir's cleanup path; leaving
+            # spill in /dev/shm across runs would eat shared memory.
+            shutil.rmtree(f"/dev/shm/spark-local-{cpus}", ignore_errors=True)
         results.append(r)
         print(json.dumps(r))
 
