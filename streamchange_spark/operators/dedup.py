@@ -24,6 +24,8 @@ scale path (one JVM hash vs md5's full digest).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,6 +96,77 @@ def shingle_rows(
     )
 
 
+# Java-regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python's re.ASCII \s is the
+# same set, so the local shingler splits byte-identically to shingle_rows.
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def shingle_rows_local(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, one per n-gram POSITION — shuffle-free twin of
+    :func:`shingle_rows`.
+
+    ``shingle_rows``'s window-``lead`` plan shuffles the FULL token stream
+    (~10x the corpus row count) across the wire just to pair each token with
+    its successors — row-local work. This variant computes n-grams inside
+    ``mapInPandas``: tokens of one Arrow batch are flattened to one object
+    array, the n aligned slices are concatenated elementwise, and a
+    position mask drops window spans that cross document boundaries. No
+    shuffle, no per-row Python function — one C-level pass per batch. At
+    100 TB the token shuffle is the dominant cost, so this is the scale
+    default; the window plan is kept for comparison (see
+    tools/bench_shingle.py numbers in BASELINE.md)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = StructType([id_field, StructField("shingle", StringType(), True)])
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = [
+                [t for t in _WS.split(s.lower()) if t]
+                for s in pdf[text_col].fillna("").astype(str)
+            ]
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.empty(total, dtype=object)
+            off = 0
+            for t in toks:
+                flat[off : off + len(t)] = t
+                off += len(t)
+            ids_rep = np.repeat(pdf[id_col].to_numpy(), lens)
+            starts = np.cumsum(lens) - lens
+            pos = np.arange(total) - np.repeat(starts, lens)
+            # n-gram starting at flat[i] is valid iff it stays inside its doc
+            valid = (pos + n) <= np.repeat(lens, lens)
+            head = total - (n - 1)
+            if head <= 0:
+                continue
+            sh = flat[:head]
+            for i in range(1, n):
+                sh = sh + " "
+                sh = sh + flat[i : head + i]
+            keep = valid[:head]
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {id_col: ids_rep[:head][keep], "shingle": sh[keep]}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def _shingler(name: str):
+    return {"window": shingle_rows, "local": shingle_rows_local}[name]
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -120,13 +193,16 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_size: int = 3,
     hash_fn: str = "md5",
+    shingler: str = "local",
 ) -> DataFrame:
     """(id, mh_0 .. mh_{k-1}): k-permutation minhash of the shingle set.
     Each permutation i hashes ``shingle || '#i'``; ``min`` is insensitive to
     duplicates, so positional shingle rows feed a plain hash aggregate with
     map-side partial min — one shuffle of k longs per doc, whole plan in
-    codegen (no array lambdas, no distinct)."""
-    sh = shingle_rows(df, id_col, text_col, shingle_size)
+    codegen (no array lambdas, no distinct). ``shingler='local'`` computes
+    n-grams row-locally (no token shuffle — the 100 TB default);
+    ``'window'`` is the all-JVM explode+lead plan."""
+    sh = _shingler(shingler)(df, id_col, text_col, shingle_size)
     hashes = [
         _hash64(F.concat(F.col("shingle"), F.lit(f"#{i}")), hash_fn).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -146,13 +222,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_size: int = 3,
     hash_fn: str = "md5",
+    shingler: str = "local",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that collide in >= 1 LSH
     band. rows_per_band = num_hashes / bands; collision threshold ~
     (1/bands)^(1/rows_per_band)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, hash_fn)
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, hash_fn, shingler
+    )
     band_rows = []
     for b in range(bands):
         members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -276,6 +355,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    shingler: str = "local",
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with n-gram-set Jaccard >= threshold.
     Scale path: explode distinct shingles to an inverted index, self-join on
@@ -285,7 +365,7 @@ def ngram_jaccard_pairs(
     # agg), set sizes re-attached with a join on id (sizes is one row per
     # doc — AQE broadcasts it when small, shuffle-joins at scale). The two
     # self-join sides are identical subplans — ReuseExchange evaluates once.
-    distinct_sh = shingle_rows(df, id_col, text_col, n).groupBy(id_col, "shingle").agg(
+    distinct_sh = _shingler(shingler)(df, id_col, text_col, n).groupBy(id_col, "shingle").agg(
         F.lit(1).alias("_one")
     )
     sizes = distinct_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))

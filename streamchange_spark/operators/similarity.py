@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,70 +54,139 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.normal(0.0, 1.0, (n_planes, dim))
 
 
-def signature_col(vec_col: str, planes: np.ndarray) -> Column:
-    """H-bit sign signature of a vector column vs fixed hyperplanes; each dot
-    product is a ``zip_with``/``aggregate`` fold over literal arrays."""
-    sig = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        lits = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), lits, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig.bitwiseOR(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
-        )
-    return sig
+def hyperplane_band_keys(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bucket_bits: int,
+    n_bands: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, band_key) rows — the LSH bucketing stage.
+
+    All sign bits of one Arrow batch come from a single BLAS matmul against
+    the (dim x n_planes) plane matrix (the pattern proven in
+    ``cosine_topk_gemm``); band keys are packed with NumPy shifts and the
+    band fan-out happens inside the same UDF, so the shuffle carries only
+    (id, band, key) longs. Planes are derived deterministically from
+    (seed, dim) inside each worker — no driver-side ``first()`` probe, dim
+    is read off the batch itself."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    assert n_planes >= bucket_bits * n_bands
+    assert bucket_bits <= 63
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            id_field,
+            StructField("band", IntegerType(), False),
+            StructField("band_key", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        planes_t = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes_t is None or planes_t.shape[0] != V.shape[1]:
+                planes_t = _hyperplanes(V.shape[1], n_planes, seed).T
+            S = (V @ planes_t) > 0  # (B, n_planes) sign bits
+            keys = np.zeros((len(V), n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                base = b * bucket_bits
+                for j in range(bucket_bits):
+                    keys[:, b] |= S[:, base + j].astype(np.int64) << j
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(V)),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def _cosine_pairs_udf(vec_a: Column, vec_b: Column) -> Column:
+    """Vectorized cosine of two array columns (one NumPy pass per Arrow
+    batch — replaces the interpreted ``aggregate``/``zip_with`` folds in
+    the verification hot path)."""
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-30))
+
+    return cos(vec_a, vec_b)
 
 
 def lsh_ann_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
-    bucket_bits: int = 8,
-    n_bands: int = 2,
+    n_planes: int = 64,
+    bucket_bits: int = 16,
+    n_bands: int = 4,
     threshold: float = 0.8,
     seed: int = 7,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) pairs above threshold, candidates limited to
-    signature-bucket collisions (banded prefixes of the sign signature)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    sig = df.select(
-        F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("_sig")
+    """(id_a, id_b, cosine) pairs above threshold; candidates limited to
+    sign-signature band collisions.
+
+    Scale shape: the bucketing stage shuffles only (id, band, key) longs;
+    the self-join runs on 2^bucket_bits buckets per band (default 65k — at
+    N vectors expected occupancy N/2^bits per band, so bucket_bits should
+    grow with log2(N) to keep within-bucket pairing linear); vectors are
+    joined back only for the surviving candidate pairs and verified with a
+    vectorized batch cosine. ``max_bucket_size`` drops pathological
+    mega-buckets (near-duplicate floods / zero vectors) to bound worst-case
+    pair counts; dropped buckets mean lost recall, not wrong pairs, since
+    every emitted pair is exactly verified. ``dim`` is accepted for API
+    compatibility but unused (planes are derived from the observed batch
+    dim inside the workers)."""
+    keys = hyperplane_band_keys(
+        df, id_col, vec_col, n_planes, bucket_bits, n_bands, seed
     )
-    assert n_planes >= bucket_bits * n_bands
-    bucketed = None
-    for band in range(n_bands):
-        part = sig.select(
-            id_col,
-            vec_col,
-            F.lit(band).alias("_band"),
-            F.shiftright(F.col("_sig"), band * bucket_bits)
-            .bitwiseAND(F.lit((1 << bucket_bits) - 1))
-            .alias("_bucket"),
-        )
-        bucketed = part if bucketed is None else bucketed.unionAll(part)
-    l, r = bucketed.alias("l"), bucketed.alias("r")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_key")
+        keys = keys.withColumn("_bsz", F.count(F.lit(1)).over(w)).where(
+            F.col("_bsz") <= max_bucket_size
+        ).drop("_bsz")
+    l, r = keys.alias("l"), keys.alias("r")
     cand = (
         l.join(
             r,
-            (F.col("l._band") == F.col("r._band"))
-            & (F.col("l._bucket") == F.col("r._bucket"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            cosine_col(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
         )
         .distinct()
     )
-    return cand.where(F.col("cosine") >= threshold)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_pairs_udf(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold)
 
 
 def cosine_topk_gemm(

@@ -62,6 +62,27 @@ def test_minhash_jaccard_behaviour(spark):
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_local_shingler_matches_window_shingler(spark, docs):
+    """The shuffle-free mapInPandas shingler and the explode+window plan
+    must emit identical (id, shingle) multisets — incl. null/short texts
+    and whitespace runs."""
+    from streamchange_spark.operators.dedup import shingle_rows, shingle_rows_local
+
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [9001, 9002, 9003, 9004],
+                "text": [None, "  one  two\tthree\nfour ", "a b", ""],
+            }
+        )
+    )
+    df = docs.select(F.col("doc_id").cast("long"), "text").unionAll(extra)
+    a = shingle_rows(df, "doc_id", "text", 3).groupBy("doc_id", "shingle").count()
+    b = shingle_rows_local(df, "doc_id", "text", 3).groupBy("doc_id", "shingle").count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_minhash_signature_is_min_over_shingles(spark):
     df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
     sig = minhash_signatures(df, "doc_id", "text", num_hashes=2, shingle_size=2).toPandas()
@@ -145,6 +166,43 @@ def test_lsh_ann_recall(spark, embs):
     if exact_pairs:
         recall = len(approx_pairs) / len(exact_pairs)
         assert recall >= 0.5, recall
+
+
+def test_lsh_band_keys_deterministic_and_recall_at_k(spark, embs):
+    """Scale-default banding (64 planes, 16-bit keys, 4 bands): band keys
+    must be deterministic across runs, and the LSH candidate set must
+    recover a healthy fraction of the exact top-k neighbourhood pairs
+    produced by the cosine_topk_gemm oracle."""
+    from streamchange_spark.operators import cosine_topk_gemm
+    from streamchange_spark.operators.similarity import (
+        hyperplane_band_keys,
+        lsh_ann_pairs,
+    )
+
+    k1 = hyperplane_band_keys(embs, "vec_id", "embedding", 64, 16, 4, seed=7)
+    k2 = hyperplane_band_keys(embs, "vec_id", "embedding", 64, 16, 4, seed=7)
+    assert k1.exceptAll(k2).count() == 0
+
+    # exact top-3 per query over the whole table (excluding self-pairs)
+    queries = embs.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).limit(30)
+    topk = cosine_topk_gemm(embs, queries, k=4).where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    gt = topk.where(F.col("cosine") >= 0.5).toPandas()
+    truth = {
+        (min(a, b), max(a, b))
+        for a, b in zip(gt["query_id"], gt["vec_id"])
+    }
+    got = lsh_ann_pairs(
+        embs, "vec_id", "embedding", n_planes=64, bucket_bits=8, n_bands=8,
+        threshold=0.5,
+    ).toPandas()
+    found = {(min(a, b), max(a, b)) for a, b in zip(got["id_a"], got["id_b"])}
+    if truth:
+        recall = len(truth & found) / len(truth)
+        assert recall >= 0.5, (recall, len(truth))
 
 
 def test_lang_id_and_quality(spark):
