@@ -124,26 +124,79 @@ class Capa:
             ks = np.arange(1, maxsl + 1, dtype=float)
             os = np.empty(n + 1)  # os[j] = opt saving after j points
             os[0] = 0
-            for t in range(n):
-                m = min(t + 1, maxsl)
-                base_saving = os[t]
-                collective_saving = 0
-                point_saving = 0
-                cpt = 0
-                if m >= minsl:
-                    v_rev = values[t - m + 1 : t + 1][::-1]
-                    sums = np.cumsum(v_rev)
-                    csavings = (sums**2 / ks[:m] - cpen)[minsl - 1 :]
-                    opt_savings = os[t + 1 - m : t - minsl + 2][::-1]
-                    candidate_savings = opt_savings + csavings
-                    best = int(np.argmax(candidate_savings))
-                    cpt = minsl + best
-                    collective_saving = candidate_savings[best]
-                    point_saving = base_saving + self.psaving.opt(values[t])
-                savings = [base_saving, point_saving, collective_saving]
+            steady0 = maxsl - 1  # first t with a full window (m == maxsl)
+            for t in range(min(n, minsl - 1)):
+                # sub-minsl warm-up: base saving only
+                savings = [os[t], 0, 0]
                 best_kind = int(np.argmax(savings))
                 os[t + 1] = savings[best_kind]
-                starts[t] = (cpt - 1) if best_kind == 2 else (0 if best_kind == 1 else -1)
+                starts[t] = 0 if best_kind == 1 else -1
+            if n > minsl - 1:
+                # Growth phase batched like pelt.py (clipped gather +
+                # axis-1 cumsum, bit-identical; DP feedback per-row).
+                ppen = self.psaving.penalty()
+                grow_end = min(n, steady0)
+                bs = minsl - 1
+                while bs < grow_end:
+                    # bound blk * mmax = blk * (bs + blk) ~ 1M doubles
+                    blk = max(64, int((-bs + (bs * bs + (1 << 22)) ** 0.5) // 2))
+                    be = min(bs + blk, grow_end)
+                    mmax = be
+                    idx = np.arange(bs, be)[:, None] - np.arange(mmax)[None, :]
+                    w_rev = values[np.maximum(idx, 0)]
+                    cs = np.cumsum(w_rev, axis=1)
+                    csav_blk = cs**2 / ks[None, :mmax] - cpen
+                    popt_blk = values[bs:be] ** 2 - ppen
+                    for t in range(bs, be):
+                        m = t + 1
+                        base_saving = os[t]
+                        opt_savings = os[t + 1 - m : t - minsl + 2][::-1]
+                        candidate_savings = (
+                            opt_savings + csav_blk[t - bs, minsl - 1 : m]
+                        )
+                        best = int(np.argmax(candidate_savings))
+                        cpt = minsl + best
+                        collective_saving = candidate_savings[best]
+                        point_saving = base_saving + popt_blk[t - bs]
+                        savings = [base_saving, point_saving, collective_saving]
+                        best_kind = int(np.argmax(savings))
+                        os[t + 1] = savings[best_kind]
+                        starts[t] = (
+                            (cpt - 1) if best_kind == 2 else (0 if best_kind == 1 else -1)
+                        )
+                    bs = be
+            if n > steady0:
+                # Steady state (full window): per-block 2-D cumsum over the
+                # strided reversed-window view — row t is the exact v_rev of
+                # the per-t path, axis-1 cumsum is the same sequential
+                # accumulation, saving algebra elementwise -> bit-identical.
+                # See pelt.py for the same structure.
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                ppen = self.psaving.penalty()
+                wins = sliding_window_view(values, maxsl)
+                blk = max(1, (1 << 20) // maxsl)
+                for bs in range(steady0, n, blk):
+                    be = min(bs + blk, n)
+                    w_rev = wins[bs - maxsl + 1 : be - maxsl + 1][:, ::-1]
+                    cs = np.cumsum(w_rev, axis=1)
+                    csav_blk = (cs**2 / ks[None, :maxsl] - cpen)[:, minsl - 1 :]
+                    popt_blk = values[bs:be] ** 2 - ppen
+                    for j in range(be - bs):
+                        t = bs + j
+                        base_saving = os[t]
+                        opt_savings = os[t + 1 - maxsl : t - minsl + 2][::-1]
+                        candidate_savings = opt_savings + csav_blk[j]
+                        best = int(np.argmax(candidate_savings))
+                        cpt = minsl + best
+                        collective_saving = candidate_savings[best]
+                        point_saving = base_saving + popt_blk[j]
+                        savings = [base_saving, point_saving, collective_saving]
+                        best_kind = int(np.argmax(savings))
+                        os[t + 1] = savings[best_kind]
+                        starts[t] = (
+                            (cpt - 1) if best_kind == 2 else (0 if best_kind == 1 else -1)
+                        )
             if n:
                 self.anomaly_start = int(starts[-1])
             self.window.load(values[max(0, n - maxsl) :])

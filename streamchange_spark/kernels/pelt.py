@@ -140,24 +140,72 @@ class Pelt:
             oc = np.empty(n + 1)
             oc[0] = -pen
 
-            for t in range(n):
-                m = min(t + 1, maxsl)
-                v_rev = values[t - m + 1 : t + 1][::-1]
-                if t + 1 >= minsl:
-                    sums = np.cumsum(v_rev)
-                    sums2 = np.cumsum(v_rev**2)
-                    costs = (sums2 - sums**2 / ks[:m]) + pen
-                    # opt costs newest-first, skipping the minsl-1 newest:
-                    # oc[t-minsl+1], oc[t-minsl], ..., oc[t+1-m]
-                    opt_costs = oc[t + 1 - m : t - minsl + 2][::-1]
-                    candidate_costs = opt_costs + costs[minsl - 1 :]
-                    best = int(np.argmin(candidate_costs))
-                    self.last_cpt = minsl + best
-                    oc[t + 1] = candidate_costs[best]
-                else:
-                    oc[t + 1] = oc[t] + self.cost.opt(v_rev)
-                    self.last_cpt = 0
-                last_cpts[t] = self.last_cpt
+            steady0 = maxsl - 1  # first t with a full window (m == maxsl)
+            for t in range(min(n, minsl - 1)):
+                # sub-minsl warm-up: no candidates yet
+                v_rev = values[: t + 1][::-1]
+                oc[t + 1] = oc[t] + self.cost.opt(v_rev)
+                self.last_cpt = 0
+                last_cpts[t] = 0
+            if n > minsl - 1:
+                # Growth phase (m = t+1 < maxsl): every window ends at t and
+                # reaches back to 0, so a block of rows shares one clipped
+                # gather values[t-k] (garbage where k > t is never read —
+                # cumsum at position k depends only on columns <= k, and row
+                # t consumes exactly its first m entries). Same sequential
+                # axis-1 cumsum + elementwise cost algebra as the per-t
+                # path -> bit-identical; the DP feedback stays per-row.
+                grow_end = min(n, steady0)
+                bs = minsl - 1
+                while bs < grow_end:
+                    # bound blk * mmax = blk * (bs + blk) ~ 1M doubles
+                    blk = max(64, int((-bs + (bs * bs + (1 << 22)) ** 0.5) // 2))
+                    be = min(bs + blk, grow_end)
+                    mmax = be  # longest window in the block (row be-1)
+                    idx = np.arange(bs, be)[:, None] - np.arange(mmax)[None, :]
+                    w_rev = values[np.maximum(idx, 0)]
+                    cs = np.cumsum(w_rev, axis=1)
+                    cs2 = np.cumsum(w_rev**2, axis=1)
+                    costs_blk = (cs2 - cs**2 / ks[None, :mmax]) + pen
+                    for t in range(bs, be):
+                        m = t + 1
+                        # opt costs newest-first, skipping the minsl-1 newest:
+                        # oc[t-minsl+1], oc[t-minsl], ..., oc[t+1-m]
+                        cand = (
+                            oc[t + 1 - m : t - minsl + 2][::-1]
+                            + costs_blk[t - bs, minsl - 1 : m]
+                        )
+                        best = int(np.argmin(cand))
+                        last_cpts[t] = minsl + best
+                        oc[t + 1] = cand[best]
+                    bs = be
+                self.last_cpt = int(last_cpts[min(n, steady0) - 1])
+            if n > steady0:
+                # Steady state: every window has length maxsl, so the
+                # per-t reversed-window cumsums become one 2-D cumsum over a
+                # strided view per BLOCK of t's (row t == the exact v_rev of
+                # the per-t path; axis-1 cumsum is the same sequential
+                # accumulation, elementwise cost algebra unchanged ->
+                # bit-identical). Only the DP feedback (oc slice + argmin)
+                # stays per-row: 2 small NumPy calls instead of ~8.
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                wins = sliding_window_view(values, maxsl)
+                blk = max(1, (1 << 20) // maxsl)
+                for bs in range(steady0, n, blk):
+                    be = min(bs + blk, n)
+                    w_rev = wins[bs - maxsl + 1 : be - maxsl + 1][:, ::-1]
+                    cs = np.cumsum(w_rev, axis=1)
+                    cs2 = np.cumsum(w_rev**2, axis=1)
+                    costs_blk = (cs2 - cs**2 / ks[None, :maxsl]) + pen
+                    costs_tail = costs_blk[:, minsl - 1 :]
+                    for j in range(be - bs):
+                        t = bs + j
+                        cand = oc[t + 1 - maxsl : t - minsl + 2][::-1] + costs_tail[j]
+                        best = int(np.argmin(cand))
+                        last_cpts[t] = minsl + best
+                        oc[t + 1] = cand[best]
+                self.last_cpt = int(last_cpts[n - 1])
             # leave streaming state consistent with a loop replay
             self.window.load(values[max(0, n - maxsl) :])
             self.opt_cost.load(oc[max(0, n + 1 - maxsl) :])
