@@ -101,3 +101,179 @@ def streaming_window_segmentor(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _streaming_per_update(
+    df: DataFrame,
+    detector_factory: Callable,
+    emit: Callable,
+    out_schema: StructType,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    watermark: str,
+    max_history: int,
+) -> DataFrame:
+    """Shared per-key stateful scan: pickled kernel detector + bounded
+    replay-time buffer in group state; ``emit(detector, key, ts, times)``
+    returns 0..n output dicts after each update."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            detector, times = pickle.loads(state.get[0])
+        else:
+            detector, times = detector_factory(), []
+
+        out_rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            values = pdf[value_col].to_numpy(dtype="float64")
+            tss = list(pdf[ts_col])
+            for v, ts in zip(values, tss):
+                detector.update(v)
+                times.append(ts)
+                if len(times) > max_history:
+                    times = times[-max_history:]
+                out_rows.extend(emit(detector, key[0], ts, times))
+
+        state.update((pickle.dumps((detector, times)),))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+ALARM_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("detection_ts", TimestampType(), True),
+        StructField("penalised_score", DoubleType(), True),
+        StructField("changepoint", LongType(), True),
+    ]
+)
+
+
+def streaming_sequential_detector(
+    df: DataFrame,
+    detector_factory: Callable,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+    max_history: int = 10_000,
+) -> DataFrame:
+    """Online penalized-score monitor as a stream (reference
+    sequential/detector.py:10-79 — its flagship `update()` API): one output
+    row per ALARM (penalized score > 0), carrying the score and the score's
+    changepoint offset (observations back from the alarm; null when the
+    score has no changepoint estimate), matching what
+    ``SequentialChangeDetector.fit`` records per alarm."""
+
+    def emit(detector, key, ts, times):
+        if detector.change_detected:
+            cpt = detector.changepoint
+            return [
+                {
+                    "key": key,
+                    "detection_ts": ts,
+                    "penalised_score": float(detector.penalised_score.value),
+                    "changepoint": int(cpt) if cpt else None,
+                }
+            ]
+        return []
+
+    return _streaming_per_update(
+        df, detector_factory, emit, ALARM_SCHEMA,
+        key_col, ts_col, value_col, watermark, max_history,
+    )
+
+
+PELT_STREAM_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("last_cpt", LongType(), True),
+        StructField("changepoint_ts", TimestampType(), True),
+    ]
+)
+
+
+def streaming_pelt(
+    df: DataFrame,
+    detector_factory: Callable,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+    max_history: int = 10_000,
+) -> DataFrame:
+    """Online Pelt as a stream: one row per update with the DP's current
+    ``last_cpt`` (most recent optimal changepoint, observations back) and
+    its absolute time — the per-update surface of the reference's online
+    `update()` loop (final segments are a batch product; replay the trail
+    through ``Pelt.extract_segments`` for those)."""
+
+    def emit(detector, key, ts, times):
+        lc = int(detector.last_cpt)
+        cpt_ts = times[-lc] if 0 < lc < len(times) else None
+        return [{"key": key, "ts": ts, "last_cpt": lc, "changepoint_ts": cpt_ts}]
+
+    return _streaming_per_update(
+        df, detector_factory, emit, PELT_STREAM_SCHEMA,
+        key_col, ts_col, value_col, watermark, max_history,
+    )
+
+
+CAPA_STREAM_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("kind", StringType(), True),
+        StructField("start_ts", TimestampType(), True),
+    ]
+)
+
+
+def streaming_capa(
+    df: DataFrame,
+    detector_factory: Callable,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+    max_history: int = 10_000,
+) -> DataFrame:
+    """Online CAPA as a stream: one row per update whose DP state classifies
+    the current time as anomalous — kind 'point' (anomaly_start == 0) or
+    'collective' (anomaly_start k > 0, start_ts = k observations back).
+    Non-anomalous updates emit nothing (append-mode friendly)."""
+
+    def emit(detector, key, ts, times):
+        start = int(detector.anomaly_start)
+        if start < 0:
+            return []
+        if start == 0:
+            return [{"key": key, "ts": ts, "kind": "point", "start_ts": ts}]
+        start_ts = times[-(start + 1)] if start + 1 <= len(times) else None
+        return [
+            {"key": key, "ts": ts, "kind": "collective", "start_ts": start_ts}
+        ]
+
+    return _streaming_per_update(
+        df, detector_factory, emit, CAPA_STREAM_SCHEMA,
+        key_col, ts_col, value_col, watermark, max_history,
+    )

@@ -52,6 +52,111 @@ def test_streaming_window_segmentor_matches_batch(spark, tmp_path):
     assert len(got) == 1  # pinned fixture: exactly one change at t=100
 
 
+def _run_stream(spark, tmp_path, pdf, op, name, n_batches=4):
+    """Write pdf as several parquet files, run `op(stream)` with
+    availableNow, return the collected output."""
+    src = tmp_path / f"{name}_src"
+    src.mkdir()
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), n_batches)):
+        spark.createDataFrame(pdf.iloc[chunk]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"batch_{i}"))
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch_*"))
+    )
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(f"{name}_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"select * from {name}_out").toPandas()
+
+
+def test_streaming_sequential_detector_matches_kernel_replay(spark, tmp_path):
+    """Micro-batched streaming alarms == ordered kernel update() replay."""
+    from streamchange_spark.kernels import (
+        ConstantPenalty,
+        LordenPollakScore,
+        PenalisedScore,
+        SequentialChangeDetector,
+        simulate,
+    )
+    from streamchange_spark.streaming import streaming_sequential_detector
+
+    x = simulate([0, 8], [60], p=1, seed=5)[:, 0]
+    ts = pd.to_datetime(1_704_067_200 + 3600 * np.arange(x.size), unit="s")
+    pdf = pd.DataFrame({"key": "k1", "ts": ts, "value": x})
+    factory = lambda: SequentialChangeDetector(
+        PenalisedScore(LordenPollakScore(rho=1.0), ConstantPenalty(8.0)),
+        reset_on_change=True,
+        restart_delay=3,
+    )
+    got = _run_stream(
+        spark, tmp_path, pdf,
+        lambda s: streaming_sequential_detector(s, factory), "seqdet",
+    ).sort_values("detection_ts")
+
+    oracle = factory()
+    exp_ts, exp_score = [], []
+    for v, t in zip(x, ts):
+        oracle.update(v)
+        if oracle.change_detected:
+            exp_ts.append(t)
+            exp_score.append(oracle.penalised_score.value)
+    assert list(got["detection_ts"]) == exp_ts
+    assert np.allclose(got["penalised_score"].to_numpy(), exp_score, rtol=0, atol=0)
+
+
+def test_streaming_pelt_and_capa_match_kernel_replay(spark, tmp_path):
+    """Per-update streaming state (Pelt last_cpt / Capa anomaly kind) ==
+    ordered kernel update() replay across micro-batch boundaries."""
+    from streamchange_spark.kernels import Capa, ConstMeanL2, ConstantPenalty, L2Cost, Pelt, simulate
+    from streamchange_spark.streaming import streaming_capa, streaming_pelt
+
+    x = simulate([0, 5, 0], [40], p=1, seed=6)[:, 0]
+    x[25] += 12.0  # a point anomaly for capa
+    ts = pd.to_datetime(1_704_067_200 + 3600 * np.arange(x.size), unit="s")
+    pdf = pd.DataFrame({"key": "k1", "ts": ts, "value": x})
+
+    pelt_factory = lambda: Pelt(L2Cost(ConstantPenalty(20.0)), minsl=2, maxsl=50)
+    got_p = _run_stream(
+        spark, tmp_path, pdf, lambda s: streaming_pelt(s, pelt_factory), "peltstream"
+    ).sort_values("ts")
+    oracle = pelt_factory()
+    exp_lc = []
+    for v in x:
+        oracle.update(v)
+        exp_lc.append(oracle.last_cpt)
+    assert list(got_p["last_cpt"]) == exp_lc
+    # absolute changepoint time for the final update
+    last = got_p.iloc[-1]
+    if last["last_cpt"] > 0:
+        assert last["changepoint_ts"] == ts[len(ts) - int(last["last_cpt"])]
+
+    capa_factory = lambda: Capa(
+        ConstMeanL2(ConstantPenalty(15.0)), minsl=2, maxsl=50,
+        predict_point_anomalies=True,
+    )
+    got_c = _run_stream(
+        spark, tmp_path, pdf, lambda s: streaming_capa(s, capa_factory), "capastream"
+    ).sort_values("ts")
+    oracle = capa_factory()
+    exp = []
+    for v, t in zip(x, ts):
+        oracle.update(v)
+        if oracle.anomaly_start == 0:
+            exp.append((t, "point"))
+        elif oracle.anomaly_start > 0:
+            exp.append((t, "collective"))
+    assert list(zip(got_c["ts"], got_c["kind"])) == exp
+
+
 def test_streaming_rollup_matches_batch(spark, tmp_path):
     """Watermarked streaming 1h tier == batch rollup_raw on the same rows
     (closed buckets only; in-order files, availableNow)."""
