@@ -455,8 +455,10 @@ def q_sequential_alarms(spark, sf_dir):
         value_cols=["v"],
         alarms_only=True,
     )
+    # -1e-9 before round: see _detector_fixture_oracles (tie-boundary shift)
     return scores.select(
-        "user_id", _epoch("ts").alias("alarm_epoch"), F.round("penalised_score", 4).alias("score")
+        "user_id", _epoch("ts").alias("alarm_epoch"),
+        F.round(F.col("penalised_score") - 1e-9, 4).alias("score"),
     )
 
 
@@ -612,11 +614,12 @@ def q_segmentation_stats(spark, sf_dir):
         ts_col="bucket_start",
         value_col="v",
     )
+    # -1e-9 before round: see _segmentation_oracle_sql (tie-boundary shift)
     return segs.select(
         "user_id",
         _epoch("start_ts").alias("start_epoch"),
         _epoch("end_ts").alias("end_epoch"),
-        F.round("mean", 4).alias("seg_mean"),
+        F.round(F.col("mean") - 1e-9, 4).alias("seg_mean"),
     )
 
 
@@ -700,7 +703,7 @@ def q_multivariate_alarms(spark, sf_dir):
     )
     return scores.select(
         "user_id", _epoch("ts").alias("alarm_epoch"),
-        F.round("penalised_score", 4).alias("score"),
+        F.round(F.col("penalised_score") - 1e-9, 4).alias("score"),
     )
 
 
@@ -915,8 +918,230 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# Kernel-fixture oracles (VERDICT r1 item 7): the driver's oracle contract
+# runs at sf0.01, so the detector-dependent parts of these two queries are
+# replayed SERIALLY here (pandas + the vendored kernels — an independent
+# execution path from the distributed Spark run) and pinned as VALUES
+# literals; the SQL then does the relational work (per-segment averages /
+# count joins) from the events table itself.
+# ---------------------------------------------------------------------------
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _sf001_hourly_tier_pandas():
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{_ORACLE_SF_DIR}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    epoch = ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ev["b"] = (epoch // 3600) * 3600
+    tier = (
+        ev.groupby(["user_id", "b"], sort=True)
+        .agg(sum_v=("value", "sum"), n=("value", "count"))
+        .reset_index()
+    )
+    tier["v"] = tier["sum_v"] / tier["n"]
+    return tier
+
+
+def _segmentation_oracle_sql() -> str:
+    """Segment boundaries from a serial kernel replay; per-segment means
+    recomputed by DuckDB from the events table. Both sides shift by -1e-9
+    before round(4): the incremental StatBuffer mean and SQL avg() differ
+    by ~1 ulp, which flips HALF_UP rounding when a value lands exactly on a
+    .00005 boundary (the events values are decimal-ish, so exact ties
+    happen); the shift moves every value off the boundary."""
+    from streamchange_spark.kernels import BIC as _BIC
+    from streamchange_spark.kernels import (
+        CUSUM as _CUSUM,
+        Mean as _Mean,
+        StatBuffer as _StatBuffer,
+        StatUnion as _StatUnion,
+        WindowSegmentor as _WS,
+    )
+    from streamchange_spark.kernels.segmentation import fit_segmentation
+
+    tier = _sf001_hourly_tier_pandas()
+    rows = []
+    for uid, g in tier.groupby("user_id", sort=True):
+        g = g.sort_values("b")
+        times = g["b"].to_numpy()
+        det = _WS(_CUSUM(penalty=_BIC(scale=2.0)), 4, 100)
+        stat = _StatUnion({"mean": _StatBuffer(_Mean(), max_history=100000)})
+        for s in fit_segmentation(det, stat, g["v"].to_numpy()):
+            rows.append((int(uid), int(times[s["start"]]), int(times[s["end"]])))
+    vals = ",".join(f"({u},{s},{e})" for u, s, e in rows)
+    return f"""
+WITH seg(user_id, start_epoch, end_epoch) AS (VALUES {vals}),
+tier AS (
+  SELECT user_id, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,
+         sum(value) / count(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, s.start_epoch, s.end_epoch,
+       round(avg(t.v) - 1e-9, 4) AS seg_mean
+FROM seg s JOIN tier t
+  ON t.user_id = s.user_id AND t.b BETWEEN s.start_epoch AND s.end_epoch
+GROUP BY 1, 2, 3
+"""
+
+
+def _tuning_grid_oracle_sql() -> str:
+    """Detection counts per (key, penalty scale) from a serial replay of the
+    same grid — the driver's hash check then certifies the distributed
+    crossJoin fan-out against an independent serial execution."""
+    from streamchange_spark.kernels import BIC as _BIC
+    from streamchange_spark.kernels import CUSUM as _CUSUM, WindowSegmentor as _WS
+
+    tier = _sf001_hourly_tier_pandas()
+    rows = []
+    for uid, g in tier[tier.user_id < 40].groupby("user_id", sort=True):
+        g = g.sort_values("b")
+        v = g["v"].to_numpy()
+        times = g["b"].to_numpy()
+        for scale in (0.5, 1.0, 2.0, 4.0):
+            det = _WS(_CUSUM(penalty=_BIC(scale=scale)), 4, 100)
+            det.fit(v, times=times)
+            rows.append((int(uid), scale, len(det.detections_)))
+    vals = ",".join(f"({u},{s},{c})" for u, s, c in rows)
+    return f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(penalty_scale AS DOUBLE) AS penalty_scale,
+       CAST(detection_count AS BIGINT) AS detection_count
+FROM (VALUES {vals}) AS t(user_id, penalty_scale, detection_count)
+"""
+
+
+def _values_fixture_sql(rows, cols: list[tuple[str, str]]) -> str:
+    """SELECT over a VALUES literal with explicit casts (so the driver's
+    schema/value-hash compare sees the same types Spark emits)."""
+    body = ",".join("(" + ",".join(map(str, r)) + ")" for r in rows)
+    names = ", ".join(n for n, _ in cols)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    return f"SELECT {casts} FROM (VALUES {body}) AS t({names})"
+
+
+def _detector_fixture_oracles() -> dict[str, str]:
+    """Serial kernel replays of the six detector queries (same vendored
+    kernels, pandas instead of Spark — an independent execution path), each
+    pinned as a VALUES fixture. Epochs/sizes are integers (robust); score
+    columns round after a -1e-9 shift on both sides so the serial/
+    distributed ulp difference cannot straddle a HALF_UP tie."""
+    import numpy as np
+
+    from streamchange_spark.kernels import (
+        BIC as _BIC,
+        CUSUM as _CUSUM,
+        AggregatedScore as _Agg,
+        Capa as _Capa,
+        ConstMeanL2 as _CML2,
+        L2Cost as _L2,
+        LordenPollakScore as _LP,
+        OfflineL2Cost as _OL2,
+        OfflinePelt as _OPelt,
+        Pelt as _Pelt,
+        SequentialChangeDetector as _Seq,
+        WindowSegmentor as _WS,
+    )
+
+    tier = _sf001_hourly_tier_pandas()
+    ws_rows, pelt_rows, capa_rows, seq_rows, off_rows, mv_rows = (
+        [], [], [], [], [], [],
+    )
+    rnd = lambda x: round(float(x) - 1e-9, 4)
+    for uid, g in tier.groupby("user_id", sort=True):
+        g = g.sort_values("b")
+        uid = int(uid)
+        v = g["v"].to_numpy()
+        times = g["b"].to_numpy()
+
+        ws = _WS(_CUSUM(penalty=_BIC(scale=2.0)), 4, 100)
+        ws.fit(v, times=times)
+        ws_rows += [(uid, int(d), int(c)) for d, c in ws.detections_]
+
+        p = _Pelt(_L2(_BIC(scale=2.0)), minsl=2, maxsl=10000)
+        p.fit(v, times=times)
+        pelt_rows += [
+            (uid, int(s["start"]), int(s["end"]), int(s["size"]))
+            for s in p.segments_
+        ]
+
+        c = _Capa(_CML2(), minsl=2, maxsl=1000, predict_point_anomalies=True)
+        c.fit(v, times=times)
+        capa_rows += [
+            (uid, int(a["start"]), int(a["end"]), int(a["size"]), "'collective'")
+            for a in c.collective_anomalies_
+        ] + [
+            (uid, int(a["start"]), int(a["end"]), int(a["size"]), "'point'")
+            for a in c.point_anomalies_
+        ]
+
+        s = _Seq(
+            _LP(rho=1.0).penalise(50.0), reset_on_change=True, restart_delay=10
+        )
+        s.fit(v, times=times)
+        alarm_set = set(s.alarms_)
+        seq_rows += [
+            (uid, int(t), rnd(sc))
+            for t, sc in zip(s.times_, s.penalised_scores_)
+            if t in alarm_set
+        ]
+
+        op = _OPelt(_OL2(), penalty=_BIC(scale=2.0), minsl=2)
+        op.fit(v)
+        off_rows += [
+            (uid, int(times[s_["start"]]), int(times[s_["end"]]))
+            for s_ in op.segments_
+        ]
+
+        mv = _Seq(
+            _Agg(_LP(rho=1.0)).penalise(100.0),
+            reset_on_change=True,
+            restart_delay=5,
+        )
+        mvals = np.column_stack([v, g["n"].to_numpy(dtype=float)])
+        mv.fit(mvals, times=times)
+        alarm_set = set(mv.alarms_)
+        mv_rows += [
+            (uid, int(t), rnd(sc))
+            for t, sc in zip(mv.times_, mv.penalised_scores_)
+            if t in alarm_set
+        ]
+
+    B, D, S = "BIGINT", "DOUBLE", "VARCHAR"
+    return {
+        "window_segmentor": _values_fixture_sql(
+            ws_rows,
+            [("user_id", B), ("detection_epoch", B), ("changepoint_epoch", B)],
+        ),
+        "pelt_segments": _values_fixture_sql(
+            pelt_rows,
+            [("user_id", B), ("start_epoch", B), ("end_epoch", B), ("size", B)],
+        ),
+        "capa_anomalies": _values_fixture_sql(
+            capa_rows,
+            [("user_id", B), ("start_epoch", B), ("end_epoch", B),
+             ("size", B), ("kind", S)],
+        ),
+        "sequential_alarms": _values_fixture_sql(
+            seq_rows, [("user_id", B), ("alarm_epoch", B), ("score", D)]
+        ),
+        "offline_pelt": _values_fixture_sql(
+            off_rows, [("user_id", B), ("start_epoch", B), ("end_epoch", B)]
+        ),
+        "multivariate_alarms": _values_fixture_sql(
+            mv_rows, [("user_id", B), ("alarm_epoch", B), ("score", D)]
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "segmentation_stats": _segmentation_oracle_sql(),
+        "tuning_grid": _tuning_grid_oracle_sql(),
+        **_detector_fixture_oracles(),
         "rollup_1h": _ROLLUP_ORACLE.format(sec=3600),
         "rollup_1d_from_1h": _ROLLUP_ORACLE.format(sec=86400),
         "rollup_30d_from_1d": _ROLLUP_ORACLE.format(sec=2592000),
