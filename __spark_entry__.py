@@ -642,6 +642,29 @@ def q_tuning_grid(spark, sf_dir):
     )
 
 
+def q_plot_table(spark, sf_dir):
+    """Figure-ready result table — the plot-sink substitute (reference
+    plot/time_series_figure.py:5-93): raw value, segment mean, change-point
+    markers, confidence band, per observation."""
+    _configure(spark)
+    from streamchange_spark.operators import figure_table
+
+    tab = figure_table(
+        _hourly_mean(spark, sf_dir),
+        lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=2.0)), 4, 100),
+        key_cols=["user_id"],
+        ts_col="bucket_start",
+        value_col="v",
+        confidence=0.95,
+    )
+    # -1e-9 before round: see _detector_fixture_oracles (tie-boundary shift)
+    r4 = lambda c: F.round(F.col(c) - 1e-9, 4).alias(c)
+    return tab.select(
+        "user_id", _epoch("ts").alias("epoch"), r4("value"),
+        r4("segment_mean"), "is_cpt", r4("band_lo"), r4("band_hi"),
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN pairs (the scale path next to the exact
     embedding_neardup baseline); float-sign sensitivity makes a SQL twin
@@ -768,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offline_pelt": q_offline_pelt,
         "segmentation_stats": q_segmentation_stats,
         "tuning_grid": q_tuning_grid,
+        "plot_table": q_plot_table,
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
         "multivariate_alarms": q_multivariate_alarms,
@@ -1137,10 +1161,67 @@ def _detector_fixture_oracles() -> dict[str, str]:
     }
 
 
+def _plot_table_oracle_sql() -> str:
+    """Segment boundaries (+ which ends are change points) from the serial
+    WindowSegmentor replay; per-point value, per-segment mean/std and the
+    confidence band recomputed by DuckDB from the events table."""
+    from statistics import NormalDist
+
+    from streamchange_spark.kernels import BIC as _BIC
+    from streamchange_spark.kernels import CUSUM as _CUSUM, WindowSegmentor as _WS
+
+    import numpy as np
+
+    tier = _sf001_hourly_tier_pandas()
+    z = NormalDist().inv_cdf(0.5 + 0.95 / 2.0)
+    segs = []
+    for uid, g in tier.groupby("user_id", sort=True):
+        g = g.sort_values("b")
+        times = g["b"].to_numpy()
+        det = _WS(_CUSUM(penalty=_BIC(scale=2.0)), 4, 100)
+        det.fit(g["v"].to_numpy(), times=times)
+        cpt_ts = sorted({c for _, c in det.detections_})
+        ends = np.searchsorted(times, np.asarray(cpt_ts, dtype=times.dtype))
+        bounds = [0, *[int(e) + 1 for e in ends], len(times)]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if hi <= lo:
+                continue
+            end_is_cpt = (hi - 1) in set(int(e) for e in ends)
+            segs.append(
+                (int(uid), int(times[lo]), int(times[hi - 1]),
+                 "TRUE" if end_is_cpt else "FALSE")
+            )
+    vals = ",".join(f"({u},{s},{e},{c})" for u, s, e, c in segs)
+    return f"""
+WITH seg(user_id, start_epoch, end_epoch, end_is_cpt) AS (VALUES {vals}),
+tier AS (
+  SELECT user_id, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,
+         sum(value) / count(value) AS v
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT s.user_id, s.start_epoch, s.end_epoch, s.end_is_cpt,
+         avg(t.v) AS m, coalesce(stddev_samp(t.v), 0.0) AS sd
+  FROM seg s JOIN tier t
+    ON t.user_id = s.user_id AND t.b BETWEEN s.start_epoch AND s.end_epoch
+  GROUP BY 1, 2, 3, 4
+)
+SELECT t.user_id, t.b AS epoch,
+       round(t.v - 1e-9, 4) AS value,
+       round(st.m - 1e-9, 4) AS segment_mean,
+       (t.b = st.end_epoch AND st.end_is_cpt) AS is_cpt,
+       round(st.m - {z!r} * st.sd - 1e-9, 4) AS band_lo,
+       round(st.m + {z!r} * st.sd - 1e-9, 4) AS band_hi
+FROM tier t JOIN st
+  ON t.user_id = st.user_id AND t.b BETWEEN st.start_epoch AND st.end_epoch
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "segmentation_stats": _segmentation_oracle_sql(),
         "tuning_grid": _tuning_grid_oracle_sql(),
+        "plot_table": _plot_table_oracle_sql(),
         **_detector_fixture_oracles(),
         "rollup_1h": _ROLLUP_ORACLE.format(sec=3600),
         "rollup_1d_from_1h": _ROLLUP_ORACLE.format(sec=86400),

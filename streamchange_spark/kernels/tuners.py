@@ -54,6 +54,29 @@ class GridPenaltyTuner:
         detector.get_penalty().scale = scale
         return len(detector.fit_predict(values))
 
+    def summarise(self):
+        """Diagnostic count-vs-scale table (parity: reference tuners.py:41-44
+        + _summarise at tuners.py:118-130): one row per evaluated scale with
+        the implied penalty value and the trial score."""
+        import pandas as pd
+
+        if not hasattr(self, "counts_"):
+            raise RuntimeError(f"This {type(self).__name__} is not fitted yet.")
+        scales = sorted(self.counts_)
+        default = self.detector.get_penalty().default_penalty()
+        return (
+            pd.DataFrame(
+                {
+                    "penalty": [s * default for s in scales],
+                    "penalty_scale": scales,
+                    "detection_count": [self.counts_[s] for s in scales],
+                    self.score: [self._error(self.counts_[s]) for s in scales],
+                }
+            )
+            .sort_values("penalty_scale")
+            .reset_index(drop=True)
+        )
+
     def fit(self, values: np.ndarray, counts: dict[float, int] | None = None):
         """``counts`` may be precomputed (scale -> detection count), e.g. by a
         Spark fan-out; otherwise the grid is evaluated serially here."""
@@ -242,6 +265,27 @@ class AMOCPenaltyTuner:
         self.detector.estimator.penalty.scale = self.penalty_scale_
         return self
 
+    def summarise(self):
+        """Penalty-per-detection-count table (parity: reference
+        amoc/penalty_tuners.py:211-217)."""
+        import pandas as pd
+
+        if not hasattr(self, "penalties"):
+            raise RuntimeError(f"This {type(self).__name__} is not fitted yet.")
+        penalties = np.asarray(self.penalties, dtype=float)
+        return (
+            pd.DataFrame(
+                {
+                    "detection_count": np.arange(self.target_detections) + 1,
+                    "penalty": penalties,
+                    "penalty_scale": penalties
+                    / self.detector.estimator.penalty.value,
+                }
+            )
+            .sort_values("penalty_scale")
+            .reset_index(drop=True)
+        )
+
 
 class SequentialScorePenaltyTuner:
     """Tune a SequentialChangeDetector's penalty from its raw score maxima:
@@ -318,3 +362,24 @@ class SequentialScorePenaltyTuner:
         if self.refit:
             self.detector_.fit(values, times)
         return self
+
+    def summarise(self):
+        """Penalty-per-detection-count table (parity: reference
+        sequential/penalty_tuners.py:102-109)."""
+        import pandas as pd
+
+        if not hasattr(self, "penalties"):
+            raise RuntimeError(f"This {type(self).__name__} is not fitted yet.")
+        default_penalty = self.detector.get_penalty().default_penalty()
+        penalties = np.asarray(self.penalties, dtype=float)
+        return (
+            pd.DataFrame(
+                {
+                    "detection_count": np.arange(self.target_detections + 1),
+                    "penalty": penalties,
+                    "penalty_scale": penalties / default_penalty,
+                }
+            )
+            .sort_values("penalty_scale")
+            .reset_index(drop=True)
+        )

@@ -41,6 +41,7 @@ from .rollup import (
     rollup_tier,
     with_avg,
 )
+from .plot_tables import figure_table
 from .similarity import cosine_topk, cosine_topk_gemm, lsh_ann_pairs
 from .textstats import fingerprint, lang_id, quality_features
 
@@ -53,6 +54,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "exact_dedup",
     "extract_binary_meta",
+    "figure_table",
     "fingerprint",
     "lang_id",
     "lsh_ann_pairs",

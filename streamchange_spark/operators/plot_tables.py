@@ -1,0 +1,98 @@
+"""Figure-ready result tables — the engine-side substitute for the
+reference's plotly sinks (streamchange/plot/time_series_figure.py:5-93,
+multivariate_time_series_figure.py:8-117; plotly is absent offline).
+
+One row per observation with everything those figures draw: the raw value
+(make_raw_data_trace), the segment mean (make_mean_trace), change-point
+markers (add_highlighted_values), and a confidence band around the segment
+mean (make_confidence_band_traces). A thin plotly layer on a real cluster
+turns this table into the reference's figures with no further computation;
+the multivariate figure is this table per dimension column.
+"""
+
+from __future__ import annotations
+
+from statistics import NormalDist
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+from ._grouped import grouped_apply
+
+
+def figure_table(
+    df: DataFrame,
+    detector_factory: Callable,
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    confidence: float = 0.95,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(keys..., ts, value, segment_mean, is_cpt, band_lo, band_hi).
+
+    Segments come from the detector's change points (a change point is the
+    END of a segment, the reference convention); ``segment_mean`` is the
+    mean of the containing segment's values, the band is
+    mean +- z * sample_std (z from ``confidence``; std 0 for 1-point
+    segments), ``is_cpt`` marks segment-end rows."""
+    key_cols = list(key_cols)
+    by_name = {f.name: f for f in df.schema.fields}
+    schema = StructType(
+        [StructField(c, by_name[c].dataType, True) for c in key_cols]
+        + [
+            StructField("ts", by_name[ts_col].dataType, True),
+            StructField("value", DoubleType(), True),
+            StructField("segment_mean", DoubleType(), True),
+            StructField("is_cpt", BooleanType(), True),
+            StructField("band_lo", DoubleType(), True),
+            StructField("band_hi", DoubleType(), True),
+        ]
+    )
+    z = NormalDist().inv_cdf(0.5 + confidence / 2.0)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        times = pdf[ts_col].to_numpy()
+        detector = detector_factory()
+        detector.fit(v, times=times)
+        cpt_ts = sorted({c for _, c in detector.detections_})
+        ends = np.searchsorted(times, np.asarray(cpt_ts))  # segment end idx
+        bounds = [0, *[int(e) + 1 for e in ends], len(v)]
+        seg_mean = np.empty(len(v))
+        seg_std = np.empty(len(v))
+        is_cpt = np.zeros(len(v), dtype=bool)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if hi <= lo:
+                continue
+            seg = v[lo:hi]
+            seg_mean[lo:hi] = seg.mean()
+            seg_std[lo:hi] = seg.std(ddof=1) if hi - lo > 1 else 0.0
+        is_cpt[ends[ends < len(v)]] = True
+        out = pd.DataFrame(
+            {
+                "ts": times,
+                "value": v,
+                "segment_mean": seg_mean,
+                "is_cpt": is_cpt,
+                "band_lo": seg_mean - z * seg_std,
+                "band_hi": seg_mean + z * seg_std,
+            }
+        )
+        for c in key_cols:
+            out[c] = pdf[c].iloc[0]
+        return out[[f.name for f in schema.fields]]
+
+    return grouped_apply(
+        df, key_cols, run, schema, num_partitions,
+        needed_cols=[ts_col, value_col],
+    )

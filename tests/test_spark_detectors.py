@@ -207,3 +207,52 @@ def test_multivariate_sequential_matches_oracle(spark):
             g["penalised_score"].to_numpy(), np.asarray(det.penalised_scores_)
         )
         assert set(g[g["is_alarm"]]["ts"]) == set(det.alarms_)
+
+
+def test_figure_table_matches_pandas_recomputation(spark):
+    """figure_table (plot-sink substitute) == a direct pandas recomputation
+    of segment means, bands, and cpt markers from the same detector."""
+    from statistics import NormalDist
+
+    from streamchange_spark.kernels import BIC, CUSUM, WindowSegmentor, simulate
+    from streamchange_spark.operators import figure_table
+
+    frames = []
+    for key, seed in [("a", 1), ("b", 2)]:
+        x = simulate([0, 20, -5], [80], p=1, seed=seed)[:, 0]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "key": key,
+                    "ts": pd.to_datetime(
+                        1_704_067_200 + 3600 * np.arange(x.size), unit="s"
+                    ),
+                    "value": x,
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    factory = lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=5.0)), 4, 100)
+    got = (
+        figure_table(df, factory, ["key"], "ts", "value", confidence=0.9)
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    z = NormalDist().inv_cdf(0.5 + 0.9 / 2)
+    for key, sub in pdf.groupby("key"):
+        sub = sub.sort_values("ts").reset_index(drop=True)
+        det = factory()
+        det.fit(sub["value"].to_numpy(), times=sub["ts"].to_numpy())
+        cpts = sorted({c for _, c in det.detections_})
+        idx = np.searchsorted(sub["ts"].to_numpy(), np.asarray(cpts))
+        bounds = [0, *[int(i) + 1 for i in idx], len(sub)]
+        g = got[got.key == key].reset_index(drop=True)
+        assert len(g) == len(sub)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            seg = sub["value"].iloc[lo:hi]
+            assert np.allclose(g["segment_mean"].iloc[lo:hi], seg.mean())
+            sd = seg.std(ddof=1) if len(seg) > 1 else 0.0
+            assert np.allclose(g["band_hi"].iloc[lo:hi], seg.mean() + z * sd)
+        assert set(np.flatnonzero(g["is_cpt"].to_numpy())) == set(int(i) for i in idx)
