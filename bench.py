@@ -44,6 +44,7 @@ HEADLINE = [
     "mosum_scores_sql",
     "minhash_lsh_pairs",
     "multivariate_alarms",
+    "plot_table",
 ]
 
 

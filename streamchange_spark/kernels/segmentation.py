@@ -15,31 +15,34 @@ from .stats import StatUnion
 
 
 def fit_segmentation(detector, stat: StatUnion, values: np.ndarray) -> list[dict]:
-    """Return a list of {**stat values, start, end} segment dicts."""
+    """Return a list of {**stat values, start, end} segment dicts.
+
+    On each detected change point the stats are read as they stood ``cpt``
+    observations back (the segment's true end), the segment record is
+    closed at ``prev_end + 1 .. i - cpt``, and the stats restart with the
+    post-change observations replayed so the running state matches a fresh
+    segment."""
     detector.reset()
     stat.reset()
     values = np.asarray(values, dtype=np.float64)
 
-    # Dummy first segment so the loop can read segmentation[-1]["end"].
-    init_stat = stat.get()
-    init_stat.update({"start": -1, "end": -1})
-    segmentation = [init_stat]
+    segments: list[dict] = []
+    prev_end = -1
     for i in range(values.shape[0]):
-        x = values[i]
-        detector.update(x)
-        stat.update(x)
-        if detector.change_detected:
-            for cpt in detector.changepoints:
-                segment_stat = stat.get(cpt)
-                segment_stat["start"] = segmentation[-1]["end"] + 1
-                segment_stat["end"] = i - cpt
-                segmentation.append(segment_stat)
-                post_cpt_values = values[i - cpt + 1 : i + 1]
-                segment_stat = stat.reset().update_many(post_cpt_values).get()
+        detector.update(values[i])
+        stat.update(values[i])
+        if not detector.change_detected:
+            continue
+        for cpt in detector.changepoints:
+            record = stat.get(cpt)
+            record["start"] = prev_end + 1
+            record["end"] = i - cpt
+            prev_end = record["end"]
+            segments.append(record)
+            stat.reset().update_many(values[i - cpt + 1 : i + 1])
 
-    last_stat = stat.get()
-    last_stat["start"] = segmentation[-1]["end"] + 1
-    last_stat["end"] = values.shape[0] - 1
-    segmentation.append(last_stat)
-    segmentation.pop(0)
-    return segmentation
+    tail = stat.get()
+    tail["start"] = prev_end + 1
+    tail["end"] = values.shape[0] - 1
+    segments.append(tail)
+    return segments

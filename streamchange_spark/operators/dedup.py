@@ -1,14 +1,15 @@
 """Document deduplication for web-scale training-data pipelines.
 
-All hot paths are JVM-side column expressions (whole-stage codegen; no Python
-in the per-row path):
+Hot paths are JVM-side column expressions (whole-stage codegen) except the
+shingler, where a vectorized Arrow-batch pandas pass beats the all-JVM plan
+because it avoids shuffling the token stream (see shingle_rows_local):
 
 - exact:     hash-groupBy on md5(text) — one shuffle of (hash, id) pairs only.
-- minhash:   word-shingle -> k minhashes via higher-order array functions
-             (``transform``/``aggregate``) -> banded LSH -> self-join on band
-             buckets. The self-join key is (band_index, band_hash): at scale
-             this is the classic shuffle-bounded candidate generation; exact
-             Jaccard verification runs only on candidates.
+- minhash:   word-shingle (row-local, shuffle-free by default) -> k minhash
+             aggregates -> banded LSH -> self-join on band buckets. The
+             self-join key is (band_index, band_hash): at scale this is the
+             classic shuffle-bounded candidate generation; exact Jaccard
+             verification runs only on candidates.
 - simhash:   64-bit sign-aggregated token hashes; near-dups = small Hamming
              distance (bit_count(xor)).
 - n-gram Jaccard: inverted-index join on shared shingles computes

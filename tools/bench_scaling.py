@@ -93,11 +93,19 @@ def run_level(path: str, cpus: int) -> dict:
     rollup_tier(tier1d, ["url"], "30d").write.mode("overwrite").format("noop").save()
     rollup_sec = time.time() - t0
 
+    from streamchange_spark.operators import decompress_series
+
     t0 = time.time()
-    compress_series(tier1h, ["url"], "bucket_start", "sum_v").write.mode(
+    compressed = compress_series(tier1h, ["url"], "bucket_start", "sum_v").persist()
+    compressed.count()
+    gorilla_sec = time.time() - t0
+
+    t0 = time.time()
+    decompress_series(compressed, ["url"], "bucket_start", "sum_v").write.mode(
         "overwrite"
     ).format("noop").save()
-    gorilla_sec = time.time() - t0
+    gunzip_sec = time.time() - t0
+    compressed.unpersist()
 
     # Detectors assume standardized series (reference: pelt/pelt.py:12,
     # capa/capa.py:12); standardize each url's hourly mean JVM-side.
@@ -133,6 +141,7 @@ def run_level(path: str, cpus: int) -> dict:
         "rollup_sec": round(rollup_sec, 2),
         "rolled_points_per_sec": round(3 * n_rows / rollup_sec, 1),
         "gorilla_sec": round(gorilla_sec, 2),
+        "gorilla_decompress_sec": round(gunzip_sec, 2),
         "hourly_points": n_points,
         "detect_sec": round(detect_sec, 2),
         "detect_points_per_sec": round(n_points / detect_sec, 1),
@@ -173,6 +182,7 @@ def main():
         "ingest": ("ingest_rows_per_sec", False),
         "rollup": ("rolled_points_per_sec", False),
         "gorilla": ("gorilla_sec", True),
+        "gorilla_decompress": ("gorilla_decompress_sec", True),
         "detect": ("detect_points_per_sec", False),
         "pipeline": ("pipeline_rows_per_sec", False),
     }
