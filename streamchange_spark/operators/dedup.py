@@ -356,9 +356,15 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    shingler: str = "local",
+    shingler: str = "window",
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with n-gram-set Jaccard >= threshold.
+
+    Default shingler is the window plan here (unlike minhash): the distinct
+    step must shuffle every (id, shingle) row regardless, and the window
+    plan's by-document exchange is reused for it (one shuffle total),
+    whereas the local shingler would just move the same shuffle later
+    (measured 3.2 s vs 2.2 s at sf0.1).
     Scale path: explode distinct shingles to an inverted index, self-join on
     the shingle (bounded by document frequency), count shared shingles per
     pair, union size by inclusion-exclusion."""
