@@ -233,21 +233,24 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size, hash_fn, shingler
     )
-    band_rows = []
+    # One (band, band_key) struct per band, exploded from a single
+    # projection: a per-band unionAll of selects would re-evaluate the
+    # whole signature subplan (shingle + minhash aggregation) once per
+    # band; the explode evaluates it exactly once.
+    band_structs = []
     for b in range(bands):
         members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws(":", *[m.cast("string") for m in members])).alias(
                     "band_key"
                 ),
             )
         )
-    exploded = band_rows[0]
-    for extra in band_rows[1:]:
-        exploded = exploded.unionAll(extra)
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -315,18 +318,25 @@ def simhash_pairs(
     four 16-bit quarters (pigeonhole: any pair within Hamming distance 3 of a
     64-bit hash agrees on >= 1 quarter), then verifies with bit_count(xor)."""
     sig = simhash(df, id_col, text_col, hash_fn)
-    blocks = None
     n_blocks = 64 // block_bits
-    for q in range(n_blocks):
-        part = sig.select(
-            F.col(id_col),
-            F.col("simhash"),
+    # Explode one struct per quarter from a single projection (see
+    # minhash_lsh_pairs: unionAll would re-evaluate the simhash
+    # aggregation once per block).
+    block_structs = [
+        F.struct(
             F.lit(q).alias("block"),
             F.shiftright(F.col("simhash"), q * block_bits)
             .bitwiseAND(F.lit((1 << block_bits) - 1))
             .alias("block_key"),
         )
-        blocks = part if blocks is None else blocks.unionAll(part)
+        for q in range(n_blocks)
+    ]
+    blocks = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*block_structs)).alias("_q")
+    ).select(
+        id_col, "simhash",
+        F.col("_q.block").alias("block"), F.col("_q.block_key").alias("block_key"),
+    )
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
