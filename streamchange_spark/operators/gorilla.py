@@ -564,15 +564,28 @@ def compress_series(
     value_col: str,
     num_partitions: int | None = None,
     assume_partitioned: bool = False,
+    chunk_points: int | None = None,
 ) -> DataFrame:
     """One row per key: (keys..., n_points, ts_gorilla, val_gorilla).
     Timestamps are packed as epoch seconds (int64). Pass
     ``assume_partitioned=True`` when rows are already hash-clustered by key
-    to skip the exchange."""
+    to skip the exchange.
+
+    ``chunk_points`` (opt-in) splits each key's series into consecutive
+    chunks of at most that many points, one output row per (key, chunk)
+    with an extra ``chunk_id`` column. At 100 TB this bounds the skew
+    tail: a hot key's multi-million-point series otherwise becomes a
+    single blob whose decode is one sequential token stream (the batch
+    decoder's scalar fallback), whereas chunks decode at full lockstep
+    width and re-compress independently under retention rewrites."""
     key_cols = list(key_cols)
     by_name = {f.name: f for f in df.schema.fields}
+    chunk_fields = (
+        [StructField("chunk_id", LongType(), True)] if chunk_points else []
+    )
     schema = StructType(
         [StructField(c, by_name[c].dataType, True) for c in key_cols]
+        + chunk_fields
         + [
             StructField("n_points", LongType(), True),
             StructField("ts_gorilla", BinaryType(), True),
@@ -602,11 +615,16 @@ def compress_series(
             if not isinstance(key, tuple):
                 key = (key,)
             lo, hi = idx[0], idx[-1] + 1  # contiguous after the sort
-            row = dict(zip(key_cols, key))
-            row["n_points"] = hi - lo
-            row["ts_gorilla"] = compress_timestamps(ts_all[lo:hi])
-            row["val_gorilla"] = compress_values(vals_all[lo:hi])
-            rows.append(row)
+            step = chunk_points or (hi - lo)
+            for chunk_id, c_lo in enumerate(range(lo, hi, max(step, 1))):
+                c_hi = min(c_lo + step, hi)
+                row = dict(zip(key_cols, key))
+                if chunk_points:
+                    row["chunk_id"] = chunk_id
+                row["n_points"] = c_hi - c_lo
+                row["ts_gorilla"] = compress_timestamps(ts_all[c_lo:c_hi])
+                row["val_gorilla"] = compress_values(vals_all[c_lo:c_hi])
+                rows.append(row)
         yield pd.DataFrame(rows, columns=colnames)
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism

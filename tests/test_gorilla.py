@@ -89,6 +89,32 @@ def test_spark_compress_decompress_roundtrip(spark, tier_df):
     )
 
 
+def test_chunked_compress_roundtrip(spark, tier_df):
+    """chunk_points splits each key into bounded blobs (skew-tail bound);
+    the decompressed union must equal the unchunked round trip exactly."""
+    compressed = compress_series(
+        tier_df, ["key"], "bucket_start", "v", chunk_points=64
+    )
+    comp_pd = compressed.toPandas()
+    assert "chunk_id" in comp_pd.columns
+    assert (comp_pd["n_points"] <= 64).all()
+    # 300 points per key -> ceil(300/64) = 5 chunks each
+    assert comp_pd.groupby("key")["chunk_id"].count().eq(5).all()
+    restored = (
+        decompress_series(compressed, ["key"], ts_col="bucket_start", value_col="v")
+        .orderBy("key", "bucket_start")
+        .toPandas()
+    )
+    original = tier_df.orderBy("key", "bucket_start").toPandas()
+    assert np.array_equal(
+        restored["v"].to_numpy().view(np.uint64),
+        original["v"].to_numpy().view(np.uint64),
+    )
+    assert np.array_equal(
+        restored["bucket_start"].to_numpy(), original["bucket_start"].to_numpy()
+    )
+
+
 def test_timestamp_dod_bucket_boundaries():
     """dod values at the two's-complement bucket edges (+-64, +-256, +-2048)
     must survive the round trip — a sign-extension regression guard."""
