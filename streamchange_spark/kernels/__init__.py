@@ -30,6 +30,7 @@ from .sequential import (
     SequentialChangeDetector,
 )
 from .simulate import simulate
+from .utils import Profiler, dropna_series, geomspace_int, has_method
 from .stats import Mean, MovingSum, Quantile, StatBuffer, StatUnion, Var
 from .tuners import (
     AMOCPenaltyTuner,
@@ -43,6 +44,10 @@ from .tuners import (
 from .window_segmentor import RingBuffer, WindowSegmentor
 
 __all__ = [
+    "Profiler",
+    "dropna_series",
+    "geomspace_int",
+    "has_method",
     "AMOCEstimator",
     "AMOCPenaltyTuner",
     "AggregatedScore",

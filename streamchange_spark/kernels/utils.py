@@ -31,3 +31,34 @@ def dropna_series(values: np.ndarray, times=None):
     if times is None:
         times = np.arange(values.shape[0])
     return values[mask], np.asarray(times)[mask]
+
+
+def has_method(obj, method_name) -> bool:
+    """True iff ``obj.method_name`` exists and is callable (parity:
+    /root/reference/streamchange/utils.py:23-25)."""
+    return callable(getattr(obj, method_name, None))
+
+
+class Profiler:
+    """Tiny cProfile start/stop wrapper (parity: /root/reference/
+    streamchange/utils.py:28-43) — used to profile kernel hot paths the
+    same way the reference's interactive examples do."""
+
+    def __init__(self):
+        import cProfile
+
+        self.pr = cProfile.Profile()
+
+    def start(self):
+        self.pr.enable()
+
+    def stop(self):
+        import io
+        import pstats
+
+        self.pr.disable()
+        s = io.StringIO()
+        pstats.Stats(self.pr, stream=s).sort_stats(
+            pstats.SortKey.CUMULATIVE
+        ).print_stats()
+        print(s.getvalue())
