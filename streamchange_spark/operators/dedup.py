@@ -367,6 +367,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     shingler: str = "window",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with n-gram-set Jaccard >= threshold.
 
@@ -386,6 +387,20 @@ def ngram_jaccard_pairs(
         F.lit(1).alias("_one")
     )
     sizes = distinct_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    if max_doc_freq is not None:
+        # Scale knob: a shingle appearing in d documents contributes
+        # O(d^2) join pairs, so stop-shingle-like n-grams (boilerplate,
+        # navigation chrome) dominate the self-join at corpus scale. The
+        # standard mitigation drops shingles above a document-frequency
+        # cap from the inverted index BEFORE pairing. NB this changes
+        # semantics (set sizes still count capped shingles; shared counts
+        # don't), so it is opt-in — jaccard becomes a lower bound.
+        dfreq = Window.partitionBy("shingle")
+        distinct_sh = (
+            distinct_sh.withColumn("_df", F.count(F.lit(1)).over(dfreq))
+            .where(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     inv = distinct_sh.join(sizes, id_col).select(
         F.col(id_col), F.col("_sz"), F.col("shingle").alias("_s")
     )

@@ -295,3 +295,16 @@ def test_cosine_topk_gemm_matches_fold(spark):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_ngram_jaccard_doc_freq_cap(spark, docs):
+    """max_doc_freq drops high-frequency shingles from the inverted index:
+    the capped pair set is a subset with jaccard <= the uncapped value."""
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).toPandas()
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_doc_freq=2
+    ).toPandas()
+    full_map = {(a, b): j for a, b, j in full.itertuples(index=False)}
+    for a, b, j in capped.itertuples(index=False):
+        assert (a, b) in full_map
+        assert j <= full_map[(a, b)] + 1e-12
