@@ -732,6 +732,34 @@ def q_multivariate_alarms(spark, sf_dir):
 
 
 
+def q_multivariate_segmentor(spark, sf_dir):
+    """Multivariate AMOC segmentation: WindowSegmentor with SumCUSUM (sum of
+    squared per-dim CUSUMs; reference amoc/estimators.py:63-67,196-199) over
+    each user's hourly (mean, count) series — oracle is a serial kernel
+    replay fixture."""
+    _configure(spark)
+    from streamchange_spark.kernels import SumCUSUM
+
+    series = _hourly_tier(spark, sf_dir).select(
+        "user_id",
+        "bucket_start",
+        (F.col("sum_v") / F.col("n_points")).alias("v1"),
+        F.col("n_points").cast("double").alias("v2"),
+    )
+    cpts = window_segmentor_changepoints(
+        series,
+        lambda: WindowSegmentor(SumCUSUM(penalty=BIC(p=2, scale=2.0)), 4, 100),
+        key_cols=["user_id"],
+        ts_col="bucket_start",
+        value_cols=["v1", "v2"],
+    )
+    return cpts.select(
+        "user_id",
+        _epoch("detection_ts").alias("detection_epoch"),
+        _epoch("changepoint_ts").alias("changepoint_epoch"),
+    )
+
+
 def q_ann_topk_gemm(spark, sf_dir):
     """Same exact top-5 as q_ann_topk via the GEMM path (BLAS matmul per
     Arrow batch + local top-k before the shuffle) — shares ann_topk's
@@ -792,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmentation_stats": q_segmentation_stats,
         "tuning_grid": q_tuning_grid,
         "plot_table": q_plot_table,
+        "multivariate_segmentor": q_multivariate_segmentor,
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
         "multivariate_alarms": q_multivariate_alarms,
@@ -1070,10 +1099,13 @@ def _detector_fixture_oracles() -> dict[str, str]:
         WindowSegmentor as _WS,
     )
 
+    from streamchange_spark.kernels import SumCUSUM as _SumCUSUM
+
     tier = _sf001_hourly_tier_pandas()
     ws_rows, pelt_rows, capa_rows, seq_rows, off_rows, mv_rows = (
         [], [], [], [], [], [],
     )
+    mvws_rows = []
     rnd = lambda x: round(float(x) - 1e-9, 4)
     for uid, g in tier.groupby("user_id", sort=True):
         g = g.sort_values("b")
@@ -1134,6 +1166,10 @@ def _detector_fixture_oracles() -> dict[str, str]:
             if t in alarm_set
         ]
 
+        mvws = _WS(_SumCUSUM(penalty=_BIC(p=2, scale=2.0)), 4, 100)
+        mvws.fit(mvals, times=times)
+        mvws_rows += [(uid, int(d), int(c)) for d, c in mvws.detections_]
+
     B, D, S = "BIGINT", "DOUBLE", "VARCHAR"
     return {
         "window_segmentor": _values_fixture_sql(
@@ -1157,6 +1193,10 @@ def _detector_fixture_oracles() -> dict[str, str]:
         ),
         "multivariate_alarms": _values_fixture_sql(
             mv_rows, [("user_id", B), ("alarm_epoch", B), ("score", D)]
+        ),
+        "multivariate_segmentor": _values_fixture_sql(
+            mvws_rows,
+            [("user_id", B), ("detection_epoch", B), ("changepoint_epoch", B)],
         ),
     }
 
