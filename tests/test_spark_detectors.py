@@ -256,3 +256,58 @@ def test_figure_table_matches_pandas_recomputation(spark):
             sd = seg.std(ddof=1) if len(seg) > 1 else 0.0
             assert np.allclose(g["band_hi"].iloc[lo:hi], seg.mean() + z * sd)
         assert set(np.flatnonzero(g["is_cpt"].to_numpy())) == set(int(i) for i in idx)
+
+
+def test_grouped_apply_skewed_keys(spark):
+    """Zipf-shaped skew: one hot key with 60k points next to 500 ten-point
+    cold keys. The grouped scan must produce exactly the serial kernel's
+    result for BOTH extremes (hot keys may not be split across partition
+    fragments; cold keys may not be lost to coalescing)."""
+    from streamchange_spark.kernels import BIC, CUSUM, WindowSegmentor, simulate
+    from streamchange_spark.operators import window_segmentor_changepoints
+
+    rng = np.random.RandomState(8)
+    hot = simulate([0, 15, 0, -15], [15000], p=1, seed=3)[:, 0]
+    frames = [
+        pd.DataFrame(
+            {
+                "key": "hot",
+                "ts": pd.to_datetime(1_704_067_200 + 60 * np.arange(hot.size), unit="s"),
+                "value": hot,
+            }
+        )
+    ]
+    for k in range(500):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "key": f"cold_{k}",
+                    "ts": pd.to_datetime(
+                        1_704_067_200 + 3600 * np.arange(10), unit="s"
+                    ),
+                    "value": rng.randn(10),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf.sample(frac=1.0, random_state=1))  # shuffle rows
+    factory = lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=8.0)), 4, 100)
+    got = window_segmentor_changepoints(
+        df, factory, ["key"], "ts", ["value"], num_partitions=16
+    ).toPandas()
+
+    # hot key: exact match vs serial kernel
+    det = factory()
+    det.fit(hot, times=frames[0]["ts"].to_numpy())
+    exp = sorted(pd.Timestamp(c) for _, c in det.detections_)
+    assert sorted(got[got.key == "hot"]["changepoint_ts"]) == exp
+    assert len(exp) >= 3  # the fixture has 3 big changes
+    # cold keys: no duplicated/partial groups — each key's detections equal
+    # the serial kernel (spot-check a few) and no key appears with rows that
+    # a duplicate partial run would produce
+    for k in ("cold_0", "cold_250", "cold_499"):
+        sub = pdf[pdf.key == k].sort_values("ts")
+        det = factory()
+        det.fit(sub["value"].to_numpy(), times=sub["ts"].to_numpy())
+        exp_k = sorted(pd.Timestamp(c) for _, c in det.detections_)
+        assert sorted(got[got.key == k]["changepoint_ts"]) == exp_k
