@@ -732,6 +732,25 @@ def q_multivariate_alarms(spark, sf_dir):
 
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN (coarse k-means quantizer + probe-list search) configured
+    EXACT: nprobe == n_centroids searches every inverted list, so the
+    result must equal the brute-force top-5 — certifying the whole IVF
+    plumbing (quantizer, assignment GEMM, probe join, batch scoring)
+    against the same DuckDB oracle as ann_topk. Recall at nprobe <
+    n_centroids is pytest-covered."""
+    _configure(spark)
+    from streamchange_spark.operators import ivf_topk
+
+    embs = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        embs, queries, k=5, n_centroids=16, nprobe=16, round_digits=4
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
 def q_multivariate_segmentor(spark, sf_dir):
     """Multivariate AMOC segmentation: WindowSegmentor with SumCUSUM (sum of
     squared per-dim CUSUMs; reference amoc/estimators.py:63-67,196-199) over
@@ -821,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuning_grid": q_tuning_grid,
         "plot_table": q_plot_table,
         "multivariate_segmentor": q_multivariate_segmentor,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
         "multivariate_alarms": q_multivariate_alarms,
@@ -1257,6 +1277,24 @@ FROM tier t JOIN st
 """
 
 
+_ANN_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4)
+           AS cosine
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "segmentation_stats": _segmentation_oracle_sql(),
@@ -1418,22 +1456,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
-        "ann_topk": """
-WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
-scored AS (
-  SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4)
-           AS cosine
-  FROM q CROSS JOIN embeddings e
-),
-ranked AS (
-  SELECT query_id, vec_id, cosine,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
-""",
+        "ann_topk_ivf": _ANN_TOPK_ORACLE,
+        "ann_topk": _ANN_TOPK_ORACLE,
         "ann_topk_gemm": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
 scored AS (

@@ -42,7 +42,7 @@ from .rollup import (
     with_avg,
 )
 from .plot_tables import figure_table
-from .similarity import cosine_topk, cosine_topk_gemm, lsh_ann_pairs
+from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
 from .textstats import fingerprint, lang_id, quality_features
 
 __all__ = [
@@ -57,6 +57,7 @@ __all__ = [
     "figure_table",
     "fingerprint",
     "lang_id",
+    "ivf_topk",
     "lsh_ann_pairs",
     "minhash_lsh_pairs",
     "minhash_signatures",

@@ -253,3 +253,142 @@ def cosine_topk_gemm(
     scored = candidates.select(id_col, vec_col).mapInPandas(run, schema)
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 64,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical Lloyd's k-means on a deterministic sample (ordered by id),
+    run driver-side: the quantizer is tiny and training it distributedly
+    buys nothing — the CLUSTER-side work is assignment and search. Vectors
+    and centroids are L2-normalized so nearest-centroid = max dot product =
+    max cosine. Returns the (n_centroids x dim) centroid matrix."""
+    pdf = df.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(float(np.linalg.norm(c)), 1e-30)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """(id, centroid_id): one GEMM per Arrow batch against the broadcast
+    centroid matrix — the build side of the inverted file. At scale this is
+    a single narrow map stage; persist/bucket the result by centroid_id to
+    make probe reads partition-pruned."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = StructType(
+        [id_field, StructField("centroid_id", IntegerType(), False)]
+    )
+    Ct = centroids.T.copy()
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid_id": np.argmax(V @ Ct, axis=1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k by cosine per query.
+
+    Shape: train a tiny spherical k-means quantizer (driver), assign every
+    candidate to its nearest centroid (one GEMM map stage), pick each
+    query's ``nprobe`` closest centroids (driver, queries are small), and
+    score ONLY candidates in the probed lists — a broadcast join on
+    centroid_id prunes the corpus to ~nprobe/n_centroids of its rows before
+    any distance math. ``nprobe == n_centroids`` searches every list and is
+    EXACT (the oracle configuration); recall tunes with nprobe.
+    ``round_digits`` ranks on the rounded cosine (+ id tiebreak) for
+    cross-engine-deterministic output."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            candidates, id_col, vec_col, n_centroids, sample_size, iters, seed
+        )
+    assign = ivf_assign(candidates, id_col, vec_col, centroids)
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if qpdf.empty:
+        raise ValueError("ivf_topk: query set is empty")
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    sims = Qn @ centroids.T
+    nprobe = min(nprobe, centroids.shape[0])
+    probe_rows = [
+        (qid, int(cid))
+        for qid, row in zip(qpdf[query_id_col], sims)
+        for cid in np.argsort(-row)[:nprobe]
+    ]
+    spark = candidates.sparkSession
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=[query_id_col, "centroid_id"])
+    )
+
+    cand = assign.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col, id_col
+    )
+    vecs = candidates.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    qvecs = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        cand.join(vecs, id_col)
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            _cosine_pairs_udf(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

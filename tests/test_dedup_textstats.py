@@ -308,3 +308,29 @@ def test_ngram_jaccard_doc_freq_cap(spark, docs):
     for a, b, j in capped.itertuples(index=False):
         assert (a, b) in full_map
         assert j <= full_map[(a, b)] + 1e-12
+
+
+def test_ivf_topk_exact_when_all_probes_and_recall_when_pruned(spark, embs):
+    """nprobe == n_centroids must reproduce the exact top-k (every inverted
+    list searched); pruned probes trade recall and must stay a subset of
+    the candidate scoring (no invented neighbours)."""
+    from streamchange_spark.operators import cosine_topk_gemm, ivf_topk
+
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_gemm(embs, queries, k=3).toPandas()
+    full = ivf_topk(
+        embs, queries, k=3, n_centroids=8, nprobe=8
+    ).toPandas()
+    key = ["query_id", "rank"]
+    e = exact.sort_values(key).reset_index(drop=True)
+    f = full.sort_values(key).reset_index(drop=True)
+    assert list(e["vec_id"]) == list(f["vec_id"])
+    assert np.allclose(e["cosine"], f["cosine"], rtol=0, atol=1e-12)
+
+    pruned = ivf_topk(embs, queries, k=3, n_centroids=8, nprobe=2).toPandas()
+    exact_pairs = set(zip(e["query_id"], e["vec_id"]))
+    pruned_pairs = set(zip(pruned["query_id"], pruned["vec_id"]))
+    recall = len(exact_pairs & pruned_pairs) / len(exact_pairs)
+    assert recall >= 0.4, recall
