@@ -732,6 +732,24 @@ def q_multivariate_alarms(spark, sf_dir):
 
 
 
+def q_dedup_components(spark, sf_dir):
+    """Connected components of the exact embedding near-dup pair graph
+    (pairs -> clusters -> min-id representative): the glue between pair
+    generation and an actually deduplicated corpus. Oracle: serial NumPy
+    cosine pair generation + union-find, pinned as a VALUES fixture."""
+    _configure(spark)
+    from streamchange_spark.operators import connected_components
+
+    pairs = embedding_neardup_pairs(
+        _spread(spark, _t(spark, sf_dir, "embeddings")),
+        "vec_id", "embedding", 0.4,
+    )
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN (coarse k-means quantizer + probe-list search) configured
     EXACT: nprobe == n_centroids searches every inverted list, so the
@@ -841,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plot_table": q_plot_table,
         "multivariate_segmentor": q_multivariate_segmentor,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "dedup_components": q_dedup_components,
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
         "multivariate_alarms": q_multivariate_alarms,
@@ -1221,6 +1240,42 @@ def _detector_fixture_oracles() -> dict[str, str]:
     }
 
 
+def _dedup_components_oracle_sql() -> str:
+    """Serial twin of q_dedup_components: brute-force cosine pairs over the
+    sf0.01 embeddings with NumPy, union-find for components."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{_ORACLE_SF_DIR}/embeddings.parquet")
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    sims = Vn @ Vn.T
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n = len(ids)
+    in_graph = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= 0.4:
+                a, b = int(ids[i]), int(ids[j])
+                in_graph.add(a)
+                in_graph.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((i, find(i)) for i in in_graph)
+    return _values_fixture_sql(
+        rows, [("vec_id", "BIGINT"), ("component", "BIGINT")]
+    )
+
+
 def _plot_table_oracle_sql() -> str:
     """Segment boundaries (+ which ends are change points) from the serial
     WindowSegmentor replay; per-point value, per-segment mean/std and the
@@ -1300,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "segmentation_stats": _segmentation_oracle_sql(),
         "tuning_grid": _tuning_grid_oracle_sql(),
         "plot_table": _plot_table_oracle_sql(),
+        "dedup_components": _dedup_components_oracle_sql(),
         **_detector_fixture_oracles(),
         "rollup_1h": _ROLLUP_ORACLE.format(sec=3600),
         "rollup_1d_from_1h": _ROLLUP_ORACLE.format(sec=86400),

@@ -41,6 +41,7 @@ from .rollup import (
     rollup_tier,
     with_avg,
 )
+from .dedup import connected_components, dedup_keep_ids
 from .plot_tables import figure_table
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
 from .textstats import fingerprint, lang_id, quality_features
@@ -48,9 +49,11 @@ from .textstats import fingerprint, lang_id, quality_features
 __all__ = [
     "TIER_SECONDS",
     "cosine_col",
+    "connected_components",
     "cosine_topk",
     "cosine_topk_gemm",
     "decode_image_features",
+    "dedup_keep_ids",
     "embedding_neardup_pairs",
     "exact_dedup",
     "extract_binary_meta",

@@ -465,3 +465,73 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters: pairs -> connected components -> representatives
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, component): connected components of the near-duplicate pair
+    graph, component = min member id.
+
+    Iterative min-label propagation: each round joins every node's label
+    with its neighbours' and keeps the minimum — one shuffle-join + one
+    hash-aggregate per round, converging in O(graph diameter) rounds.
+    Near-duplicate graphs are unions of near-cliques (every member pairs
+    with most others), so 2-3 rounds settle real corpora; the driver checks
+    convergence with a cheap count per round and stops early. For
+    pathological chain-shaped graphs raise ``max_iters`` (or pre-contract
+    with the large-star/small-star variant on a real cluster)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionAll(neigh)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "_old"), "id")
+            .where(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_ids(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id,) of documents that SURVIVE near-dup removal: every document not
+    in the pair graph, plus the min-id representative of each component —
+    the standard keep-one-per-cluster policy of training-data dedup."""
+    comp = connected_components(pairs, id_a, id_b)
+    drop = comp.where(F.col("id") != F.col("component")).select("id")
+    return df.select(F.col(id_col).alias("id")).distinct().join(
+        drop, "id", "left_anti"
+    )

@@ -334,3 +334,22 @@ def test_ivf_topk_exact_when_all_probes_and_recall_when_pruned(spark, embs):
     pruned_pairs = set(zip(pruned["query_id"], pruned["vec_id"]))
     recall = len(exact_pairs & pruned_pairs) / len(exact_pairs)
     assert recall >= 0.4, recall
+
+
+def test_connected_components_and_keep_ids(spark):
+    """Min-label propagation == union-find on a graph with a chain, a
+    triangle, and singletons; keep-ids = everything minus non-representative
+    cluster members."""
+    from streamchange_spark.operators import connected_components, dedup_keep_ids
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = connected_components(pairs).toPandas().set_index("id")["component"]
+    assert comp.to_dict() == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+    }
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc_id long")
+    kept = sorted(dedup_keep_ids(docs, pairs, "doc_id").toPandas()["id"])
+    assert kept == [1, 10, 20, 99]
