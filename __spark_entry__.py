@@ -667,13 +667,16 @@ def q_plot_table(spark, sf_dir):
 
 def q_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN pairs (the scale path next to the exact
-    embedding_neardup baseline); float-sign sensitivity makes a SQL twin
-    brittle, so this is a rows-only check with pytest covering recall."""
+    embedding_neardup baseline). The input is deliberately NOT _spread: at
+    sf0.01 the table is one partition = one Arrow batch, so the signature
+    matmul runs with the same BLAS shape as the serial oracle replay and
+    near-zero dot products keep the same sign bit (batch-shape-dependent
+    blocking is the one nondeterminism LSH signs are sensitive to)."""
     _configure(spark)
     from streamchange_spark.operators.similarity import lsh_ann_pairs
 
     pairs = lsh_ann_pairs(
-        _spread(spark, _t(spark, sf_dir, "embeddings")),
+        _t(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
         n_planes=16,
@@ -681,7 +684,10 @@ def q_ann_lsh(spark, sf_dir):
         n_bands=2,
         threshold=0.4,
     )
-    return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("cosine") - 1e-9, 3).alias("cosine"),
+    )
 
 
 def q_compression_ratio(spark, sf_dir):
@@ -693,7 +699,10 @@ def q_compression_ratio(spark, sf_dir):
     tier = _hourly_tier(spark, sf_dir).select("user_id", "bucket_start", "sum_v")
     blobs = compress_series(tier, ["user_id"], "bucket_start", "sum_v")
     return compression_ratio(blobs).select(
-        "points", "bytes", F.round("bytes_per_point", 2).alias("bytes_per_point")
+        "points", "bytes",
+        # -1e-9 before round: keeps the ratio off HALF_UP tie boundaries so
+        # the serial fixture oracle rounds identically
+        F.round(F.col("bytes_per_point") - 1e-9, 2).alias("bytes_per_point")
     )
 
 
@@ -1240,6 +1249,96 @@ def _detector_fixture_oracles() -> dict[str, str]:
     }
 
 
+def _ann_lsh_oracle_sql() -> str:
+    """Serial replay of q_ann_lsh: same plane matrix, one full-table
+    matmul (matching the single-Arrow-batch Spark run), same banding,
+    einsum cosine verification — pinned as a VALUES fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from streamchange_spark.operators.similarity import _hyperplanes
+
+    pdf = pd.read_parquet(f"{_ORACLE_SF_DIR}/embeddings.parquet")
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    S = (V @ _hyperplanes(V.shape[1], 16, 7).T) > 0
+    keys = np.zeros((len(V), 2), dtype=np.int64)
+    for b in range(2):
+        for j in range(8):
+            keys[:, b] |= S[:, b * 8 + j].astype(np.int64) << j
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, vid in enumerate(ids):
+        for b in range(2):
+            buckets[(b, int(keys[i, b]))].append(int(vid))
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for a, b in sorted(cand):
+        A, B = V[idx[a]][None, :], V[idx[b]][None, :]
+        num = float(np.einsum("ij,ij->i", A, B)[0])
+        den = max(float(np.linalg.norm(A) * np.linalg.norm(B)), 1e-30)
+        c = num / den
+        if c >= 0.4:
+            rows.append((a, b, round(c - 1e-9, 3)))
+    return _values_fixture_sql(
+        rows,
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")],
+    )
+
+
+def _compression_ratio_oracle_sql() -> str:
+    """Serial byte-exact replay of q_compression_ratio. The hourly sums are
+    accumulated sequentially in FILE ORDER per (user, bucket) — at sf0.01
+    the events scan is a single partition, so Spark's hash aggregate
+    updates each group's float64 sum row-at-a-time in exactly that order;
+    the Gorilla blobs (and hence byte counts) are then bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    from streamchange_spark.operators.gorilla import (
+        compress_timestamps,
+        compress_values,
+    )
+
+    ev = pd.read_parquet(
+        f"{_ORACLE_SF_DIR}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    epoch = ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    buckets = (epoch // 3600) * 3600
+    acc: dict = {}
+    for u, b, v in zip(
+        ev["user_id"].to_numpy(), buckets.to_numpy(), ev["value"].to_numpy()
+    ):
+        k = (u, b)
+        acc[k] = acc[k] + v if k in acc else v + 0.0
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for (u, b), s in acc.items():
+        per_user[u].append((b, s))
+    points = 0
+    nbytes = 0
+    for u, rows in per_user.items():
+        rows.sort()
+        ts = np.array([r[0] for r in rows], dtype=np.int64)
+        vs = np.array([r[1] for r in rows], dtype=np.float64)
+        points += len(rows)
+        nbytes += len(compress_timestamps(ts)) + len(compress_values(vs))
+    bpp = round(nbytes / points - 1e-9, 2)
+    return (
+        f"SELECT CAST({points} AS BIGINT) AS points, "
+        f"CAST({nbytes} AS BIGINT) AS bytes, "
+        f"CAST({bpp!r} AS DOUBLE) AS bytes_per_point"
+    )
+
+
 def _dedup_components_oracle_sql() -> str:
     """Serial twin of q_dedup_components: brute-force cosine pairs over the
     sf0.01 embeddings with NumPy, union-find for components."""
@@ -1356,6 +1455,8 @@ def oracle_sql() -> dict[str, str]:
         "tuning_grid": _tuning_grid_oracle_sql(),
         "plot_table": _plot_table_oracle_sql(),
         "dedup_components": _dedup_components_oracle_sql(),
+        "compression_ratio": _compression_ratio_oracle_sql(),
+        "ann_lsh": _ann_lsh_oracle_sql(),
         **_detector_fixture_oracles(),
         "rollup_1h": _ROLLUP_ORACLE.format(sec=3600),
         "rollup_1d_from_1h": _ROLLUP_ORACLE.format(sec=86400),
