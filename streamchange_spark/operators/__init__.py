@@ -30,6 +30,7 @@ from .gorilla import (
 )
 from .multimodal import (
     decode_image_features,
+    extract_audio_features,
     extract_binary_meta,
     sample_video_frames,
 )
@@ -56,6 +57,7 @@ __all__ = [
     "dedup_keep_ids",
     "embedding_neardup_pairs",
     "exact_dedup",
+    "extract_audio_features",
     "extract_binary_meta",
     "figure_table",
     "fingerprint",

@@ -142,6 +142,61 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+AUDIO_FEATURES_SCHEMA_FIELDS = [
+    StructField("sample_rate", IntegerType(), True),
+    StructField("duration_s", DoubleType(), True),
+    StructField("features", ArrayType(DoubleType()), True),
+]
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    feature_dim: int = 8,
+    allow_stub: bool = True,
+) -> DataFrame:
+    """(id, sample_rate, duration_s, features[feature_dim]) — decode +
+    band-energy feature extraction. The decode step is the marked stub
+    (soundfile/librosa on a real cluster); the batched Arrow plumbing and
+    vectorized pooled-energy math are the production shape."""
+    by_name = {f.name: f for f in df.schema.fields}
+    schema = StructType(
+        [StructField(id_col, by_name[id_col].dataType, True)]
+        + AUDIO_FEATURES_SCHEMA_FIELDS
+    )
+
+    def _decode(payload: bytes) -> tuple[np.ndarray, int]:
+        # STUB — replace with soundfile.read(io.BytesIO(payload)) on a
+        # cluster with audio libraries installed.
+        if not allow_stub:
+            raise NotImplementedError("audio decoding requires soundfile/librosa")
+        digest = hashlib.sha256(payload).digest()
+        rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
+        sr = 16_000
+        return rng.uniform(-1.0, 1.0, sr // 4).astype(np.float64), sr
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, sr = _decode(bytes(payload))
+                # pooled RMS energies per time slice (vectorized numpy)
+                pools = np.array_split(samples, feature_dim)
+                feats = [float(np.sqrt(np.mean(p**2))) for p in pools]
+                rows.append(
+                    {
+                        id_col: rid,
+                        "sample_rate": sr,
+                        "duration_s": len(samples) / sr,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str,

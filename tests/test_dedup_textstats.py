@@ -353,3 +353,27 @@ def test_connected_components_and_keep_ids(spark):
     docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc_id long")
     kept = sorted(dedup_keep_ids(docs, pairs, "doc_id").toPandas()["id"])
     assert kept == [1, 10, 20, 99]
+
+
+def test_audio_features_plumbing(spark, docs):
+    """Audio feature extraction: real Spark plumbing (schema, batching,
+    pooled-RMS math), deterministic stubbed decode; allow_stub=False raises."""
+    from streamchange_spark.operators import extract_audio_features
+
+    payloads = docs.limit(20).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    out = extract_audio_features(payloads, "doc_id", "payload", feature_dim=4).toPandas()
+    assert len(out) == 20
+    assert (out["sample_rate"] == 16000).all()
+    assert (out["duration_s"] > 0).all()
+    assert out["features"].map(len).eq(4).all()
+    # deterministic: same payload -> same features
+    out2 = extract_audio_features(payloads, "doc_id", "payload", feature_dim=4).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["features"], b["features"]))
+
+    strict = extract_audio_features(payloads, "doc_id", "payload", allow_stub=False)
+    with pytest.raises(Exception):
+        strict.collect()
