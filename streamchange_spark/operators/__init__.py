@@ -42,6 +42,7 @@ from .rollup import (
     rollup_tier,
     with_avg,
 )
+from .corpus import clean_corpus
 from .dedup import connected_components, dedup_keep_ids
 from .plot_tables import figure_table
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
@@ -50,6 +51,7 @@ from .textstats import fingerprint, lang_id, quality_features
 __all__ = [
     "TIER_SECONDS",
     "cosine_col",
+    "clean_corpus",
     "connected_components",
     "cosine_topk",
     "cosine_topk_gemm",

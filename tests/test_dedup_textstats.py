@@ -377,3 +377,29 @@ def test_audio_features_plumbing(spark, docs):
     strict = extract_audio_features(payloads, "doc_id", "payload", allow_stub=False)
     with pytest.raises(Exception):
         strict.collect()
+
+
+def test_clean_corpus_verdicts(spark):
+    """End-to-end corpus cleaning: every drop_reason reachable, keep rows =
+    survivors of lang -> quality -> exact-dedup -> near-dup in that order."""
+    from streamchange_spark.operators import clean_corpus
+
+    base = "the cat and the dog sat in the warm garden near the house " * 8
+    rows = [
+        (0, base),                                # keep (representative)
+        (1, base),                                # exact_dup of 0
+        (2, base + "with one extra tail"),        # near_dup of 0
+        (3, "der hund und die katze sind nicht hier aber das haus ist da " * 8),  # lang
+        (4, "a b"),                               # too short -> quality or lang
+        (5, "completely different english words about the spark engine and the parquet files in the cluster " * 6),  # keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(
+        df, min_quality=0.2, keep_langs=("en",)
+    ).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[5, "keep"])
+    assert out.loc[1, "drop_reason"] == "exact_dup"
+    assert out.loc[2, "drop_reason"] == "near_dup"
+    assert out.loc[3, "drop_reason"] == "lang"
+    assert out.loc[4, "drop_reason"] in ("lang", "quality")
+    assert len(out) == len(rows)  # one verdict per input row
