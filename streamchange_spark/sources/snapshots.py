@@ -121,6 +121,76 @@ class SnapshotStore:
         _atomic_write(os.path.join(self.table_dir, "HEAD"), snapshot_id)
         return snapshot_id
 
+    def expire_partitions(
+        self,
+        predicate,
+        properties: dict | None = None,
+    ) -> tuple[str, list[str]]:
+        """Retention: commit a new snapshot whose manifest DROPS every
+        partition for which ``predicate(partition_key)`` is true — a pure
+        metadata operation (no data files touched), so time travel to older
+        snapshots still sees the expired partitions until
+        :meth:`expire_snapshots` reclaims them. Returns
+        (snapshot_id, dropped_keys)."""
+        parent = self.head()
+        m = self.manifest(parent)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.table_dir}")
+        dropped = sorted(k for k in m["files"] if predicate(k))
+        files = {k: v for k, v in m["files"].items() if k not in dropped}
+        metrics = {
+            k: v for k, v in m.get("metrics", {}).items() if k not in dropped
+        }
+        snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent": parent,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "watermark": m.get("watermark"),
+            "properties": {**(properties or {}), "expired_partitions": dropped},
+            "files": files,
+            "metrics": metrics,
+        }
+        _atomic_write(
+            self._manifest_path(snapshot_id), json.dumps(manifest, indent=1)
+        )
+        _atomic_write(os.path.join(self.table_dir, "HEAD"), snapshot_id)
+        return snapshot_id, dropped
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Physically reclaim history (the Iceberg ``expire_snapshots``
+        analogue): keep the newest ``keep_last`` snapshots, delete the
+        older manifests, and delete every data file referenced ONLY by the
+        expired snapshots. The kept chain's oldest manifest becomes the new
+        root (parent = null). Returns the deleted data files."""
+        assert keep_last >= 1
+        chain = self.history()  # newest first
+        keep, drop = chain[:keep_last], chain[keep_last:]
+        if not drop:
+            return []
+        live_files = {
+            f for m in keep for part_files in m["files"].values() for f in part_files
+        }
+        deleted = []
+        for m in drop:
+            for part_files in m["files"].values():
+                for f in part_files:
+                    if f not in live_files and os.path.exists(f):
+                        os.remove(f)
+                        deleted.append(f)
+            os.remove(self._manifest_path(m["snapshot_id"]))
+        root = dict(keep[-1])
+        root["parent"] = None
+        _atomic_write(
+            self._manifest_path(root["snapshot_id"]), json.dumps(root, indent=1)
+        )
+        # prune now-empty data dirs
+        data_dir = os.path.join(self.table_dir, "data")
+        for dirpath, dirnames, filenames in os.walk(data_dir, topdown=False):
+            if not dirnames and not filenames:
+                os.rmdir(dirpath)
+        return deleted
+
     # -- reads -----------------------------------------------------------------
     def read(
         self,

@@ -111,3 +111,42 @@ def test_resume_produces_identical_table(spark, tmp_path):
     a = interrupted.read(spark).orderBy("part", "id").toPandas()
     b = clean.read(spark).orderBy("part", "id").toPandas()
     assert a.equals(b)
+
+
+def test_retention_expiry_and_snapshot_reclaim(spark, tmp_path):
+    """expire_partitions is metadata-only (time travel still sees dropped
+    partitions); expire_snapshots physically reclaims files referenced only
+    by expired history while keeping live data readable."""
+    import os
+
+    from streamchange_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df1 = spark.range(10).withColumnRenamed("id", "v")
+    df2 = spark.range(10, 20).withColumnRenamed("id", "v")
+    s1 = store.commit_partitions({"raw/2024-01-01": df1, "raw/2024-01-02": df2})
+
+    sid, dropped = store.expire_partitions(
+        lambda k: k < "raw/2024-01-02", properties={"policy": "raw<1d"}
+    )
+    assert dropped == ["raw/2024-01-01"]
+    # HEAD no longer sees the expired partition...
+    head_vals = sorted(
+        r.v for r in store.read(spark, prefix="raw/").collect()
+    )
+    assert head_vals == list(range(10, 20))
+    # ...but time travel to the pre-expiry snapshot still does
+    old_vals = sorted(
+        r.v for r in store.read(spark, snapshot_id=s1, prefix="raw/").collect()
+    )
+    assert old_vals == list(range(20))
+
+    deleted = store.expire_snapshots(keep_last=1)
+    assert deleted  # the expired partition's files are physically gone
+    assert all(not os.path.exists(f) for f in deleted)
+    assert len(store.history()) == 1
+    assert store.history()[0]["parent"] is None
+    # live data still readable after reclaim
+    assert sorted(r.v for r in store.read(spark, prefix="raw/").collect()) == list(
+        range(10, 20)
+    )
