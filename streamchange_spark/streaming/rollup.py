@@ -25,9 +25,12 @@ def streaming_rollup_raw(
     width: str = "1 hour",
     watermark_delay: str = "2 hours",
 ) -> DataFrame:
-    """(keys..., bucket_start, n_points, sum_v, min_v, max_v, first_v,
-    last_v) — streaming twin of operators.rollup.rollup_raw; the window
-    aggregation is incremental per micro-batch with watermark-bounded state."""
+    """(keys..., bucket_start, n_points, sum_v, min_v, max_v, first_ts,
+    first_v, last_ts, last_v) — streaming twin of
+    operators.rollup.rollup_raw with the identical schema, so the streamed
+    1h tuples feed ``rollup_tier`` into coarser batch tiers unchanged
+    (tested); the window aggregation is incremental per micro-batch with
+    watermark-bounded state."""
     key_cols = list(key_cols)
     v = F.col(value_col)
     ts = F.col(ts_col)
@@ -40,9 +43,12 @@ def streaming_rollup_raw(
             F.sum(v).alias("sum_v"),
             F.min(v).alias("min_v"),
             F.max(v).alias("max_v"),
+            F.min(ts).alias("first_ts"),
             F.min_by(v, ts).alias("first_v"),
+            F.max(ts).alias("last_ts"),
             F.max_by(v, ts).alias("last_v"),
         )
         .select(*key_cols, F.col("_w.start").alias("bucket_start"),
-                "n_points", "sum_v", "min_v", "max_v", "first_v", "last_v")
+                "n_points", "sum_v", "min_v", "max_v",
+                "first_ts", "first_v", "last_ts", "last_v")
     )

@@ -216,3 +216,29 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     # sums accumulate incrementally across micro-batches: same values, ULP
     # -level reassociation noise
     assert np.allclose(merged["sum_v_s"], merged["sum_v_b"], rtol=1e-12, atol=0)
+
+    # Re-aggregability contract (module docstring): the streaming 1h tuples
+    # feed the batch coarser tiers unchanged — rolling the streamed buckets
+    # up to 1d equals rolling the batch 1h tier's matching buckets up to 1d.
+    from streamchange_spark.operators import rollup_tier
+
+    streamed_1h = spark.createDataFrame(got)
+    batch_1h_closed = spark.createDataFrame(
+        batch.merge(got[["key", "bucket_start"]], on=["key", "bucket_start"])
+    )
+    d_s = (
+        rollup_tier(streamed_1h, ["key"], "1d")
+        .toPandas()
+        .sort_values(["key", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    d_b = (
+        rollup_tier(batch_1h_closed, ["key"], "1d")
+        .toPandas()
+        .sort_values(["key", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert len(d_s) == len(d_b) > 0
+    for c in ("n_points", "min_v", "max_v", "first_v", "last_v"):
+        assert np.allclose(d_s[c], d_b[c], rtol=0, atol=0), c
+    assert np.allclose(d_s["sum_v"], d_b["sum_v"], rtol=1e-12, atol=0)
