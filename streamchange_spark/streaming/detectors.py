@@ -110,13 +110,16 @@ def _streaming_per_update(
     out_schema: StructType,
     key_col: str,
     ts_col: str,
-    value_col: str,
+    value_col,
     watermark: str,
     max_history: int,
 ) -> DataFrame:
     """Shared per-key stateful scan: pickled kernel detector + bounded
     replay-time buffer in group state; ``emit(detector, key, ts, times)``
-    returns 0..n output dicts after each update."""
+    returns 0..n output dicts after each update. ``value_col`` may be a
+    list of columns — each update then feeds the detector a p-vector (the
+    reference's multivariate ``update(np.ndarray)`` contract)."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -129,7 +132,10 @@ def _streaming_per_update(
         out_rows: list[dict[str, Any]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            values = pdf[value_col].to_numpy(dtype="float64")
+            if len(value_cols) == 1:
+                values = pdf[value_cols[0]].to_numpy(dtype="float64")
+            else:
+                values = pdf[value_cols].to_numpy(dtype="float64")
             tss = list(pdf[ts_col])
             for v, ts in zip(values, tss):
                 detector.update(v)
@@ -172,7 +178,7 @@ def streaming_sequential_detector(
     detector_factory: Callable,
     key_col: str = "key",
     ts_col: str = "ts",
-    value_col: str = "value",
+    value_col="value",
     watermark: str = "1 hour",
     max_history: int = 10_000,
 ) -> DataFrame:

@@ -242,3 +242,56 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     for c in ("n_points", "min_v", "max_v", "first_v", "last_v"):
         assert np.allclose(d_s[c], d_b[c], rtol=0, atol=0), c
     assert np.allclose(d_s["sum_v"], d_b["sum_v"], rtol=1e-12, atol=0)
+
+
+def test_streaming_multivariate_sequential_matches_kernel(spark, tmp_path):
+    """Multivariate streaming monitor (AggregatedScore p=2): the stream's
+    per-update vectors reproduce the ordered kernel replay."""
+    from streamchange_spark.kernels import (
+        AggregatedScore,
+        ConstantPenalty,
+        LordenPollakScore,
+        PenalisedScore,
+        SequentialChangeDetector,
+        simulate,
+    )
+    from streamchange_spark.streaming import streaming_sequential_detector
+
+    x = simulate([0, 6], [50], p=2, seed=9)
+    ts = pd.to_datetime(1_704_067_200 + 3600 * np.arange(x.shape[0]), unit="s")
+    pdf = pd.DataFrame({"key": "k1", "ts": ts, "v1": x[:, 0], "v2": x[:, 1]})
+
+    src = tmp_path / "mv_src"
+    src.mkdir()
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 3)):
+        spark.createDataFrame(pdf.iloc[chunk]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"batch_{i}"))
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, v1 double, v2 double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch_*"))
+    )
+    factory = lambda: SequentialChangeDetector(
+        PenalisedScore(AggregatedScore(LordenPollakScore(rho=1.0)), ConstantPenalty(20.0)),
+        reset_on_change=True,
+    )
+    q = (
+        streaming_sequential_detector(stream, factory, value_col=["v1", "v2"])
+        .writeStream.format("memory")
+        .queryName("mv_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from mv_out").toPandas().sort_values("detection_ts")
+
+    oracle = factory()
+    exp = []
+    for row, t in zip(x, ts):
+        oracle.update(row)
+        if oracle.change_detected:
+            exp.append((t, oracle.penalised_score.value))
+    assert list(got["detection_ts"]) == [t for t, _ in exp]
+    assert np.allclose(got["penalised_score"], [s for _, s in exp], rtol=0, atol=0)
