@@ -80,3 +80,27 @@ def test_text_invariant_preserved(spark, tmp_path, pages):
     pages.write.mode("overwrite").parquet(path)
     after = text_manifest(spark.read.parquet(path)).orderBy("url", "warc_ts").toPandas()
     assert before.equals(after)
+
+
+def test_corpus_pipeline_runs_and_resumes(spark, tmp_path):
+    """Corpus pipeline: shard-partitioned verdicts committed via the
+    SnapshotStore; a second run builds zero shards and reads identical
+    verdicts (resume identity, same contract as the time-series pipeline)."""
+    from streamchange_spark.corpus_pipeline import run_corpus_pipeline
+    from streamchange_spark.sources import generate_pages
+
+    pages = generate_pages(spark, n_urls=60, mean_snapshots=6)
+    store = str(tmp_path / "corpus_store")
+    m1 = run_corpus_pipeline(
+        spark, pages, store, n_shards=2, min_quality=0.0, keep_langs=None
+    )
+    assert m1["shards_built"] == 2
+    assert m1["docs"] == 60  # one verdict per distinct url
+    assert m1["kept"] >= 1
+    assert sum(m1["breakdown"].values()) == m1["docs"]
+
+    m2 = run_corpus_pipeline(
+        spark, pages, store, n_shards=2, min_quality=0.0, keep_langs=None
+    )
+    assert m2["shards_built"] == 0 and m2["snapshot_id"] is None
+    assert m2["breakdown"] == m1["breakdown"]
