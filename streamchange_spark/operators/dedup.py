@@ -478,18 +478,48 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component): connected components of the near-duplicate pair
     graph, component = min member id.
 
-    Iterative min-label propagation: each round joins every node's label
+    Pair graphs are tiny relative to the corpus (only near-duplicates),
+    so up to ``driver_threshold`` edges the component labelling runs as a
+    driver-side union-find — one collect of (id, id) longs, microseconds
+    of CPU, no iterative jobs. Beyond the threshold it falls back to
+    distributed min-label propagation: each round joins every node's label
     with its neighbours' and keeps the minimum — one shuffle-join + one
-    hash-aggregate per round, converging in O(graph diameter) rounds.
-    Near-duplicate graphs are unions of near-cliques (every member pairs
-    with most others), so 2-3 rounds settle real corpora; the driver checks
-    convergence with a cheap count per round and stops early. For
-    pathological chain-shaped graphs raise ``max_iters`` (or pre-contract
-    with the large-star/small-star variant on a real cluster)."""
+    hash-aggregate per round, converging in O(graph diameter) rounds
+    (near-dup graphs are unions of near-cliques; 2-3 rounds settle real
+    corpora, with an early-stop convergence check per round)."""
+    slim = pairs.select(F.col(id_a), F.col(id_b))
+    head = slim.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in head:
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(i, find(i)) for i in parent]
+        spark = pairs.sparkSession
+        id_type = next(f for f in pairs.schema.fields if f.name == id_a).dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField("id", id_type, True), StructField("component", id_type, True)]
+        )
+        return spark.createDataFrame(rows, schema)
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

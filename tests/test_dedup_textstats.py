@@ -403,3 +403,22 @@ def test_clean_corpus_verdicts(spark):
     assert out.loc[3, "drop_reason"] == "lang"
     assert out.loc[4, "drop_reason"] in ("lang", "quality")
     assert len(out) == len(rows)  # one verdict per input row
+
+
+def test_connected_components_distributed_path_matches_driver_path(spark):
+    """driver_threshold=0 forces the distributed min-label loop; it must
+    produce the same labelling as the union-find fast path — including a
+    chain (worst diameter) crossing micro-cluster boundaries."""
+    from streamchange_spark.operators import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)] + [(20, 22), (21, 22)],
+        "id_a long, id_b long",
+    )
+    fast = connected_components(pairs).toPandas().set_index("id")["component"]
+    dist = connected_components(pairs, driver_threshold=0).toPandas().set_index("id")[
+        "component"
+    ]
+    assert fast.sort_index().to_dict() == dist.sort_index().to_dict()
+    assert set(fast.values) == {1, 20}
+    assert fast.loc[4] == 1  # chain fully contracted
