@@ -44,7 +44,7 @@ from .rollup import (
 )
 from .corpus import clean_corpus
 from .dedup import connected_components, dedup_keep_ids
-from .plot_tables import figure_table
+from .plot_tables import figure_table, figure_table_multivariate
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
 from .textstats import fingerprint, lang_id, quality_features
 
@@ -62,6 +62,7 @@ __all__ = [
     "extract_audio_features",
     "extract_binary_meta",
     "figure_table",
+    "figure_table_multivariate",
     "fingerprint",
     "lang_id",
     "ivf_topk",

@@ -18,6 +18,7 @@ from typing import Callable, Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -96,3 +97,31 @@ def figure_table(
         df, key_cols, run, schema, num_partitions,
         needed_cols=[ts_col, value_col],
     )
+
+
+def figure_table_multivariate(
+    df: DataFrame,
+    detector_factory: Callable,
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    value_cols: Sequence[str] = ("value",),
+    confidence: float = 0.95,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(keys..., dim, ts, value, segment_mean, is_cpt, band_lo, band_hi) —
+    the data behind the reference's MultivariateTimeSeriesFigure (one
+    subplot per dimension, multivariate_time_series_figure.py:8-117): each
+    dimension gets its own univariate figure table tagged with the source
+    column name, all in one union plan (the shared scan is reused)."""
+    from functools import reduce
+
+    parts = []
+    for col in value_cols:
+        t = figure_table(
+            df, detector_factory, key_cols, ts_col, col, confidence,
+            num_partitions,
+        )
+        parts.append(t.select(*key_cols, F.lit(col).alias("dim"), *[
+            f.name for f in t.schema.fields if f.name not in key_cols
+        ]))
+    return reduce(lambda a, b: a.unionAll(b), parts)

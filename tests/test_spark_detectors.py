@@ -311,3 +311,29 @@ def test_grouped_apply_skewed_keys(spark):
         det.fit(sub["value"].to_numpy(), times=sub["ts"].to_numpy())
         exp_k = sorted(pd.Timestamp(c) for _, c in det.detections_)
         assert sorted(got[got.key == k]["changepoint_ts"]) == exp_k
+
+
+def test_figure_table_multivariate_tags_dimensions(spark):
+    from streamchange_spark.kernels import BIC, CUSUM, WindowSegmentor, simulate
+    from streamchange_spark.operators import figure_table, figure_table_multivariate
+
+    x = simulate([0, 10], [60], p=2, seed=4)
+    pdf = pd.DataFrame(
+        {
+            "key": "k",
+            "ts": pd.to_datetime(1_704_067_200 + 3600 * np.arange(x.shape[0]), unit="s"),
+            "v1": x[:, 0],
+            "v2": x[:, 1],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    factory = lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=5.0)), 4, 100)
+    mv = figure_table_multivariate(
+        df, factory, ["key"], "ts", ["v1", "v2"]
+    ).toPandas()
+    assert set(mv["dim"]) == {"v1", "v2"}
+    assert len(mv) == 2 * len(pdf)
+    # each dim slice equals its univariate table
+    uni = figure_table(df, factory, ["key"], "ts", "v1").toPandas()
+    got = mv[mv.dim == "v1"].drop(columns="dim").sort_values("ts").reset_index(drop=True)
+    assert np.allclose(got["segment_mean"], uni.sort_values("ts")["segment_mean"])
