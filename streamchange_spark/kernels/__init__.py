@@ -30,7 +30,7 @@ from .sequential import (
     SequentialChangeDetector,
 )
 from .simulate import simulate
-from .utils import Profiler, dropna_series, geomspace_int, has_method
+from .utils import Profiler, dropna_series, geomspace_int, has_method, iter_pandas
 from .stats import Mean, MovingSum, Quantile, StatBuffer, StatUnion, Var
 from .tuners import (
     AMOCPenaltyTuner,
@@ -48,6 +48,7 @@ __all__ = [
     "dropna_series",
     "geomspace_int",
     "has_method",
+    "iter_pandas",
     "AMOCEstimator",
     "AMOCPenaltyTuner",
     "AggregatedScore",

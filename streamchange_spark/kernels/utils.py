@@ -62,3 +62,13 @@ class Profiler:
             pstats.SortKey.CUMULATIVE
         ).print_stats()
         print(s.getvalue())
+
+
+def iter_pandas(X, y=None):
+    """river.stream.iter_pandas-compatible row iterator (the reference
+    README's stream driver: ``for t, (x, _) in enumerate(iter_pandas(df)):
+    detector.update(x)``) — yields (row_dict, y_i) so the quickstart loop
+    ports verbatim without the river dependency."""
+    cols = list(X.columns)
+    for i, row in enumerate(X.itertuples(index=False)):
+        yield dict(zip(cols, row)), (y.iloc[i] if y is not None else None)

@@ -35,6 +35,7 @@ class RingBuffer:
         self._buf = None
         self._lo = 0
         self._hi = 0
+        self._dict_keys = None
         return self
 
     def _ensure(self, row: np.ndarray):
@@ -53,7 +54,14 @@ class RingBuffer:
             self._lo, self._hi = 0, n
 
     def push(self, x) -> None:
-        """Append the newest observation; evict the oldest beyond max_length."""
+        """Append the newest observation; evict the oldest beyond max_length.
+        Dict inputs are flattened to a float row-vector with the column
+        order fixed by the FIRST observation's keys (reference quirk,
+        base.py:100-109)."""
+        if isinstance(x, dict):
+            if self._dict_keys is None:
+                self._dict_keys = list(x)
+            x = [x[k] for k in self._dict_keys]
         row = np.asarray(x, dtype=np.float64)
         self._ensure(row)
         self._buf[self._hi] = row

@@ -119,3 +119,33 @@ def test_fast_paths_bit_identical_to_pure_loop():
                 assert fast == slow
     finally:
         ws_mod.WindowSegmentor._batch_scorer = orig
+
+
+def test_readme_quickstart_ports_verbatim():
+    """The reference README's stream-driver loop (iter_pandas + dict
+    updates) must run unchanged and find the same change points as the
+    batch fit (dict column order fixed by the first row — base.py:100-109
+    quirk preserved)."""
+    import pandas as pd
+
+    from streamchange_spark.kernels import (
+        BIC,
+        CUSUM,
+        WindowSegmentor,
+        iter_pandas,
+        simulate,
+    )
+
+    x = simulate([0, 20], [100], p=1, seed=2)
+    df = pd.DataFrame(x, columns=["x"])
+    detector = WindowSegmentor(CUSUM(penalty=BIC(scale=5.0)), 4, 100)
+    stream_cpts = []
+    for t, (xi, _) in enumerate(iter_pandas(df)):
+        detector.update(xi)
+        if detector.change_detected:
+            stream_cpts += [t - cpt for cpt in detector.changepoints]
+
+    batch = WindowSegmentor(CUSUM(penalty=BIC(scale=5.0)), 4, 100)
+    batch.fit(x[:, 0])
+    assert stream_cpts == [int(c) for _, c in batch.detections_]
+    assert len(stream_cpts) >= 1
