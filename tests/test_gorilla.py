@@ -213,3 +213,49 @@ def test_random_walk_fuzz_roundtrip():
             decompress_values(compress_values(vals)).view(np.uint64),
             vals.view(np.uint64),
         )
+
+
+def test_hypothesis_roundtrip_property():
+    """Property-based fuzz (hypothesis): ANY int64-delta-safe timestamp
+    series and ANY float64 series (incl. nan/inf/subnormals/negative zero)
+    round-trip bit-exactly through both encoder policies and both decoder
+    paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from streamchange_spark.operators.gorilla import (
+        compress_timestamps,
+        compress_values,
+        compress_values_greedy,
+        decompress_timestamps,
+        decompress_timestamps_batch,
+        decompress_values,
+        decompress_values_batch,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40), max_size=60
+        ),
+        st.lists(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            max_size=60,
+        ),
+    )
+    def check(ts_list, val_list):
+        ts = np.asarray(ts_list, dtype=np.int64)
+        vals = np.asarray(val_list, dtype=np.float64)
+        tb = compress_timestamps(ts)
+        assert np.array_equal(decompress_timestamps(tb), ts)
+        bt, nt = decompress_timestamps_batch([tb])
+        assert np.array_equal(bt, ts)
+        for enc in (compress_values, compress_values_greedy):
+            vb = enc(vals)
+            assert np.array_equal(
+                decompress_values(vb).view(np.uint64), vals.view(np.uint64)
+            )
+            bv, _ = decompress_values_batch([vb])
+            assert np.array_equal(bv.view(np.uint64), vals.view(np.uint64))
+
+    check()
