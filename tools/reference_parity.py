@@ -260,6 +260,72 @@ for RC, MC in [(RefLP, LordenPollakScore), (RefC0S, CUSUM0Score)]:
         and np.array_equal(rdet.penalised_scores_.to_numpy(), mdet.penalised_scores_),
     )
 
+# ---------------------------------------------------------------------------
+# Randomized fuzz: random multi-segment series through every detector family,
+# reference vs kernels, exact output equality. Exercises the block-batched
+# Pelt/Capa replays and WindowSegmentor fast paths far beyond the fixtures.
+# ---------------------------------------------------------------------------
+fuzz_rng = np.random.RandomState(20260817)
+for trial in range(8):
+    n_segs = int(fuzz_rng.randint(1, 6))
+    means = [float(fuzz_rng.uniform(-20, 20)) for _ in range(n_segs)]
+    seg_len = int(fuzz_rng.randint(20, 80))
+    seed = int(fuzz_rng.randint(0, 10_000))
+    df = ref_simulate(means, [seg_len], p=1, seed=seed)
+    x = df.to_numpy()[:, 0]
+    pen = float(fuzz_rng.choice([0.5, 2.0, 8.0]))
+    minsl = int(fuzz_rng.randint(2, 6))
+    # reference WindowSegmentor is O(window^2)/pt un-jitted; keep windows small
+    maxsl = int(fuzz_rng.choice([30, 60, 100]))
+    tag = f"fuzz{trial} segs={n_segs} len={seg_len} pen={pen} m={minsl}/{maxsl}"
+
+    rws = RefWS(RefCUSUM(penalty=pen), minsl + 2, maxsl)
+    rws.fit(df)
+    mws = WindowSegmentor(CUSUM(penalty=pen), minsl + 2, maxsl)
+    mws.fit(x)
+    check(f"WS {tag}", list(rws.changepoints_) == [int(v) for v in mws.changepoints_])
+
+    # Pelt fuzz pins minsl=1: with minsl>1 the REFERENCE's backward
+    # segment walk (pelt/pelt.py:57-72) infinite-loops whenever the trail
+    # reaches a last_cpt==0 entry from the sub-minsl warm-up (our kernel
+    # documents and guards that divergence; it cannot be compared there).
+    rp = RefPelt(RefL2Cost(pen), minsl=1, maxsl=maxsl)
+    rp.fit(df[0])
+    mp = Pelt(L2Cost(pen), minsl=1, maxsl=maxsl)
+    mp.fit(x)
+    check(
+        f"Pelt {tag}",
+        rp.changepoints_ == [int(v) for v in mp.changepoints_]
+        and [(s["start"], s["end"], s["size"]) for s in rp.segments_]
+        == [(int(s["start"]), int(s["end"]), int(s["size"])) for s in mp.segments_],
+    )
+
+    print(f"  [{tag}] ref capa...", flush=True)
+    rc = RefCapa(RefCML2(pen), minsl=minsl, maxsl=maxsl, predict_point_anomalies=True)
+    rc.fit(df[0])
+    print(f"  [{tag}] my capa...", flush=True)
+    mc = Capa(ConstMeanL2(pen), minsl=minsl, maxsl=maxsl, predict_point_anomalies=True)
+    mc.fit(x)
+    check(
+        f"Capa {tag}",
+        [(a["start"], a["end"], a["size"]) for a in rc.collective_anomalies_]
+        == [(int(a["start"]), int(a["end"]), int(a["size"])) for a in mc.collective_anomalies_]
+        and [(a["start"], a["end"]) for a in rc.point_anomalies_]
+        == [(int(a["start"]), int(a["end"])) for a in mc.point_anomalies_],
+    )
+
+    rdet = RefSeq(RefLP().penalise(pen), True, minsl)
+    rdet.fit(df[0])
+    mdet = SequentialChangeDetector(
+        PenalisedScore(LordenPollakScore(), pen), True, minsl
+    )
+    mdet.fit(x)
+    check(
+        f"Seq {tag}",
+        list(rdet.alarms_) == [int(v) for v in mdet.alarms_]
+        and np.array_equal(rdet.penalised_scores_.to_numpy(), mdet.penalised_scores_),
+    )
+
 print()
 print("FAILURES:", fails if fails else "none")
 sys.exit(1 if fails else 0)
