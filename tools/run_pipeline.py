@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--pages", default=None, help="existing pages parquet")
     ap.add_argument("--urls", type=int, default=2000)
     ap.add_argument("--snapshots", type=int, default=40)
+    ap.add_argument(
+        "--mode", choices=["timeseries", "corpus"], default="timeseries",
+        help="timeseries: rollup tiers + change points; corpus: "
+        "clean_corpus verdicts (both resumable from --store)",
+    )
     args = ap.parse_args()
 
     # Under spark-submit the session already exists with the submitted
@@ -34,6 +39,7 @@ def main():
     spark = SparkSession.builder.appName("streamchange_pipeline").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    from streamchange_spark.corpus_pipeline import run_corpus_pipeline
     from streamchange_spark.pipeline import run_pipeline
     from streamchange_spark.sources import generate_pages
 
@@ -43,7 +49,10 @@ def main():
         pages = generate_pages(
             spark, n_urls=args.urls, mean_snapshots=args.snapshots
         )
-    metrics = run_pipeline(spark, pages, args.store)
+    if args.mode == "corpus":
+        metrics = run_corpus_pipeline(spark, pages, args.store)
+    else:
+        metrics = run_pipeline(spark, pages, args.store)
     print(json.dumps(metrics))
     spark.stop()
     return 0
