@@ -300,10 +300,8 @@ for trial in range(8):
         == [(int(s["start"]), int(s["end"]), int(s["size"])) for s in mp.segments_],
     )
 
-    print(f"  [{tag}] ref capa...", flush=True)
     rc = RefCapa(RefCML2(pen), minsl=minsl, maxsl=maxsl, predict_point_anomalies=True)
     rc.fit(df[0])
-    print(f"  [{tag}] my capa...", flush=True)
     mc = Capa(ConstMeanL2(pen), minsl=minsl, maxsl=maxsl, predict_point_anomalies=True)
     mc.fit(x)
     check(
