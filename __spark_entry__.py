@@ -301,8 +301,11 @@ def q_simhash(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     _configure(spark)
+    # max_doc_freq=None: the oracle SQL computes exact jaccard, so the
+    # fixture opts out of the scale-default doc-frequency cap explicitly.
     pairs = ngram_jaccard_pairs(
-        _spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text", n=3, threshold=0.15
+        _spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text", n=3,
+        threshold=0.15, max_doc_freq=None,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -759,6 +762,29 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_corpus_verdicts(spark, sf_dir):
+    """The training-data flagship end-to-end: clean_corpus over the documents
+    table — language filter -> quality threshold -> exact dedup -> minhash-
+    LSH near-dup clusters -> one keep/drop verdict per document. Oracle: a
+    serial pandas/hashlib replay of all four stages + union-find (the
+    dedup_components pattern), pinned as a VALUES fixture."""
+    _configure(spark)
+    from streamchange_spark.operators import clean_corpus
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    v = clean_corpus(
+        docs, id_col="doc_id", text_col="text",
+        keep_langs=("en",), min_quality=0.2,
+    )
+    return v.select(
+        "doc_id",
+        "lang_pred",
+        F.round(F.col("quality_score") - 1e-9, 4).alias("quality_score"),
+        "keep",
+        "drop_reason",
+    )
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN (coarse k-means quantizer + probe-list search) configured
     EXACT: nprobe == n_centroids searches every inverted list, so the
@@ -869,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multivariate_segmentor": q_multivariate_segmentor,
         "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_components": q_dedup_components,
+        "corpus_verdicts": q_corpus_verdicts,
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
         "multivariate_alarms": q_multivariate_alarms,
@@ -1375,6 +1402,139 @@ def _dedup_components_oracle_sql() -> str:
     )
 
 
+def _corpus_verdicts_oracle_sql() -> str:
+    """Serial pandas/hashlib twin of q_corpus_verdicts: the full corpus
+    cleaning decision (lang -> quality -> exact dedup -> minhash-LSH
+    near-dup -> union-find representative) replayed document-at-a-time
+    with Python md5 arithmetic — an execution path independent of the
+    distributed run — and pinned as a VALUES fixture. Clean-room twin of
+    the composition the reference's users would run as separate passes."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    from streamchange_spark.operators.textstats import LANG_STOPWORDS
+
+    pdf = pd.read_parquet(
+        f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ws = _re.compile(r"\s+", _re.ASCII)
+    num_hashes, bands, nsh = 16, 4, 3
+    rows_per_band = num_hashes // bands
+    stop_sets = {lg: set(w) for lg, w in LANG_STOPWORDS.items()}
+
+    docs: dict[int, dict] = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        doc_id = int(doc_id)
+        toks = [t for t in ws.split(text.lower()) if t]
+        hits = {lg: sum(1 for t in toks if t in s) for lg, s in stop_sets.items()}
+        best = max(hits.values())
+        pred = "und"
+        for lang in sorted(LANG_STOPWORDS, reverse=True):
+            if hits[lang] == best and best > 0:
+                pred = lang
+        n_chars, n_tokens = len(text), len(toks)
+        alpha = len(_re.sub(r"[^A-Za-z]", "", text))
+        punct = len(_re.sub(r"[^.,;:!?]", "", text))
+        alpha_ratio = alpha / n_chars if n_chars > 0 else 0.0
+        punct_ratio = punct / n_chars if n_chars > 0 else 0.0
+        stop_ratio = hits["en"] / n_tokens if n_tokens > 0 else 0.0
+        # identical term order to quality_features (left-associative sum)
+        score = (
+            min(n_tokens / 100.0, 1.0) * 0.25
+            + alpha_ratio * 0.35
+            + min(stop_ratio * 5.0, 1.0) * 0.25
+            + (1.0 - min(punct_ratio * 10.0, 1.0)) * 0.15
+        )
+        docs[doc_id] = {
+            "pred": pred,
+            "score": score,
+            "lang_ok": pred == "en" and best >= 1,
+            "quality_ok": score >= 0.2,
+            "toks": toks,
+            "md5": hashlib.md5(text.encode("utf-8")).hexdigest(),
+        }
+
+    survivors = [
+        d for d in sorted(docs) if docs[d]["lang_ok"] and docs[d]["quality_ok"]
+    ]
+    by_md5: dict[str, int] = {}
+    for d in survivors:  # min doc_id per byte-identical text
+        m = docs[d]["md5"]
+        by_md5[m] = min(by_md5.get(m, d), d)
+    exact_keep = set(by_md5.values())
+    after_exact = [d for d in survivors if d in exact_keep]
+
+    def h64(s: str) -> int:
+        # _hash64('md5'): first 15 hex chars of md5 as a base-16 bigint
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    buckets: dict[tuple, list[int]] = {}
+    for d in after_exact:
+        toks = docs[d]["toks"]
+        sh = {" ".join(toks[i : i + nsh]) for i in range(len(toks) - nsh + 1)}
+        if not sh:
+            continue  # < n tokens: no shingles -> no signature row
+        sig = [min(h64(f"{s}#{i}") for s in sh) for i in range(num_hashes)]
+        for b in range(bands):
+            members = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            key = hashlib.md5(
+                ":".join(str(m) for m in members).encode()
+            ).hexdigest()
+            buckets.setdefault((b, key), []).append(d)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        for a in members:
+            parent.setdefault(a, a)
+        for a, b in zip(members, members[1:]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    near_drop = {d for d in parent if find(d) != d}
+
+    rows = []
+    for d in sorted(docs):
+        info = docs[d]
+        if not info["lang_ok"]:
+            reason = "'lang'"
+        elif not info["quality_ok"]:
+            reason = "'quality'"
+        elif d not in exact_keep:
+            reason = "'exact_dup'"
+        elif d in near_drop:
+            reason = "'near_dup'"
+        else:
+            reason = "NULL"
+        rows.append(
+            (
+                d,
+                f"'{info['pred']}'",
+                repr(round(info["score"] - 1e-9, 4)),
+                "TRUE" if reason == "NULL" else "FALSE",
+                reason,
+            )
+        )
+    return _values_fixture_sql(
+        rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("lang_pred", "VARCHAR"),
+            ("quality_score", "DOUBLE"),
+            ("keep", "BOOLEAN"),
+            ("drop_reason", "VARCHAR"),
+        ],
+    )
+
+
 def _plot_table_oracle_sql() -> str:
     """Segment boundaries (+ which ends are change points) from the serial
     WindowSegmentor replay; per-point value, per-segment mean/std and the
@@ -1455,6 +1615,7 @@ def oracle_sql() -> dict[str, str]:
         "tuning_grid": _tuning_grid_oracle_sql(),
         "plot_table": _plot_table_oracle_sql(),
         "dedup_components": _dedup_components_oracle_sql(),
+        "corpus_verdicts": _corpus_verdicts_oracle_sql(),
         "compression_ratio": _compression_ratio_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         **_detector_fixture_oracles(),

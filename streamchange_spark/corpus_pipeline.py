@@ -1,13 +1,18 @@
 """The training-data half of the engine as a resumable pipeline: pages ->
-latest snapshot per URL -> clean_corpus verdicts -> surviving corpus, each
-shard committed through the SnapshotStore (atomic snapshots, per-partition
-lineage, resume-by-skip) exactly like the time-series pipeline.
+latest snapshot per URL -> corpus features per shard -> GLOBAL dedup ->
+keep/drop verdicts, committed through the SnapshotStore (atomic snapshots,
+per-partition lineage, resume-by-skip) exactly like the time-series pipeline.
 
 Work is partitioned by URL hash shard (``pmod(xxhash64(url), n_shards)``) —
 the corpus analogue of the time-series pipeline's day partitions: shards are
-balanced regardless of per-URL skew, a restart skips completed shards, and
-every shard's verdict/corpus files carry lineage metrics in the snapshot
-manifest.
+balanced regardless of per-URL skew and a restart skips completed shards.
+Crucially, ONLY the payload-text feature pass (tokenize / quality / minhash
+— the dominant cost) is shard-local; the dedup keys it produces (text_md5,
+minhash signature columns) are banded and grouped across the union of all
+shards, so exact and near duplicates whose URLs hash to different shards
+are still compared. Verdicts are a single global commit derived from the
+cheap id-level feature tables (re-derivable on resume without re-reading
+any text).
 """
 
 from __future__ import annotations
@@ -17,7 +22,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import clean_corpus
+from .operators.corpus import corpus_features, verdicts_from_features
 from .sources.snapshots import SnapshotStore
 
 
@@ -40,32 +45,47 @@ def run_corpus_pipeline(
     min_quality: float = 0.1,
     keep_langs: tuple[str, ...] | None = ("en",),
 ) -> dict:
-    """Clean the corpus shard by shard, committing verdicts as snapshot
-    partitions; re-running resumes (completed shards are skipped). Returns
-    run metrics including the keep/drop breakdown."""
+    """Clean the corpus: per-shard feature snapshots (resumable — completed
+    shards are skipped on re-run), then one global verdict commit whose
+    dedup spans every shard. Returns run metrics including the keep/drop
+    breakdown."""
     store = SnapshotStore(store_dir)
     docs = latest_pages(pages).select(
         "url", F.col("text"), F.pmod(F.xxhash64("url"), F.lit(n_shards)).alias("_shard")
     )
 
     done = store.completed_partitions()
-    todo = [s for s in range(n_shards) if f"verdicts/shard={s}" not in done]
+    todo = [s for s in range(n_shards) if f"features/shard={s}" not in done]
+
+    t0 = time.time()
+    for shard in todo:
+        # One commit per shard: the expensive text pass checkpoints at
+        # shard granularity, so a crash loses at most one shard's work.
+        shard_docs = docs.where(F.col("_shard") == shard).drop("_shard")
+        feats = corpus_features(
+            shard_docs,
+            id_col="url",
+            text_col="text",
+            keep_langs=keep_langs,
+            min_quality=min_quality,
+        )
+        store.commit_partitions(
+            {f"features/shard={shard}": feats},
+            properties={"stage": "corpus_features", "shard": shard},
+        )
+    features_sec = time.time() - t0
 
     t0 = time.time()
     committed = None
-    if todo:
-        partitions = {}
-        for shard in todo:
-            shard_docs = docs.where(F.col("_shard") == shard).drop("_shard")
-            partitions[f"verdicts/shard={shard}"] = clean_corpus(
-                shard_docs,
-                id_col="url",
-                text_col="text",
-                keep_langs=keep_langs,
-                min_quality=min_quality,
-            )
+    if todo or "verdicts/all" not in store.completed_partitions():
+        # Global stage: union of ALL shard feature tables -> one dedup.
+        # Band keys / text hashes depend only on per-document values, so
+        # this is identical to an unsharded run — cross-shard duplicates
+        # are compared, unlike a per-shard clean_corpus.
+        features = store.read(spark, prefix="features/")
+        verdicts = verdicts_from_features(features, id_col="url")
         committed = store.commit_partitions(
-            partitions, properties={"stage": "corpus_verdicts"}
+            {"verdicts/all": verdicts}, properties={"stage": "corpus_verdicts"}
         )
     verdict_sec = time.time() - t0
 
@@ -81,5 +101,6 @@ def run_corpus_pipeline(
         "docs": int(verdicts.count()),
         "kept": int(breakdown.get("keep", 0)),
         "breakdown": breakdown,
+        "features_sec": round(features_sec, 2),
         "verdict_sec": round(verdict_sec, 2),
     }

@@ -4,7 +4,10 @@ Semantics parity with /root/reference/streamchange/pelt/pelt.py and costs.py:
 per update the optimal segmentation cost is recomputed over a bounded window
 via a right-cumulative L2 cost; the per-update ``last_cpt`` trail is walked
 backwards at the end to extract segments. The reference deliberately omits
-pruning in the online variant (pelt/pelt.py:54 TODO) — preserved here; the
+pruning in the online variant (pelt/pelt.py:54 ``TODO: Add pruning.``) —
+preserved as the default for parity; ``Pelt(prune=True)`` opts in to the
+OfflinePelt admissible-set rule (equivalent outputs, O(admissible) instead
+of O(maxsl) per update — the right setting for 100x larger maxsl). The
 pruned offline variant lives in offline_pelt.py.
 """
 
@@ -51,11 +54,18 @@ class Pelt:
     reference's tests/test_pelt.py:12-13).
     """
 
-    def __init__(self, cost: L2Cost = None, minsl: int = 1, maxsl: int = 1000):
+    def __init__(
+        self,
+        cost: L2Cost = None,
+        minsl: int = 1,
+        maxsl: int = 1000,
+        prune: bool = False,
+    ):
         assert minsl >= 1
         assert maxsl > minsl
         self.minsl = minsl
         self.maxsl = maxsl
+        self.prune = prune
         self.cost = cost if cost is not None else L2Cost()
         self.reset()
 
@@ -64,6 +74,12 @@ class Pelt:
         self.opt_cost = RingBuffer(self.maxsl)
         self.opt_cost.push(-self.cost.penalty())
         self.last_cpt = 0
+        # prune=True state: admissible candidates as absolute start indices
+        # (descending == ascending segment length), deferred removals, and
+        # the monotone update counter they are keyed by
+        self._adm = np.empty(0, dtype=np.int64)
+        self._pending_kills: dict[int, np.ndarray] = {}
+        self._t = 0
         return self
 
     def get_penalty(self):
@@ -75,8 +91,11 @@ class Pelt:
 
     def update(self, x) -> "Pelt":
         self.window.push(x)
+        self._t += 1
         n = len(self.window)
         if n >= self.minsl:
+            if self.prune:
+                return self._update_pruned(n)
             opt_costs = self.opt_cost.newest_first[self.minsl - 1 :]
             costs = self.cost.cumopt(self.window.newest_first)[self.minsl - 1 :]
             candidate_costs = opt_costs + costs
@@ -87,6 +106,59 @@ class Pelt:
             self.opt_cost.push(
                 self.opt_cost.newest_first[0] + self.cost.opt(self.window.newest_first)
             )
+        return self
+
+    def _update_pruned(self, n: int) -> "Pelt":
+        """DP step over the ADMISSIBLE candidate set only (the OfflinePelt
+        pruning rule applied to the online bounded window): a candidate
+        whose total cost exceeded the step optimum can never become optimal
+        again (L2's SSE is superadditive under concatenation, so it stays
+        strictly dominated by the segment starting right after the failing
+        step). With minsl > 1 that dominating candidate only ENTERS the DP
+        minsl steps later, so removal is deferred until then — pruning at
+        the failing step itself would be unsafe (and measurably diverges).
+        The reversed cumulative cost is computed only up to the oldest
+        admissible candidate — identical prefix arithmetic to the unpruned
+        ``cumopt`` (same reversed order, same cumsums), so surviving
+        candidates' costs are bit-identical and the argmin picks the same
+        k. Per-update cost drops from O(maxsl) to O(oldest admissible
+        age), the classic PELT expected-O(1) amortized candidate set."""
+        pen = self.cost.penalty()
+        T = self._t  # monotone update counter
+        adm = self._adm  # np.int64 array of start indices, DESCENDING
+        dead = self._pending_kills.pop(T, None)
+        if dead is not None and len(adm):
+            adm = adm[np.isin(adm, dead, invert=True)]
+        # candidates as absolute start indices: new k=minsl candidate is
+        # s = T - minsl (largest s -> shortest segment, listed first to
+        # mirror the unpruned ascending-k order); window bound k <= n means
+        # s >= T - n, a suffix cut on the descending-sorted array
+        if len(adm):
+            cut = int(np.searchsorted(-adm, -(T - n), side="right"))
+            adm = adm[:cut]
+        adm = np.concatenate((np.asarray([T - self.minsl], dtype=np.int64), adm))
+        ks = T - adm
+        kmax = int(ks[-1])
+        # cumopt over only the newest kmax points: cumsum prefixes are
+        # position-local, so entries < kmax match the full-window cumopt
+        # bit for bit
+        costs = self.cost.cumopt(self.window.newest_first[:kmax])
+        oc_nf = self.opt_cost.newest_first
+        cand = oc_nf[ks - 1] + costs[ks - 1]
+        best = int(np.argmin(cand))
+        self.last_cpt = int(ks[best])
+        opt = cand[best]
+        self.opt_cost.push(opt)
+        bad = (cand - pen) > opt
+        if bad.any():
+            # apply once the dominating candidate (start index T) is in the
+            # set, i.e. at update T + minsl
+            fails = adm[bad]
+            prev = self._pending_kills.get(T + self.minsl)
+            self._pending_kills[T + self.minsl] = (
+                fails if prev is None else np.concatenate((prev, fails))
+            )
+        self._adm = adm
         return self
 
     @staticmethod
@@ -128,7 +200,7 @@ class Pelt:
             self.changepoints_ = []
             return self
         last_cpts = np.empty(n, dtype=np.int64)
-        if type(self.cost) is L2Cost:
+        if type(self.cost) is L2Cost and not self.prune:
             # Batch replay of update(): identical arithmetic (same reversed
             # slices, same cumsums, same argmin tie-breaks) but with array
             # VIEWS instead of per-update RingBuffer reversal copies and a

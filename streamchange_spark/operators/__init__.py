@@ -42,8 +42,8 @@ from .rollup import (
     rollup_tier,
     with_avg,
 )
-from .corpus import clean_corpus
-from .dedup import connected_components, dedup_keep_ids
+from .corpus import clean_corpus, corpus_features, verdicts_from_features
+from .dedup import connected_components, dedup_keep_ids, lsh_pairs_from_signatures
 from .plot_tables import figure_table, figure_table_multivariate
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
 from .textstats import fingerprint, lang_id, quality_features
@@ -53,6 +53,9 @@ __all__ = [
     "cosine_col",
     "clean_corpus",
     "connected_components",
+    "corpus_features",
+    "verdicts_from_features",
+    "lsh_pairs_from_signatures",
     "cosine_topk",
     "cosine_topk_gemm",
     "decode_image_features",

@@ -25,10 +25,14 @@ scale path (one JVM hash vs md5's full digest).
 
 from __future__ import annotations
 
+import logging
 import re
+import uuid
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def _hash64(col: Column, hash_fn: str) -> Column:
@@ -228,11 +232,27 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs (id_a < id_b) that collide in >= 1 LSH
     band. rows_per_band = num_hashes / bands; collision threshold ~
     (1/bands)^(1/rows_per_band)."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size, hash_fn, shingler
     )
+    return lsh_pairs_from_signatures(sig, id_col, num_hashes, bands)
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding over PRECOMPUTED minhash signatures (id, mh_0..mh_{k-1}).
+
+    Split out of :func:`minhash_lsh_pairs` so pipelines can materialize the
+    expensive text pass (signatures) incrementally — e.g. per resume shard —
+    and still band/join GLOBALLY across all of it: band keys depend only on
+    the signature values, so pairs from merged per-shard signature tables
+    are identical to a single global run."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
     # One (band, band_key) struct per band, exploded from a single
     # projection: a per-band unionAll of selects would re-evaluate the
     # whole signature subplan (shingle + minhash aggregation) once per
@@ -367,9 +387,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     shingler: str = "window",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 256,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with n-gram-set Jaccard >= threshold.
+
+    **Scale default**: shingles appearing in more than ``max_doc_freq``
+    documents are dropped from the inverted index before pairing (jaccard
+    becomes a lower bound of the true value; set sizes still count every
+    shingle). A shingle with document frequency d contributes O(d^2) join
+    pairs, and at Common-Crawl scale boilerplate n-grams ("all rights
+    reserved") have d in the millions — the uncapped self-join explodes
+    before the first verdict. Pass ``max_doc_freq=None`` for the exact
+    uncapped semantics (safe on small/curated corpora). When the cap is
+    active the dropped-posting count is attached as an ``observe`` metric
+    (``ngram_jaccard_drops_*``: dropped_postings / total_postings, visible
+    in the Spark UI / QueryExecutionListener) and the cap is logged at
+    plan-build time — no silent truncation.
 
     Default shingler is the window plan here (unlike minhash): the distinct
     step must shuffle every (id, shingle) row regardless, and the window
@@ -393,19 +426,27 @@ def ngram_jaccard_pairs(
         "_sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
     if max_doc_freq is not None:
-        # Scale knob: a shingle appearing in d documents contributes
-        # O(d^2) join pairs, so stop-shingle-like n-grams (boilerplate,
-        # navigation chrome) dominate the self-join at corpus scale. The
-        # standard mitigation drops shingles above a document-frequency
-        # cap from the inverted index BEFORE pairing. NB this changes
-        # semantics (set sizes still count capped shingles; shared counts
-        # don't), so it is opt-in — jaccard becomes a lower bound.
-        dfreq = Window.partitionBy("shingle")
-        sized = (
-            sized.withColumn("_df", F.count(F.lit(1)).over(dfreq))
-            .where(F.col("_df") <= max_doc_freq)
-            .drop("_df")
+        # Scale knob (ON by default, see docstring): drop shingles above the
+        # document-frequency cap from the inverted index BEFORE pairing. NB
+        # this changes semantics (set sizes still count capped shingles;
+        # shared counts don't) — jaccard becomes a lower bound.
+        logger.info(
+            "ngram_jaccard_pairs: max_doc_freq=%d active — shingles in more "
+            "documents are dropped before pairing and jaccard is a lower "
+            "bound; pass max_doc_freq=None for exact semantics",
+            max_doc_freq,
         )
+        dfreq = Window.partitionBy("shingle")
+        sized = sized.withColumn("_df", F.count(F.lit(1)).over(dfreq))
+        # map-side metric inside the same job — no extra action
+        sized = sized.observe(
+            f"ngram_jaccard_drops_{uuid.uuid4().hex[:8]}",
+            F.sum(
+                F.when(F.col("_df") > max_doc_freq, F.lit(1)).otherwise(F.lit(0))
+            ).alias("dropped_postings"),
+            F.count(F.lit(1)).alias("total_postings"),
+        )
+        sized = sized.where(F.col("_df") <= max_doc_freq).drop("_df")
     inv = sized.select(F.col(id_col), F.col("_sz"), F.col("shingle").alias("_s"))
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
@@ -530,6 +571,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
@@ -540,16 +583,30 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        new_labels = new_labels.persist()
+        # Truncate lineage every round: the loop otherwise nests the whole
+        # previous plan twice per round (join + union), so the logical plan
+        # grows 2^rounds and the driver OOMs just *printing* it long before
+        # data size matters. (On a real cluster prefer sc.setCheckpointDir +
+        # .checkpoint() for executor-failure tolerance; localCheckpoint is
+        # the single-process-safe equivalent.)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "_old"), "id")
             .where(F.col("component") != F.col("_old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # A component with diameter > max_iters would silently split into
+        # multiple wrong components; fail loudly instead.
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"in max_iters={max_iters} rounds ({changed} labels still "
+            f"changing); the pair graph has a component with diameter > "
+            f"{max_iters} — raise max_iters (rounds needed = graph diameter)"
+        )
     return labels
 
 

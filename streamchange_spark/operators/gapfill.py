@@ -25,13 +25,50 @@ def dense_grid(
     key_cols: Sequence[str],
     bucket_col: str,
     step_seconds: int,
+    max_buckets_per_key: int | None = 1_000_000,
 ) -> DataFrame:
     """One row per (key, bucket) for every step between each key's min and
-    max bucket."""
+    max bucket.
+
+    ``max_buckets_per_key`` bounds the generated grid: one key spanning 3
+    years at a 1-second step would explode into ~95M rows from a single
+    input row pair — a silent OOM/skew bomb at corpus scale. The guard
+    fails loudly (executor-side ``raise_error`` naming the offending key
+    and its bucket count) instead; pass ``None`` to disable for trusted
+    inputs."""
     interval = F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
     bounds = df.groupBy(*key_cols).agg(
         F.min(bucket_col).alias("_min_b"), F.max(bucket_col).alias("_max_b")
     )
+    if max_buckets_per_key is not None:
+        n_buckets = (
+            (
+                F.unix_timestamp(F.col("_max_b"))
+                - F.unix_timestamp(F.col("_min_b"))
+            )
+            / F.lit(int(step_seconds))
+        ).cast("long") + F.lit(1)
+        # The guard rides inside the _min_b expression so Catalyst cannot
+        # prune it away; raise_error's NullType coerces into the CASE.
+        err = F.raise_error(
+            F.concat(
+                F.lit("dense_grid: key ("),
+                F.concat_ws(", ", *[F.col(k).cast("string") for k in key_cols]),
+                F.lit(") would generate "),
+                n_buckets.cast("string"),
+                F.lit(
+                    f" grid rows at step={int(step_seconds)}s, above "
+                    f"max_buckets_per_key={int(max_buckets_per_key)}; raise the "
+                    "limit, coarsen the step, or split the key range"
+                ),
+            )
+        )
+        bounds = bounds.withColumn(
+            "_min_b",
+            F.when(n_buckets > int(max_buckets_per_key), err).otherwise(
+                F.col("_min_b")
+            ),
+        )
     return bounds.select(
         *key_cols,
         F.explode(F.sequence(F.col("_min_b"), F.col("_max_b"), interval)).alias(
@@ -47,6 +84,7 @@ def gapfill(
     value_col: str,
     step_seconds: int,
     method: str = "locf",
+    max_buckets_per_key: int | None = 1_000_000,
 ) -> DataFrame:
     """Densify and fill. ``method``:
 
@@ -58,7 +96,7 @@ def gapfill(
     Output: (keys..., bucket, value, gap_filled).
     """
     key_cols = list(key_cols)
-    grid = dense_grid(df, key_cols, bucket_col, step_seconds)
+    grid = dense_grid(df, key_cols, bucket_col, step_seconds, max_buckets_per_key)
     observed = df.select(*key_cols, bucket_col, F.col(value_col).alias("_obs"))
     dense = grid.join(observed, on=key_cols + [bucket_col], how="left")
 

@@ -15,6 +15,7 @@ new rows' updates.
 from __future__ import annotations
 
 import pickle
+from collections import deque
 from typing import Any, Callable, Iterable
 
 import pandas as pd
@@ -126,8 +127,11 @@ def _streaming_per_update(
     ) -> Iterable[pd.DataFrame]:
         if state.exists:
             detector, times = pickle.loads(state.get[0])
+            # older checkpoints stored a plain list
+            if not isinstance(times, deque):
+                times = deque(times, maxlen=max_history)
         else:
-            detector, times = detector_factory(), []
+            detector, times = detector_factory(), deque(maxlen=max_history)
 
         out_rows: list[dict[str, Any]] = []
         for pdf in pdfs:
@@ -137,11 +141,15 @@ def _streaming_per_update(
             else:
                 values = pdf[value_cols].to_numpy(dtype="float64")
             tss = list(pdf[ts_col])
+            # One update() per row is intentional: the sequential contract
+            # emits per-observation (alarm/last_cpt/anomaly state after EACH
+            # update), so the block-batched replay used in the batch path
+            # cannot be applied here without changing semantics.
             for v, ts in zip(values, tss):
                 detector.update(v)
+                # deque(maxlen=...) trims in O(1); a list re-slice here would
+                # copy max_history entries per row (O(rows * max_history))
                 times.append(ts)
-                if len(times) > max_history:
-                    times = times[-max_history:]
                 out_rows.extend(emit(detector, key[0], ts, times))
 
         state.update((pickle.dumps((detector, times)),))
@@ -235,7 +243,9 @@ def streaming_pelt(
 
     def emit(detector, key, ts, times):
         lc = int(detector.last_cpt)
-        cpt_ts = times[-lc] if 0 < lc < len(times) else None
+        # lc == len(times) is valid: the changepoint at the first buffered
+        # observation (times[-lc] == times[0])
+        cpt_ts = times[-lc] if 0 < lc <= len(times) else None
         return [{"key": key, "ts": ts, "last_cpt": lc, "changepoint_ts": cpt_ts}]
 
     return _streaming_per_update(

@@ -422,3 +422,41 @@ def test_connected_components_distributed_path_matches_driver_path(spark):
     assert fast.sort_index().to_dict() == dist.sort_index().to_dict()
     assert set(fast.values) == {1, 20}
     assert fast.loc[4] == 1  # chain fully contracted
+
+
+def test_connected_components_distributed_raises_on_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iters must fail loudly (a silent
+    return would split one component into several wrong ones)."""
+    from streamchange_spark.operators import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, driver_threshold=0, max_iters=2)
+    ok = (
+        connected_components(chain, driver_threshold=0, max_iters=15)
+        .toPandas()
+    )
+    assert set(ok["component"]) == {0}
+
+
+def test_ngram_jaccard_default_cap_bounds_boilerplate(spark):
+    """The DEFAULT max_doc_freq suppresses corpus-wide boilerplate shingles:
+    300 pages sharing heavy boilerplate produce no O(n^2) pair explosion,
+    while a true near-dup pair (df=2 shingles, under the cap) still pairs."""
+    boiler = "all rights reserved terms of service privacy policy contact us about " * 4
+    rows = [
+        (i, boiler + f"unique page body number {i} token{i * 7} token{i * 13}")
+        for i in range(300)
+    ]
+    dup = "identical real article content about spark partitioning strategy " * 4
+    rows += [(1000, dup), (1001, dup + "trailing byline")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (1000, 1001) in got
+    # boilerplate shingles have df=300 > default cap (256) -> dropped before
+    # the self-join; the 300*299/2 boilerplate-only pairs must not appear
+    assert all(a >= 1000 for a, _ in got)

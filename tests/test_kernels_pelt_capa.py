@@ -147,3 +147,43 @@ def test_capa_batch_fit_identical_to_update_loop():
                 a.update(2.5)
                 b.update(2.5)
                 assert a.anomaly_start == b.anomaly_start
+
+
+def test_pelt_pruned_identical_to_unpruned():
+    """Pelt(prune=True) (OfflinePelt admissible-set rule on the online
+    window) == the unpruned DP bit for bit: same last_cpt trail, segments,
+    changepoints, and post-fit streaming state — while keeping the
+    candidate set small."""
+    from streamchange_spark.kernels import BIC, ConstantPenalty, L2Cost, Pelt
+
+    for minsl, maxsl, pen in ((1, 1000, BIC()), (2, 60, ConstantPenalty(8.0)),
+                              (1, 40, ConstantPenalty(25.0))):
+        for seed in range(8):
+            r = np.random.default_rng(100 + seed)
+            n = int(r.integers(1, 400))
+            x = r.normal(0, 1, n) + np.where(
+                np.arange(n) > n // 2, r.choice([0, 3, 8]), 0
+            )
+            if seed % 3 == 0 and n > 4:
+                x[r.integers(0, n, 2)] = np.nan
+            a = Pelt(L2Cost(pen), minsl=minsl, maxsl=maxsl).fit(x)
+            b = Pelt(L2Cost(pen), minsl=minsl, maxsl=maxsl, prune=True).fit(x)
+            assert a.segments_ == b.segments_
+            assert a.changepoints_ == b.changepoints_
+            if n > 10 and not np.isnan(x).any():
+                for v in (1.23, -0.5, 9.0):
+                    a.update(v)
+                    b.update(v)
+                    assert a.last_cpt == b.last_cpt
+                    assert a.opt_cost.newest_first[0] == b.opt_cost.newest_first[0]
+            assert len(b._adm) <= maxsl
+
+    # effectiveness (distribution-dependent, so asserted on a deterministic
+    # strong-change series): admissible set collapses after each change
+    r = np.random.default_rng(7)
+    n = 600
+    x = r.normal(0, 1, n) + np.where((np.arange(n) // 50) % 2 == 1, 6.0, 0.0)
+    b = Pelt(L2Cost(ConstantPenalty(30.0)), minsl=2, maxsl=1000, prune=True).fit(x)
+    a = Pelt(L2Cost(ConstantPenalty(30.0)), minsl=2, maxsl=1000).fit(x)
+    assert a.segments_ == b.segments_
+    assert len(b._adm) < n // 4

@@ -104,3 +104,41 @@ def test_corpus_pipeline_runs_and_resumes(spark, tmp_path):
     )
     assert m2["shards_built"] == 0 and m2["snapshot_id"] is None
     assert m2["breakdown"] == m1["breakdown"]
+
+
+def test_corpus_pipeline_dedup_crosses_shards(spark, tmp_path):
+    """Duplicate texts at DIFFERENT urls land in different hash shards; the
+    global dedup stage must still keep exactly one representative per text
+    (the round-2 shard-local design silently kept one per shard)."""
+    from pyspark.sql import functions as F
+
+    from streamchange_spark.corpus_pipeline import run_corpus_pipeline
+    from streamchange_spark.sources.snapshots import SnapshotStore
+
+    dup_text = (
+        "identical english article about the spark cluster and the parquet "
+        "files in the warm data center near the house " * 6
+    )
+    uniq = (
+        "another completely different english story about the engine and "
+        "the schedule of the jobs in the queue " * 6
+    )
+    rows = [(f"http://site{i}.com/a", dup_text) for i in range(16)]
+    rows += [("http://unique.com/x", uniq)]
+    pages = spark.createDataFrame(
+        [(u, t) for u, t in rows], "url string, text string"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+    store = str(tmp_path / "xshard_store")
+    m = run_corpus_pipeline(
+        spark, pages, store, n_shards=4, min_quality=0.0, keep_langs=None
+    )
+    assert m["docs"] == 17
+    # all 16 duplicate urls cannot share one of 4 shards; global dedup must
+    # still reduce them to ONE keeper (+ the unique doc)
+    assert m["kept"] == 2
+    assert m["breakdown"].get("exact_dup", 0) == 15
+
+    verdicts = SnapshotStore(store).read(spark, prefix="verdicts/")
+    keepers = {r["url"] for r in verdicts.where("keep").collect()}
+    assert "http://unique.com/x" in keepers and len(keepers) == 2

@@ -131,3 +131,31 @@ def test_gapfill_linear(spark):
     # hour 2 (7200) is missing; linear between 36 (t=3600) and 108 (t=10800).
     assert list(filled["v"]) == [0.0, 36.0, 72.0, 108.0]
     assert list(filled["gap_filled"]) == [False, False, True, False]
+
+
+def test_dense_grid_guard_max_buckets_per_key(spark):
+    """dense_grid must fail loudly (naming the key) when one key's span/step
+    would explode past max_buckets_per_key, and generate normally below it."""
+    from streamchange_spark.operators import dense_grid
+
+    pdf = pd.DataFrame(
+        {
+            "key": ["a", "a", "b", "b"],
+            "bucket_start": pd.to_datetime(
+                [
+                    "2024-01-01 00:00",
+                    "2024-01-01 02:00",
+                    "2024-01-01 00:00",
+                    "2024-03-01 00:00",
+                ]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    ok = dense_grid(df, ["key"], "bucket_start", 3600, max_buckets_per_key=2000).toPandas()
+    assert len(ok) == 3 + 1441  # a: 2h span -> 3; b: 60d span -> 1441
+    with pytest.raises(Exception, match="max_buckets_per_key=100"):
+        dense_grid(
+            df, ["key"], "bucket_start", 3600, max_buckets_per_key=100
+        ).toPandas()

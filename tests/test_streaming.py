@@ -134,10 +134,15 @@ def test_streaming_pelt_and_capa_match_kernel_replay(spark, tmp_path):
         oracle.update(v)
         exp_lc.append(oracle.last_cpt)
     assert list(got_p["last_cpt"]) == exp_lc
-    # absolute changepoint time for the final update
-    last = got_p.iloc[-1]
-    if last["last_cpt"] > 0:
-        assert last["changepoint_ts"] == ts[len(ts) - int(last["last_cpt"])]
+    # absolute changepoint time for EVERY update, independently indexed into
+    # the original ts array — covers the lc == len(times) boundary (the
+    # changepoint at the first buffered observation)
+    for i, (lc, got_ct) in enumerate(zip(exp_lc, got_p["changepoint_ts"])):
+        exp_ct = ts[i + 1 - lc] if 0 < lc <= i + 1 else None
+        if exp_ct is None:
+            assert pd.isna(got_ct)
+        else:
+            assert got_ct == exp_ct
 
     capa_factory = lambda: Capa(
         ConstMeanL2(ConstantPenalty(15.0)), minsl=2, maxsl=50,

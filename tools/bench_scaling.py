@@ -7,6 +7,10 @@ The job is the flagship pages pipeline:
   -> 1h/1d/30d continuous-aggregate tiers                   [rolled-up points]
   -> Gorilla-compress the 1h tier                           [binary columns]
   -> WindowSegmentor change points on each url's 1h mean    [change points]
+plus the training-data corpus stage over the same pages table:
+  pages -> latest_pages (newest text per url)               [crawl collapse]
+  -> corpus_features (lang/quality/md5/minhash, persisted)  [the text pass]
+  -> verdicts_from_features (LSH bands -> components -> verdicts)
 
 Usage:
   PYTHONPATH=/root/repo python tools/bench_scaling.py [--urls 20000] \
@@ -131,6 +135,24 @@ def run_level(path: str, cpus: int) -> dict:
     detect_sec = time.time() - t0
     tier1h.unpersist()
 
+    # Corpus dedup stage (same pages input): the pipeline shape — one
+    # persisted feature pass (the only stage that touches payload text),
+    # then id-level global dedup + verdict assembly.
+    from streamchange_spark.corpus_pipeline import latest_pages
+    from streamchange_spark.operators import corpus_features, verdicts_from_features
+
+    t0 = time.time()
+    docs = latest_pages(pages).select("url", "text")
+    feats = corpus_features(
+        docs, id_col="url", text_col="text", keep_langs=None, min_quality=0.0
+    ).persist()
+    n_docs = feats.count()
+    verdicts_from_features(feats, id_col="url").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    corpus_sec = time.time() - t0
+    feats.unpersist()
+
     spark.stop()
     pipeline_sec = ingest_sec + rollup_sec + gorilla_sec + detect_sec
     return {
@@ -146,6 +168,9 @@ def run_level(path: str, cpus: int) -> dict:
         "detect_sec": round(detect_sec, 2),
         "detect_points_per_sec": round(n_points / detect_sec, 1),
         "changepoints": n_cpts,
+        "corpus_docs": n_docs,
+        "corpus_sec": round(corpus_sec, 2),
+        "corpus_docs_per_sec": round(n_docs / corpus_sec, 1),
         "pipeline_sec": round(pipeline_sec, 2),
         "pipeline_rows_per_sec": round(n_rows / pipeline_sec, 1),
     }
@@ -184,6 +209,7 @@ def main():
         "gorilla": ("gorilla_sec", True),
         "gorilla_decompress": ("gorilla_decompress_sec", True),
         "detect": ("detect_points_per_sec", False),
+        "corpus": ("corpus_docs_per_sec", False),
         "pipeline": ("pipeline_rows_per_sec", False),
     }
 
