@@ -43,7 +43,12 @@ from .rollup import (
     with_avg,
 )
 from .corpus import clean_corpus, corpus_features, verdicts_from_features
-from .dedup import connected_components, dedup_keep_ids, lsh_pairs_from_signatures
+from .dedup import (
+    connected_components,
+    dedup_keep_ids,
+    lsh_cluster_edges_from_signatures,
+    lsh_pairs_from_signatures,
+)
 from .plot_tables import figure_table, figure_table_multivariate
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
 from .textstats import fingerprint, lang_id, quality_features
@@ -55,6 +60,7 @@ __all__ = [
     "connected_components",
     "corpus_features",
     "verdicts_from_features",
+    "lsh_cluster_edges_from_signatures",
     "lsh_pairs_from_signatures",
     "cosine_topk",
     "cosine_topk_gemm",

@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import dedup_keep_ids, lsh_pairs_from_signatures, minhash_signatures
+from .dedup import (
+    dedup_keep_ids,
+    lsh_cluster_edges_from_signatures,
+    minhash_signatures,
+)
 from .textstats import lang_id, quality_features
 
 
@@ -42,6 +46,7 @@ def corpus_features(
     min_lang_hits: int = 1,
     near_dup: bool = True,
     num_hashes: int = 16,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The payload-text pass: (id, lang_pred, quality_score, lang_ok,
     quality_ok, text_md5, mh_0..mh_{k-1}) — one id-level row per document,
@@ -75,7 +80,9 @@ def corpus_features(
     survivors = flagged.where(F.col("lang_ok") & F.col("quality_ok")).select(
         id_col, text_col
     )
-    sig = minhash_signatures(survivors, id_col, text_col, num_hashes=num_hashes)
+    sig = minhash_signatures(
+        survivors, id_col, text_col, num_hashes=num_hashes, hash_fn=hash_fn
+    )
     return feats.join(sig, id_col, "left")
 
 
@@ -105,10 +112,14 @@ def verdicts_from_features(
     after_exact = survivors.join(exact_keep, id_col, "left_semi")
 
     if near_dup:
-        pairs = lsh_pairs_from_signatures(
+        # star edges, not all pairs: LSH buckets are cliques, so per-bucket
+        # min->member edges give identical components at O(m) instead of
+        # O(m^2) edges per bucket (boilerplate mega-buckets are the norm on
+        # web corpora — the all-pairs join is quadratic exactly there)
+        edges = lsh_cluster_edges_from_signatures(
             after_exact, id_col, num_hashes=num_hashes, bands=bands
         )
-        near_keep = dedup_keep_ids(after_exact, pairs, id_col).select(
+        near_keep = dedup_keep_ids(after_exact, edges, id_col).select(
             F.col("id").alias(id_col), F.lit(True).alias("_near_keep")
         )
     else:
@@ -145,6 +156,7 @@ def clean_corpus(
     near_dup: bool = True,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, lang_pred, quality_score, keep, drop_reason).
 
@@ -164,6 +176,7 @@ def clean_corpus(
         min_lang_hits=min_lang_hits,
         near_dup=near_dup,
         num_hashes=num_hashes,
+        hash_fn=hash_fn,
     )
     return verdicts_from_features(
         feats, id_col, near_dup=near_dup, num_hashes=num_hashes, bands=bands

@@ -238,6 +238,32 @@ def minhash_lsh_pairs(
     return lsh_pairs_from_signatures(sig, id_col, num_hashes, bands)
 
 
+def _lsh_band_rows(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, band_key) rows from precomputed signatures. One (band,
+    band_key) struct per band, exploded from a single projection: a
+    per-band unionAll of selects would re-evaluate the whole signature
+    subplan (shingle + minhash aggregation) once per band; the explode
+    evaluates it exactly once."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(":", *[m.cast("string") for m in members])).alias(
+                    "band_key"
+                ),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+
+
 def lsh_pairs_from_signatures(
     sig: DataFrame,
     id_col: str,
@@ -251,26 +277,7 @@ def lsh_pairs_from_signatures(
     and still band/join GLOBALLY across all of it: band keys depend only on
     the signature values, so pairs from merged per-shard signature tables
     are identical to a single global run."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    # One (band, band_key) struct per band, exploded from a single
-    # projection: a per-band unionAll of selects would re-evaluate the
-    # whole signature subplan (shingle + minhash aggregation) once per
-    # band; the explode evaluates it exactly once.
-    band_structs = []
-    for b in range(bands):
-        members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(":", *[m.cast("string") for m in members])).alias(
-                    "band_key"
-                ),
-            )
-        )
-    exploded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
-    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+    exploded = _lsh_band_rows(sig, id_col, num_hashes, bands)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -284,6 +291,36 @@ def lsh_pairs_from_signatures(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
         )
+        .distinct()
+    )
+
+
+def lsh_cluster_edges_from_signatures(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Connectivity-preserving near-dup edges (id_a, id_b), id_a < id_b.
+
+    An LSH bucket is a CLIQUE in the candidate-pair graph, so for
+    clustering (connected components -> keep one representative) the
+    all-pairs form of :func:`lsh_pairs_from_signatures` is redundant: per
+    bucket, STAR edges from the bucket-minimum member to every other
+    member have exactly the same transitive closure. A bucket of m
+    members emits m-1 edges instead of m(m-1)/2 — on boilerplate-heavy
+    web corpora, where near-identical template pages form mega-buckets
+    (m in the millions at crawl scale), the all-pairs self-join is
+    quadratic while this stays linear in corpus size (<= bands * n edges
+    before dedup). One shuffle: a min-over-window keyed by (band,
+    band_key). Use the all-pairs form only when each candidate pair must
+    be individually verified."""
+    exploded = _lsh_band_rows(sig, id_col, num_hashes, bands)
+    w = Window.partitionBy("band", "band_key")
+    return (
+        exploded.withColumn("_min", F.min(id_col).over(w))
+        .where(F.col("_min") != F.col(id_col))
+        .select(F.col("_min").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
 
