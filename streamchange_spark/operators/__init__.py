@@ -49,7 +49,7 @@ from .dedup import (
     lsh_cluster_edges_from_signatures,
     lsh_pairs_from_signatures,
 )
-from .plot_tables import figure_table, figure_table_multivariate
+from .plot_tables import figure_frames, figure_table, figure_table_multivariate
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
 from .textstats import fingerprint, lang_id, quality_features
 
@@ -70,6 +70,7 @@ __all__ = [
     "exact_dedup",
     "extract_audio_features",
     "extract_binary_meta",
+    "figure_frames",
     "figure_table",
     "figure_table_multivariate",
     "fingerprint",

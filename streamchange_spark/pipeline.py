@@ -49,6 +49,7 @@ def run_pipeline(
     pages: DataFrame,
     store_dir: str,
     detector_factory=default_detector_factory,
+    chunk_points: int | None = 65536,
 ) -> dict:
     """Run all stages, committing each day's tier data as snapshot partitions.
     Returns run metrics. Re-running over the same store resumes: completed
@@ -71,8 +72,15 @@ def run_pipeline(
             day_metrics = metrics.where(F.to_date("warc_ts") == F.lit(day))
             tiers = rollup_all_tiers(day_metrics, ["url"], "warc_ts", "text_len")
             partitions[f"tier1h/{day}"] = tiers["1h"]
+            # chunk_points bounds the skew tail at scale: a hot url whose 1h
+            # series runs to millions of points would otherwise become one
+            # giant blob (single sequential decode stream, one fat task);
+            # 64k-point chunks decode at full lockstep width and re-compress
+            # independently under retention rewrites. The raw operator keeps
+            # chunking opt-in; the pipeline defaults it ON.
             partitions[f"gorilla1h/{day}"] = compress_series(
-                tiers["1h"], ["url"], "bucket_start", "sum_v"
+                tiers["1h"], ["url"], "bucket_start", "sum_v",
+                chunk_points=chunk_points,
             )
         committed = store.commit_partitions(
             partitions, watermark=max(todo), properties={"stage": "tiers"}

@@ -337,3 +337,108 @@ def test_figure_table_multivariate_tags_dimensions(spark):
     uni = figure_table(df, factory, ["key"], "ts", "v1").toPandas()
     got = mv[mv.dim == "v1"].drop(columns="dim").sort_values("ts").reset_index(drop=True)
     assert np.allclose(got["segment_mean"], uni.sort_values("ts")["segment_mean"])
+
+
+def test_figure_frames_replays_detection_evolution(spark):
+    """figure_frames (animation_from_figures data twin, reference
+    plot/utils.py:4-89): each frame is the figure_table state at one
+    detection time — verified against an independent serial replay — and
+    the final frame equals figure_table on the full series."""
+    from statistics import NormalDist
+
+    from streamchange_spark.kernels import BIC, CUSUM, WindowSegmentor, simulate
+    from streamchange_spark.operators import figure_frames, figure_table
+
+    frames = []
+    for key, seed in [("a", 1), ("b", 2)]:
+        x = simulate([0, 20, -5, 15], [70], p=1, seed=seed)[:, 0]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "key": key,
+                    "ts": pd.to_datetime(
+                        1_704_067_200 + 3600 * np.arange(x.size), unit="s"
+                    ),
+                    "value": x,
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    factory = lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=5.0)), 4, 100)
+    got = figure_frames(
+        df, factory, ["key"], "ts", "value", confidence=0.9
+    ).toPandas()
+    full = figure_table(df, factory, ["key"], "ts", "value", confidence=0.9).toPandas()
+    z = NormalDist().inv_cdf(0.5 + 0.9 / 2)
+
+    for key, sub in pdf.groupby("key"):
+        sub = sub.sort_values("ts").reset_index(drop=True)
+        det = factory()
+        det.fit(sub["value"].to_numpy(), times=sub["ts"].to_numpy())
+        detections = sorted(
+            (pd.Timestamp(d), pd.Timestamp(c)) for d, c in det.detections_
+        )
+        assert len(detections) >= 2  # fixture has 3 big level shifts
+        g = got[got.key == key]
+        # one frame per detection + the final frame
+        exp_steps = [d for d, _ in detections]
+        if exp_steps[-1] != sub["ts"].iloc[-1]:
+            exp_steps.append(sub["ts"].iloc[-1])
+        assert sorted(set(g["frame_ts"])) == exp_steps
+        assert g["frame_id"].nunique() == len(exp_steps)
+        # independent replay of every frame
+        for fid, f_ts in enumerate(exp_steps):
+            fr = g[g.frame_id == fid].sort_values("ts").reset_index(drop=True)
+            assert fr["frame_ts"].iloc[0] == f_ts
+            vis = sub[sub["ts"] <= f_ts].reset_index(drop=True)
+            assert np.array_equal(fr["ts"].to_numpy(), vis["ts"].to_numpy())
+            known = sorted({c for d, c in detections if d <= f_ts})
+            idx = np.searchsorted(
+                vis["ts"].to_numpy(), np.array(known, dtype="datetime64[ns]")
+            )
+            bounds = [0, *[int(i) + 1 for i in idx], len(vis)]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                seg = vis["value"].iloc[lo:hi]
+                assert np.allclose(fr["segment_mean"].iloc[lo:hi], seg.mean())
+                sd = seg.std(ddof=1) if len(seg) > 1 else 0.0
+                assert np.allclose(fr["band_lo"].iloc[lo:hi], seg.mean() - z * sd)
+            assert set(np.flatnonzero(fr["is_cpt"].to_numpy())) == set(
+                int(i) for i in idx
+            )
+        # final frame == figure_table on the full series
+        last = g[g.frame_id == g["frame_id"].max()].sort_values("ts")
+        fl = full[full.key == key].sort_values("ts")
+        for col in ("segment_mean", "band_lo", "band_hi"):
+            assert np.allclose(last[col].to_numpy(), fl[col].to_numpy())
+        assert np.array_equal(last["is_cpt"].to_numpy(), fl["is_cpt"].to_numpy())
+
+
+def test_figure_frames_max_frames_subsamples(spark):
+    """max_frames bounds the per-key frame count; the final frame survives
+    subsampling."""
+    from streamchange_spark.kernels import BIC, CUSUM, WindowSegmentor, simulate
+    from streamchange_spark.operators import figure_frames
+
+    # many level shifts -> many detections
+    x = simulate([0, 12, 0, 12, 0, 12, 0, 12, 0, 12], [30], p=1, seed=7)[:, 0]
+    pdf = pd.DataFrame(
+        {
+            "key": "k",
+            "ts": pd.to_datetime(1_704_067_200 + 3600 * np.arange(x.size), unit="s"),
+            "value": x,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    factory = lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=5.0)), 4, 100)
+    all_frames = figure_frames(df, factory, ["key"], "ts", "value").toPandas()
+    n_steps = all_frames["frame_id"].nunique()
+    assert n_steps > 4
+    capped = figure_frames(
+        df, factory, ["key"], "ts", "value", max_frames=4
+    ).toPandas()
+    assert capped["frame_id"].nunique() == 4
+    # final frame kept: its frame_ts is the series end and it has every row
+    last = capped[capped.frame_id == capped["frame_id"].max()]
+    assert last["frame_ts"].iloc[0] == pdf["ts"].iloc[-1]
+    assert len(last) == len(pdf)
