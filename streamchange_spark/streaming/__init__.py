@@ -1,6 +1,12 @@
-"""Structured Streaming variants: stateful detectors and watermarked
-continuous aggregates (see streaming.detectors, streaming.rollup)."""
+"""Structured Streaming variants: stateful detectors, watermarked
+continuous aggregates, and incremental corpus ingestion (see
+streaming.detectors, streaming.rollup, streaming.corpus)."""
 
+from .corpus import (
+    corpus_verdicts_from_ingest,
+    run_streaming_corpus_ingest,
+    streaming_exact_dedup,
+)
 from .detectors import (
     streaming_capa,
     streaming_pelt,
@@ -10,7 +16,10 @@ from .detectors import (
 from .rollup import streaming_rollup_raw
 
 __all__ = [
+    "corpus_verdicts_from_ingest",
+    "run_streaming_corpus_ingest",
     "streaming_capa",
+    "streaming_exact_dedup",
     "streaming_pelt",
     "streaming_rollup_raw",
     "streaming_sequential_detector",

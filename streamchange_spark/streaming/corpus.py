@@ -1,0 +1,123 @@
+"""Streaming corpus ingestion: crawl dumps land as files, the text pass is
+materialized incrementally, dedup verdicts stay GLOBAL.
+
+At 100 TB a corpus is not re-read per cleaning run — new Common-Crawl dumps
+arrive continuously and only the delta should pay the payload-text pass
+(tokenize, hash, minhash). Structured Streaming's file source provides
+exactly the checkpointed "which files are done" bookkeeping the batch
+corpus pipeline gets from SnapshotStore, so this module is the streaming
+twin of ``corpus_pipeline.run_corpus_pipeline``:
+
+- :func:`run_streaming_corpus_ingest` — ``readStream`` over the dump
+  directory, ``corpus_features`` per micro-batch via ``foreachBatch`` (the
+  feature pass is row-local, so the union of micro-batch outputs is
+  bit-identical to one batch run), features written to parquet partitioned
+  by ``_batch_id`` with dynamic-partition overwrite: a replayed batch
+  rewrites ONLY its own partition, upgrading foreachBatch's at-least-once
+  to effectively-once.
+- :func:`corpus_verdicts_from_ingest` — ``verdicts_from_features`` over the
+  accumulated feature table. Dedup (exact groupBy + LSH band keys) depends
+  only on per-document values, never on batch boundaries, so verdicts are
+  identical to a single global ``clean_corpus`` over everything ingested —
+  the same cross-shard argument as the batch pipeline, with micro-batches
+  as the shards.
+- :func:`streaming_exact_dedup` — first-seen online exact dedup with
+  watermark-BOUNDED state (``dropDuplicatesWithinWatermark`` on the text
+  hash): drops byte-identical re-crawls near the ingest edge without
+  holding one state row per document ever seen. It is a bandwidth
+  optimization, not a correctness stage — global exact dedup still happens
+  in the verdict pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.corpus import corpus_features, verdicts_from_features
+
+__all__ = [
+    "corpus_verdicts_from_ingest",
+    "run_streaming_corpus_ingest",
+    "streaming_exact_dedup",
+]
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """First occurrence of each byte-identical text survives; later copies
+    arriving within the watermark horizon are dropped. State is one row per
+    DISTINCT text seen in the horizon — bounded by the watermark, never by
+    corpus size (the unbounded ``dropDuplicates`` variant would hold every
+    text hash forever). Duplicates farther apart than the horizon pass
+    through; the global verdict pass catches them."""
+    return (
+        stream.withColumn("_text_md5", F.md5(F.col(text_col).cast("binary")))
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["_text_md5"])
+        .drop("_text_md5")
+    )
+
+
+def run_streaming_corpus_ingest(
+    spark: SparkSession,
+    input_path: str,
+    features_path: str,
+    checkpoint_path: str,
+    schema: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+    timeout_sec: int = 600,
+    **feature_kw,
+) -> None:
+    """Ingest every unprocessed file under ``input_path`` (availableNow),
+    appending id-level ``corpus_features`` rows to ``features_path``.
+
+    Re-running is the resume path: the stream checkpoint skips files already
+    processed, and a batch replayed after a mid-write crash overwrites its
+    own ``_batch_id`` partition instead of appending duplicates. ``schema``
+    is the file schema DDL (streaming file sources require it explicitly).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        feats = corpus_features(
+            batch_df, id_col=id_col, text_col=text_col, **feature_kw
+        )
+        (
+            feats.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(features_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def corpus_verdicts_from_ingest(
+    spark: SparkSession,
+    features_path: str,
+    id_col: str = "doc_id",
+    **verdict_kw,
+) -> DataFrame:
+    """(id, lang_pred, quality_score, keep, drop_reason) over everything
+    ingested so far — global dedup across every micro-batch, identical to a
+    fresh ``clean_corpus`` over the union (band keys and text hashes are
+    per-document values; see ``operators.corpus`` module docs)."""
+    feats = spark.read.parquet(features_path).drop("_batch_id")
+    return verdicts_from_features(feats, id_col=id_col, **verdict_kw)

@@ -1,0 +1,140 @@
+"""Streaming corpus ingestion: incremental micro-batch feature
+materialization + global verdicts == one batch clean_corpus run."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_streaming_ingest_matches_batch_clean_corpus(spark, tmp_path):
+    """Three file drops -> three micro-batches -> global verdicts identical
+    to clean_corpus over the union (dedup crosses micro-batch boundaries)."""
+    from streamchange_spark.operators import clean_corpus
+    from streamchange_spark.streaming import (
+        corpus_verdicts_from_ingest,
+        run_streaming_corpus_ingest,
+    )
+
+    docs = _docs(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "dumps"
+    src.mkdir()
+    for i, chunk in enumerate(np.array_split(np.arange(len(docs)), 3)):
+        spark.createDataFrame(docs.iloc[chunk]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"dump_{i}"))
+
+    feats_path = str(tmp_path / "features")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_corpus_ingest(
+        spark,
+        str(src / "dump_*"),
+        feats_path,
+        ckpt,
+        SCHEMA,
+        id_col="doc_id",
+        text_col="text",
+        max_files_per_trigger=1,
+    )
+    # one feature row per document, spread over >1 batch partition
+    feats = spark.read.parquet(feats_path)
+    assert feats.count() == len(docs)
+    assert feats.select("_batch_id").distinct().count() == 3
+
+    got = (
+        corpus_verdicts_from_ingest(spark, feats_path, id_col="doc_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        clean_corpus(_docs(spark), "doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "lang_pred", "keep", "drop_reason"]],
+        exp[["doc_id", "lang_pred", "keep", "drop_reason"]],
+    )
+    assert np.allclose(got["quality_score"], exp["quality_score"])
+    # the fixture actually exercises dedup
+    assert (~exp["keep"]).any()
+
+
+def test_streaming_ingest_resumes_without_duplicates(spark, tmp_path):
+    """Re-running over the same checkpoint skips processed files; a new dump
+    adds exactly its own rows."""
+    from streamchange_spark.streaming import run_streaming_corpus_ingest
+
+    docs = _docs(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    first, second = docs.iloc[:300], docs.iloc[300:]
+    src = tmp_path / "dumps"
+    src.mkdir()
+    spark.createDataFrame(first).coalesce(1).write.parquet(str(src / "dump_0"))
+
+    feats_path = str(tmp_path / "features")
+    ckpt = str(tmp_path / "ckpt")
+    args = (spark, str(src / "dump_*"), feats_path, ckpt, SCHEMA)
+    kw = dict(id_col="doc_id", text_col="text")
+    run_streaming_corpus_ingest(*args, **kw)
+    assert spark.read.parquet(feats_path).count() == len(first)
+
+    # no new files -> no new rows (checkpoint resume, not reprocessing)
+    run_streaming_corpus_ingest(*args, **kw)
+    assert spark.read.parquet(feats_path).count() == len(first)
+
+    spark.createDataFrame(second).coalesce(1).write.parquet(str(src / "dump_1"))
+    run_streaming_corpus_ingest(*args, **kw)
+    feats = spark.read.parquet(feats_path)
+    assert feats.count() == len(docs)
+    assert feats.select("doc_id").distinct().count() == len(docs)
+
+
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    """Byte-identical texts arriving across micro-batches within the
+    watermark horizon are dropped; only first occurrences survive."""
+    from streamchange_spark.streaming import streaming_exact_dedup
+
+    ts0 = 1_704_067_200
+    rows = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "ts": pd.to_datetime(ts0 + 60 * np.arange(8), unit="s"),
+            "text": [
+                "alpha", "beta", "alpha",  # batch 0 (dup inside batch)
+                "gamma", "beta",           # batch 1 (dup across batches)
+                "delta", "alpha", "eps",   # batch 2 (dup across batches)
+            ],
+        }
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, chunk in enumerate([rows.iloc[:3], rows.iloc[3:5], rows.iloc[5:]]):
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(
+            str(src / f"batch_{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch_*"))
+    )
+    q = (
+        streaming_exact_dedup(stream, "text", "ts", watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from dedup_out").toPandas()
+    assert sorted(got["text"]) == ["alpha", "beta", "delta", "eps", "gamma"]
+    # first occurrence kept
+    assert set(got["doc_id"]) == {0, 1, 3, 5, 7}
