@@ -785,6 +785,52 @@ def q_corpus_verdicts(spark, sf_dir):
     )
 
 
+def q_asof_enrich(spark, sf_dir):
+    """Point-in-time (as-of) enrichment: each event joined to its user's
+    most recent COMPLETED hourly rollup bucket (bucket close time <= event
+    ts) — the canonical time-series join Spark lacks as a built-in. Engine:
+    ``asof_join`` (union + one key-partitioned sort + one running
+    last(ignorenulls) window — a single exchange, no range explode; see
+    operators/asof.py). Oracle: DuckDB's native ASOF LEFT JOIN. Early
+    events with no completed bucket stay null. Sums aggregate in DECIMAL
+    then cast to double so both engines round the same bits (the
+    gapfill_linear convention); floor(x*1e4+0.5)/1e4 is the tie-stable
+    rounding."""
+    _configure(spark)
+    from streamchange_spark.operators import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    tier = events.groupBy(
+        "user_id",
+        F.window("ts", "1 hour").getField("start").alias("_bucket_start"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_v"),
+        F.count(F.lit(1)).alias("n_points"),
+    ).select(
+        "user_id",
+        (F.col("_bucket_start") + F.expr("INTERVAL 1 HOUR")).alias("closed_at"),
+        "sum_v",
+        "n_points",
+    )
+    joined = asof_join(
+        events.select("user_id", "event_id", "ts"),
+        tier,
+        ["user_id"],
+        "ts",
+        "closed_at",
+        right_cols=["sum_v", "n_points"],
+        matched_ts_col="asof_ts",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        _epoch("ts").alias("ts_epoch"),
+        _epoch("asof_ts").alias("bucket_close"),
+        (F.floor(F.col("sum_v") * 1e4 + F.lit(0.5)) / 1e4).alias("bucket_sum"),
+        F.col("n_points").alias("bucket_n"),
+    )
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN (coarse k-means quantizer + probe-list search) configured
     EXACT: nprobe == n_centroids searches every inverted list, so the
@@ -896,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_components": q_dedup_components,
         "corpus_verdicts": q_corpus_verdicts,
+        "asof_enrich": q_asof_enrich,
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
         "multivariate_alarms": q_multivariate_alarms,
@@ -1616,6 +1663,22 @@ def oracle_sql() -> dict[str, str]:
         "plot_table": _plot_table_oracle_sql(),
         "dedup_components": _dedup_components_oracle_sql(),
         "corpus_verdicts": _corpus_verdicts_oracle_sql(),
+        "asof_enrich": """
+WITH tier AS (
+  SELECT user_id,
+         (floor(epoch(ts))::BIGINT // 3600) * 3600 + 3600 AS closed_at,
+         (sum(value::DECIMAL(28,6)))::DOUBLE AS sum_v,
+         count(*) AS n_points
+  FROM events GROUP BY 1, 2
+)
+SELECT e.user_id, e.event_id,
+       floor(epoch(e.ts))::BIGINT AS ts_epoch,
+       t.closed_at AS bucket_close,
+       floor(t.sum_v * 10000 + 0.5) / 10000 AS bucket_sum,
+       t.n_points AS bucket_n
+FROM events e ASOF LEFT JOIN tier t
+  ON e.user_id = t.user_id AND floor(epoch(e.ts))::BIGINT >= t.closed_at
+""",
         "compression_ratio": _compression_ratio_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         **_detector_fixture_oracles(),

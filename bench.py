@@ -45,6 +45,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "multivariate_alarms",
     "plot_table",
+    "asof_enrich",
 ]
 
 

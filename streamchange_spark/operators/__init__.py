@@ -49,12 +49,14 @@ from .dedup import (
     lsh_cluster_edges_from_signatures,
     lsh_pairs_from_signatures,
 )
+from .asof import asof_join
 from .plot_tables import figure_frames, figure_table, figure_table_multivariate
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
 from .textstats import fingerprint, lang_id, quality_features
 
 __all__ = [
     "TIER_SECONDS",
+    "asof_join",
     "cosine_col",
     "clean_corpus",
     "connected_components",
