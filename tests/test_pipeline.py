@@ -142,3 +142,53 @@ def test_corpus_pipeline_dedup_crosses_shards(spark, tmp_path):
     verdicts = SnapshotStore(store).read(spark, prefix="verdicts/")
     keepers = {r["url"] for r in verdicts.where("keep").collect()}
     assert "http://unique.com/x" in keepers and len(keepers) == 2
+
+
+def test_latest_pages_matches_window_plan_and_combines_map_side(spark):
+    """latest_pages (max-struct aggregate) == the row_number-window
+    recomputation on unique timestamps, resolves warc_ts ties
+    deterministically, and its plan carries a map-side partial_max (only
+    each partition's newest row per url reaches the shuffle)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streamchange_spark.corpus_pipeline import latest_pages
+    from streamchange_spark.sources import generate_pages
+
+    pages = generate_pages(spark, n_urls=60, mean_snapshots=12, num_partitions=8)
+    got = latest_pages(pages).toPandas().sort_values("url").reset_index(drop=True)
+
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    exp = (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert pages.select("url", "warc_ts").distinct().count() == pages.count()
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+
+    # tie on warc_ts: lexicographically largest remaining fields win,
+    # independent of row/partition order
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    tie = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u", "u"],
+                "warc_ts": [ts, ts],
+                "html": [b"a", b"b"],
+                "text": ["aaa", "zzz"],
+                "lang": ["en", "en"],
+            }
+        )
+    ).repartition(4)
+    picked = latest_pages(tie).toPandas()
+    assert len(picked) == 1 and picked["text"].iloc[0] == "zzz"
+
+    plan = (
+        latest_pages(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max" in plan

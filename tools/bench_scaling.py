@@ -142,7 +142,7 @@ def run_level(path: str, cpus: int) -> dict:
     from streamchange_spark.operators import corpus_features, verdicts_from_features
 
     t0 = time.time()
-    docs = latest_pages(pages).select("url", "text")
+    docs = latest_pages(pages, ["text"]).select("url", "text")
     feats = corpus_features(
         docs, id_col="url", text_col="text", keep_langs=None, min_quality=0.0
     ).persist()
