@@ -34,7 +34,7 @@ from .dedup import (
     lsh_cluster_edges_from_signatures,
     minhash_signatures,
 )
-from .textstats import lang_id, quality_features
+from .textstats import lang_pred_cols, quality_score_col
 
 
 def corpus_features(
@@ -55,10 +55,23 @@ def corpus_features(
     Minhash signatures are computed only for documents passing the lang +
     quality filters (null otherwise); exact duplicates still get signatures
     (identical text -> identical signature), so downstream pair generation
-    over any survivor subset matches a fresh minhash run on that subset."""
-    langs = lang_id(df, id_col, text_col)
-    qual = quality_features(df, id_col, text_col).select(id_col, "quality_score")
-    base = df.select(id_col, text_col).join(langs, id_col).join(qual, id_col)
+    over any survivor subset matches a fresh minhash run on that subset.
+
+    lang/quality/md5 are computed as ONE wide select over the input (the
+    column-expression builders from textstats), not lang_id/quality_features
+    joins: the join plan re-evaluated the input subtree (at pipeline scale,
+    the latest_pages scan+aggregate over the full pages table) once per
+    joined frame. The only remaining double evaluation is the survivor
+    branch feeding minhash — inherent, since signatures need a second pass
+    over the text."""
+    pred, hits = lang_pred_cols(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        pred.alias("lang_pred"),
+        hits.alias("lang_hits"),
+        quality_score_col(text_col).alias("quality_score"),
+    )
     lang_ok = (
         F.lit(True)
         if keep_langs is None

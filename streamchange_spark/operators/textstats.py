@@ -30,19 +30,47 @@ def stopword_hits_col(text_col: str, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(words)))
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, lang_pred, lang_hits): language with the most stopword hits;
-    ties and zero-hit rows resolve to 'und' / lexicographic order."""
+def lang_pred_cols(text_col: str) -> tuple[Column, Column]:
+    """(lang_pred, lang_hits) as bare columns — composable into a wider
+    single-pass select (corpus_features) without a join."""
     hits = {lang: stopword_hits_col(text_col, lang) for lang in LANG_STOPWORDS}
     best = F.greatest(*hits.values())
     pred = F.lit("und")
     # reversed() so the earlier language wins ties (chained when/otherwise).
     for lang in sorted(LANG_STOPWORDS, reverse=True):
         pred = F.when((hits[lang] == best) & (best > 0), lang).otherwise(pred)
+    return pred, best.cast("long")
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang_pred, lang_hits): language with the most stopword hits;
+    ties and zero-hit rows resolve to 'und' / lexicographic order."""
+    pred, best = lang_pred_cols(text_col)
     return df.select(
         F.col(id_col),
         pred.alias("lang_pred"),
-        best.cast("long").alias("lang_hits"),
+        best.alias("lang_hits"),
+    )
+
+
+def quality_score_col(text_col: str) -> Column:
+    """The quality_features linear-blend score as a bare column (identical
+    expression tree to quality_features' quality_score output)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    en_hits = stopword_hits_col(text_col, "en")
+    alpha_ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, en_hits.cast("double") / n_tokens).otherwise(0.0)
+    return (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.35
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25
+        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.15
     )
 
 
@@ -61,12 +89,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     alpha_ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(0.0)
     punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
     stop_ratio = F.when(n_tokens > 0, en_hits.cast("double") / n_tokens).otherwise(0.0)
-    score = (
-        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.25
-        + alpha_ratio * 0.35
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25
-        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.15
-    )
+    score = quality_score_col(text_col)
     return df.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),

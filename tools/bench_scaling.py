@@ -119,7 +119,10 @@ def run_level(path: str, cpus: int) -> dict:
     hourly_mean = (
         tier1h.withColumn("_m", F.col("sum_v") / F.col("n_points"))
         .withColumn("v", (F.col("_m") - F.avg("_m").over(w)) /
-                    F.coalesce(F.stddev("_m").over(w), F.lit(1.0)))
+                    # nullif: constant series (stddev 0, short-snapshot
+                    # inputs) standardize to 0 instead of ANSI div-by-zero
+                    F.coalesce(F.nullif(F.stddev("_m").over(w), F.lit(0.0)),
+                               F.lit(1.0)))
         .where(F.col("v").isNotNull())
         .select("url", "bucket_start", "v")
     )
@@ -144,7 +147,10 @@ def run_level(path: str, cpus: int) -> dict:
     t0 = time.time()
     docs = latest_pages(pages, ["text"]).select("url", "text")
     feats = corpus_features(
-        docs, id_col="url", text_col="text", keep_langs=None, min_quality=0.0
+        docs, id_col="url", text_col="text", keep_langs=None, min_quality=0.0,
+        # xxhash = the pipeline's scale default (md5 is for oracle
+        # reproducibility only; the digest dominated the text pass 76s vs 27s)
+        hash_fn="xxhash",
     ).persist()
     n_docs = feats.count()
     verdicts_from_features(feats, id_col="url").write.mode("overwrite").format(
