@@ -6,7 +6,8 @@ Plan shape (100 TB): NO range-explode, NO per-row subquery, NO broadcast
 requirement. Both inputs are unioned into one stream tagged by side, hash
 partitioned by key, and sorted once by (ts, side) with state rows ordering
 before event rows at equal timestamps; a single ``last(..., ignorenulls)``
-running window then carries each state column forward onto the events. Cost
+running window then carries the whole state row (one struct — so a null
+attribute inside a state row stays null) forward onto the events. Cost
 = one co-partitioning exchange + one sort — the same bound as any windowed
 aggregation on the key, and strictly cheaper than the
 join-then-filter-then-argmax plans (which shuffle the full cross-bucket
@@ -62,24 +63,27 @@ def asof_join(
 
     # One unioned stream: state rows (side=0) order before event rows
     # (side=1) at equal timestamps, making the equal-ts match inclusive.
+    # The carried state is ONE struct per right row (non-null iff side=0):
+    # per-column last(ignorenulls) would skip a right row's legitimately-null
+    # attribute and resurrect a stale value from an older state row.
+    state_struct = F.struct(
+        F.col(right_ts).alias(matched_ts_col),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
     r_branch = right.select(
         *key_cols,
         F.col(right_ts).alias("_asof_sort_ts"),
         F.lit(0).alias("_asof_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_other],
-        F.col(right_ts).alias(matched_ts_col),
-        *right_cols,
+        state_struct.alias("_asof_state"),
     )
+    null_struct_t = right.select(state_struct.alias("s")).schema["s"].dataType
     l_branch = left.select(
         *key_cols,
         F.col(left_ts).alias("_asof_sort_ts"),
         F.lit(1).alias("_asof_side"),
         *left_other,
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(matched_ts_col),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c)
-            for c in right_cols
-        ],
+        F.lit(None).cast(null_struct_t).alias("_asof_state"),
     )
     merged = r_branch.unionByName(l_branch)
 
@@ -97,12 +101,19 @@ def asof_join(
         *key_cols,
         "_asof_side",
         *left_other,
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in (matched_ts_col, *right_cols)
-        ],
+        F.last("_asof_state", ignorenulls=True).over(w).alias("_asof_state"),
     )
-    out = carried.where(F.col("_asof_side") == 1).drop("_asof_side")
+    out = (
+        carried.where(F.col("_asof_side") == 1)
+        .select(
+            *key_cols,
+            *left_other,
+            *[
+                F.col(f"_asof_state.{c}").alias(c)
+                for c in (matched_ts_col, *right_cols)
+            ],
+        )
+    )
 
     if tolerance_seconds is not None:
         gap = F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(

@@ -128,3 +128,43 @@ def test_asof_join_single_exchange_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_null_state_attribute_not_resurrected(spark):
+    """A matched state row whose attribute is NULL must yield NULL — not a
+    stale value carried from an older state row (the per-column
+    last(ignorenulls) trap; the state travels as one struct)."""
+    from streamchange_spark.operators import asof_join
+
+    right = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "rts": pd.to_datetime([100, 200], unit="s"),
+            "price": [5.0, None],
+            "tag": ["a", None],
+        }
+    )
+    left = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime([150, 250], unit="s"),
+            "ev": [0, 1],
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            ["k"],
+            "ts",
+            "rts",
+        )
+        .toPandas()
+        .sort_values("ev")
+        .reset_index(drop=True)
+    )
+    # ev=0 matches rts=100 (price 5.0); ev=1 matches rts=200 whose price/tag
+    # are NULL and must stay NULL.
+    assert got.loc[0, "price"] == 5.0 and got.loc[0, "tag"] == "a"
+    assert got.loc[1, "asof_ts"] == pd.Timestamp("1970-01-01 00:03:20")
+    assert pd.isna(got.loc[1, "price"]) and got.loc[1, "tag"] is None
