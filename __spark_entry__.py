@@ -370,6 +370,53 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: flag corpus documents sharing any word
+    3-gram with the eval slice (doc_id % 50 == 0 — benchmarks drawn from the
+    same distribution); broadcast probe join, corpus never shuffles. The
+    oracle rebuilds both shingle sets relationally in DuckDB."""
+    from streamchange_spark.operators import contamination_flags
+
+    _configure(spark)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    eval_df = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination_flags(docs, eval_df, "doc_id", "text", n=3)
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment by hashed doc_id (stable
+    under re-runs, repartitioning, and corpus growth — Spark's positional
+    randomSplit guarantees none of that); the oracle replays the md5-bucket
+    arithmetic in SQL."""
+    from streamchange_spark.operators import train_test_split
+
+    _configure(spark)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return train_test_split(
+        docs, "doc_id", weights={"train": 0.9, "valid": 0.05, "test": 0.05}, seed=7
+    ).select("doc_id", "split")
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals via a shuffle-free sorted-array run
+    scan (plan: pure projection, no explode); the oracle recomputes every
+    number relationally (unnest + GROUP BY) — an independent execution
+    strategy, not just an independent engine."""
+    from streamchange_spark.operators import repetition_features
+
+    _configure(spark)
+    rep = repetition_features(
+        _spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+    return rep.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing: documents' text as an opaque payload ->
     (n_bytes, sha256, mime) through the mapInPandas metadata extractor; the
@@ -924,6 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "corpus_split": q_corpus_split,
+        "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
         "multimodal_meta": q_multimodal_meta,
         "window_segmentor": q_window_segmentor,
         "pelt_segments": q_pelt_segments,
@@ -1876,5 +1926,78 @@ SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
        sha256(text) AS sha256,
        'application/octet-stream' AS mime
 FROM documents
+""",
+        "decontaminate": f"""
+WITH {_SHINGLES_CTE},
+eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0
+),
+corpus_sh AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+hits AS (
+  SELECT c.doc_id, count(*) AS contaminated_ngrams
+  FROM corpus_sh c JOIN eval_sh e ON c.s = e.s
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.contaminated_ngrams, 0)::BIGINT AS contaminated_ngrams,
+       coalesce(h.contaminated_ngrams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+        "corpus_split": """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))::BIGINT % 10000
+           AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b
+""",
+        "repetition": """
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS u(l)
+  WHERE trim(l) <> ''
+),
+lc AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM lines GROUP BY doc_id, line
+),
+la AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_lines,
+         count(*)::BIGINT AS n_distinct,
+         sum(c * len)::BIGINT AS total_chars,
+         sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)::BIGINT AS dup_chars
+  FROM lc GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, t
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                          t -> t <> '')) AS u(t)
+),
+tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+ta AS (
+  SELECT doc_id, max(c)::BIGINT AS max_c, sum(c)::BIGINT AS n_toks
+  FROM tc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(la.n_lines, 0)::BIGINT AS n_lines,
+       round(CASE WHEN la.n_lines > 0
+                  THEN 1.0 - CAST(la.n_distinct AS DOUBLE) / CAST(la.n_lines AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN la.total_chars > 0
+                  THEN CAST(la.dup_chars AS DOUBLE) / CAST(la.total_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       round(CASE WHEN ta.n_toks > 0
+                  THEN CAST(ta.max_c AS DOUBLE) / CAST(ta.n_toks AS DOUBLE)
+                  ELSE 0.0 END, 6) AS top_token_frac
+FROM documents d
+LEFT JOIN la ON d.doc_id = la.doc_id
+LEFT JOIN ta ON d.doc_id = ta.doc_id
 """,
     }

@@ -45,6 +45,7 @@ from .rollup import (
 from .corpus import clean_corpus, corpus_features, verdicts_from_features
 from .dedup import (
     connected_components,
+    contamination_flags,
     dedup_keep_ids,
     lsh_cluster_edges_from_signatures,
     lsh_pairs_from_signatures,
@@ -52,9 +53,20 @@ from .dedup import (
 from .asof import asof_join
 from .plot_tables import figure_frames, figure_table, figure_table_multivariate
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
-from .textstats import fingerprint, lang_id, quality_features
+from .sampling import sample_fraction, split_bucket_col, train_test_split
+from .textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    repetition_features,
+)
 
 __all__ = [
+    "contamination_flags",
+    "repetition_features",
+    "train_test_split",
+    "split_bucket_col",
+    "sample_fraction",
     "TIER_SECONDS",
     "asof_join",
     "cosine_col",

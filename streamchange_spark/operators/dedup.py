@@ -662,3 +662,59 @@ def dedup_keep_ids(
     return df.select(F.col(id_col).alias("id")).distinct().join(
         drop, "id", "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+def contamination_flags(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(id, contaminated_ngrams, contaminated): flag training documents that
+    share any word n-gram with an evaluation set — the standard n-gram
+    decontamination pass (13-grams by convention) run before pretraining so
+    benchmark text cannot leak into the training corpus.
+
+    Plan: distinct n-gram shingles per corpus doc (array expression, no
+    UDF) explode to (id, shingle) rows; the eval set reduces to ONE distinct
+    shingle column. The eval side is tiny by construction (benchmarks, not
+    corpora), so it broadcasts and the probe is a map-side hash join against
+    the full corpus — the corpus never shuffles. `contaminated_ngrams`
+    counts distinct matching shingles (ranking evidence for manual review).
+    Set ``broadcast_eval=False`` if the eval set is too large to broadcast
+    (falls back to a shuffle hash join on the shingle).
+    """
+    eval_text = eval_text_col or text_col
+    eval_shingles = (
+        eval_df.select(F.explode(shingles_col(eval_text, n)).alias("_shingle"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_shingles = F.broadcast(eval_shingles)
+    corpus_shingles = corpus.select(
+        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("_shingle")
+    )
+    hits = (
+        corpus_shingles.join(eval_shingles, "_shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("contaminated_ngrams", F.lit(0)).alias(
+                "contaminated_ngrams"
+            ),
+            (F.coalesce("contaminated_ngrams", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

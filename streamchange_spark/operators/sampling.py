@@ -1,0 +1,106 @@
+"""Deterministic corpus splitting and sampling for training-data pipelines.
+
+A training corpus is split train/valid/test ONCE and the assignment must be
+stable forever: independent of row order, partitioning, cluster size, and
+re-runs over a grown corpus (a document added tomorrow must not flip the
+split of a document ingested today). Spark's ``randomSplit`` guarantees none
+of that (it samples per-partition positionally). The operators here assign by
+hashing the document KEY — a pure projection, no shuffle, no state:
+
+- :func:`split_bucket_col` — md5(key ':' seed) -> 60-bit int -> bucket in
+  [0, n_buckets). Same bridge as every other hash oracle in this repo:
+  Spark ``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+  ``('0x' || substr(md5(x),1,15))::BIGINT`` (__spark_entry__ docstring).
+- :func:`train_test_split` — named split per row from cumulative weight
+  thresholds over the bucket. Keying by url (not doc_id) also keeps every
+  re-crawl of one page in one split — the leakage the positional splitter
+  can't prevent.
+- :func:`sample_fraction` — deterministic keyed Bernoulli sample (the
+  "seeded 1% slice" every ablation run re-reads); same hash, so the slice
+  is a subset relation across rates: sample(0.01) ⊂ sample(0.1).
+
+At 100 TB all three are map-only column expressions inside whole-stage
+codegen — they compose with scans (predicate pushdown still applies to other
+filters) and cost one md5 per row.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sample_fraction", "split_bucket_col", "train_test_split"]
+
+_MD5_HEX_CHARS = 15  # 60 bits: fits bigint in both engines, no sign issues
+
+
+def split_bucket_col(
+    key_col: str, seed: int = 0, n_buckets: int = 10_000
+) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5 of the key and seed.
+
+    NULL keys hash the literal string 'null' (stable, never a null bucket).
+    """
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("null"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(f":{int(seed)}"))), 1, _MD5_HEX_CHARS),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(int(n_buckets)))
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float] | None = None,
+    seed: int = 0,
+    n_buckets: int = 10_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Append ``split_col`` naming each row's split, assigned by hashed key.
+
+    ``weights`` maps split name -> relative weight (normalized; insertion
+    order defines the bucket ranges, so pass the same dict to reproduce).
+    All rows sharing a key land in the same split — key by url/domain to
+    keep near-identical re-crawls out of the eval sets. Realized fractions
+    converge on the weights at corpus scale (bucket granularity 1/n_buckets).
+    """
+    weights = dict(weights or {"train": 0.9, "valid": 0.05, "test": 0.05})
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    total = float(sum(weights.values()))
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
+
+    bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets)
+    names = list(weights)
+    expr = F.lit(names[-1])  # last split takes the remainder buckets
+    acc = 0.0
+    uppers = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        uppers.append((name, int(round(acc * n_buckets))))
+    for name, upper in reversed(uppers):
+        expr = F.when(bucket < upper, name).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def sample_fraction(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 0,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Keyed deterministic sample: keep rows whose bucket < fraction·n_buckets.
+
+    Re-running, repartitioning, or growing the corpus never changes which
+    keys are in; a smaller fraction at the same seed is a subset of a larger.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets)
+    return df.where(bucket < int(round(fraction * n_buckets)))

@@ -113,3 +113,93 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
     )
     return df.select(F.col(id_col), fp.alias("fp"))
+
+
+def _line_col(text_col: str) -> Column:
+    """Non-empty lines (whitespace-trimmed) as an array<string>."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+
+def _run_stats(arr: Column) -> Column:
+    """Single-pass run scan over a SORTED array: struct(n, n_distinct,
+    max_run, total_chars, dup_chars). Equal elements are adjacent after the
+    sort, so one aggregate() yields distinct count, the longest run (= the
+    max multiplicity), and the characters inside runs longer than 1 — no
+    explode, no shuffle: the whole computation is a map-side expression."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("n_distinct"),
+        F.lit(0).cast("long").alias("max_run"),
+        F.lit(0).cast("long").alias("total_chars"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def step(st, x):
+        same = st["prev"].isNotNull() & (st["prev"] == x)
+        run = F.when(same, st["run"] + 1).otherwise(F.lit(1).cast("long"))
+        ln = F.length(x).cast("long")
+        # a run crossing 2 retroactively owes the first copy's chars too
+        dup_add = (
+            F.when(run == 2, ln * 2)
+            .when(run > 2, ln)
+            .otherwise(F.lit(0).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (st["n"] + 1).alias("n"),
+            (st["n_distinct"] + F.when(same, 0).otherwise(1)).alias("n_distinct"),
+            F.greatest(st["max_run"], run).alias("max_run"),
+            (st["total_chars"] + ln).alias("total_chars"),
+            (st["dup_chars"] + dup_add).alias("dup_chars"),
+        )
+
+    return F.aggregate(F.sort_array(arr), init, step)
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition (boilerplate) signals per document:
+    (id, n_lines, dup_line_frac, dup_line_char_frac, top_token_frac).
+
+    - ``dup_line_frac``: 1 - distinct/total over non-empty trimmed lines —
+      the "fraction of duplicate lines" filter (nav bars, cookie banners).
+    - ``dup_line_char_frac``: fraction of line characters inside lines
+      occurring more than once (weights long repeated blocks).
+    - ``top_token_frac``: the most frequent token's share of all tokens
+      (degenerate keyword-stuffed pages).
+
+    Plan: sort_array + one aggregate() per column family — a pure projection
+    (no explode, no shuffle, no UDF); cost is the per-document O(L log L)
+    sort, bounded by document size. Empty documents score 0.0. The driver
+    oracle recomputes every number relationally (unnest + GROUP BY in
+    DuckDB), an independent execution path. NULL text counts as empty."""
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    lines = _run_stats(_line_col(text_col))
+    toks = _run_stats(tokens_col(text_col))
+    return df.select(
+        F.col(id_col),
+        lines["n"].alias("n_lines"),
+        F.when(
+            lines["n"] > 0,
+            F.lit(1.0) - lines["n_distinct"].cast("double") / lines["n"].cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("dup_line_frac"),
+        F.when(
+            lines["total_chars"] > 0,
+            lines["dup_chars"].cast("double") / lines["total_chars"].cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("dup_line_char_frac"),
+        F.when(
+            toks["n"] > 0,
+            toks["max_run"].cast("double") / toks["n"].cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("top_token_frac"),
+    )

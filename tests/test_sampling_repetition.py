@@ -1,0 +1,192 @@
+"""train_test_split / sample_fraction (deterministic keyed splits) and
+repetition_features (Gopher-style boilerplate signals) vs independent
+pure-Python oracles."""
+
+import hashlib
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+
+def _bucket(key: str, seed: int = 0, n_buckets: int = 10_000) -> int:
+    # the documented md5 bridge, recomputed with hashlib (independent path)
+    h = int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:15], 16)
+    return h % n_buckets
+
+
+def test_train_test_split_matches_md5_oracle_and_is_stable(spark):
+    from streamchange_spark.operators import train_test_split
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    weights = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    got = train_test_split(df, "k", weights=weights, seed=7).toPandas()
+
+    def oracle(k):
+        b = _bucket(str(k), seed=7)
+        if b < 8000:
+            return "train"
+        if b < 9000:
+            return "valid"
+        return "test"
+
+    exp = got["k"].map(oracle)
+    assert (got["split"] == exp).all()
+    # realized fractions near the weights
+    frac = Counter(got["split"])
+    assert abs(frac["train"] / 3000 - 0.8) < 0.03
+    assert abs(frac["test"] / 3000 - 0.1) < 0.02
+    # partitioning-invariant: same assignment after a repartition
+    again = (
+        train_test_split(df.repartition(13), "k", weights=weights, seed=7)
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (again["split"] == got.sort_values("k").reset_index(drop=True)["split"]).all()
+
+
+def test_train_test_split_key_level_no_leakage(spark):
+    """Rows sharing a key always land in one split (url-keyed recrawls)."""
+    from streamchange_spark.operators import train_test_split
+
+    rows = [(f"url{u}", s) for u in range(200) for s in range(5)]
+    df = spark.createDataFrame(rows, "url string, snap long")
+    got = train_test_split(df, "url", seed=1).toPandas()
+    assert (got.groupby("url")["split"].nunique() == 1).all()
+
+
+def test_train_test_split_validates_weights(spark):
+    from streamchange_spark.operators import train_test_split
+
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="at least two"):
+        train_test_split(df, "id", weights={"train": 1.0})
+    with pytest.raises(ValueError, match="non-negative"):
+        train_test_split(df, "id", weights={"a": -1.0, "b": 2.0})
+
+
+def test_sample_fraction_subset_and_deterministic(spark):
+    from streamchange_spark.operators import sample_fraction
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    small = set(sample_fraction(df, "k", 0.02, seed=3).toPandas()["k"])
+    big = set(sample_fraction(df, "k", 0.2, seed=3).toPandas()["k"])
+    assert small <= big  # same seed: smaller rate is a subset
+    assert small == {k for k in range(5000) if _bucket(str(k), 3) < 200}
+    assert abs(len(big) / 5000 - 0.2) < 0.03
+    with pytest.raises(ValueError, match="fraction"):
+        sample_fraction(df, "k", 1.5)
+
+
+def _rep_oracle(text: str) -> dict:
+    lines = [l.strip() for l in text.split("\n") if l.strip() != ""]
+    toks = [t for t in text.lower().split() if t != ""]
+    lc, tc = Counter(lines), Counter(toks)
+    n_lines = len(lines)
+    total_chars = sum(len(l) for l in lines)
+    dup_chars = sum(len(l) * c for l, c in lc.items() if c > 1)
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": 1.0 - len(lc) / n_lines if n_lines else 0.0,
+        "dup_line_char_frac": dup_chars / total_chars if total_chars else 0.0,
+        "top_token_frac": max(tc.values()) / len(toks) if toks else 0.0,
+    }
+
+
+def test_repetition_features_matches_counter_oracle(spark):
+    from streamchange_spark.operators import repetition_features
+
+    texts = [
+        "home\nabout\ncontact\nhome\nabout\nreal content line here",
+        "buy now buy now buy now buy now limited offer",
+        "a\nb\nc\nd",  # no duplicates at all
+        "same line\nsame line\nsame line",
+        "",  # empty doc scores 0.0 everywhere
+        "   \n  \n",  # whitespace-only doc
+        "one two three two three three",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = (
+        repetition_features(df, "doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame([_rep_oracle(t) for t in texts])
+    for col in ["n_lines", "dup_line_frac", "dup_line_char_frac", "top_token_frac"]:
+        pd.testing.assert_series_equal(
+            got[col], exp[col].astype(got[col].dtype), check_names=False
+        )
+    # spot semantics: doc 3 is one distinct line repeated 3x
+    assert got.loc[3, "dup_line_frac"] == pytest.approx(2 / 3)
+    assert got.loc[3, "dup_line_char_frac"] == 1.0
+
+
+def test_repetition_features_is_projection_no_shuffle(spark):
+    """The plan must contain NO exchange and NO generate (explode): the
+    whole computation is a map-side expression over each row."""
+    from streamchange_spark.operators import repetition_features
+
+    df = spark.createDataFrame([(1, "x\ny\nx")], "doc_id long, text string")
+    plan = (
+        repetition_features(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_contamination_flags_matches_set_oracle(spark):
+    """n-gram decontamination vs a pure-Python shingle-set oracle."""
+    from streamchange_spark.operators import contamination_flags
+
+    corpus = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "completely unrelated text about spark dataframes here"),
+        (2, "quick brown fox jumps again somewhere else entirely"),
+        (3, "short"),  # too short for any 3-gram
+    ]
+    evals = [(100, "a quick brown fox jumps high")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    edf = spark.createDataFrame(evals, "doc_id long, text string")
+    got = (
+        contamination_flags(cdf, edf, "doc_id", "text", n=3)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def shingles(t, n=3):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    eset = set().union(*(shingles(t) for _, t in evals))
+    for i, (_, text) in enumerate(corpus):
+        expect = len(shingles(text) & eset)
+        assert got.loc[i, "contaminated_ngrams"] == expect
+        assert bool(got.loc[i, "contaminated"]) == (expect > 0)
+    # sanity: doc 0 and 2 share "quick brown fox"/"brown fox jumps"; doc 1/3 clean
+    assert got.loc[0, "contaminated"] and got.loc[2, "contaminated"]
+    assert not got.loc[1, "contaminated"] and not got.loc[3, "contaminated"]
+
+
+def test_contamination_flags_broadcast_plan(spark):
+    """The eval side broadcasts: no shuffle of the corpus shingle stream."""
+    from streamchange_spark.operators import contamination_flags
+
+    cdf = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    edf = spark.createDataFrame([(0, "alpha beta gamma")], "doc_id long, text string")
+    plan = (
+        contamination_flags(cdf, edf, "doc_id", "text", n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

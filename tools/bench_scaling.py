@@ -8,16 +8,23 @@ The job is the flagship pages pipeline:
   -> Gorilla-compress the 1h tier                           [binary columns]
   -> WindowSegmentor change points on each url's 1h mean    [change points]
 plus the training-data corpus stage over the same pages table:
-  pages -> latest_pages (newest text per url)               [crawl collapse]
+  pages -> hash-sampled snapshot docs (~0.8% of rows)       [doc table]
   -> corpus_features (lang/quality/md5/minhash, persisted)  [the text pass]
   -> verdicts_from_features (LSH bands -> components -> verdicts)
 
 Usage:
   PYTHONPATH=/root/repo python tools/bench_scaling.py [--urls 20000] \
-      [--snapshots 60] [--levels 8,32] [--keep]
+      [--snapshots 60] [--levels 8,32] [--repeats 1] [--stages all] [--keep]
 
-Prints one JSON line per level plus a summary line with scaling efficiency
+Prints one JSON line per (pass, level), then one merged line per level, then
+a summary line with scaling efficiency
   eff = (throughput_hi / throughput_lo) / (hi / lo).
+
+--repeats N interleaves full passes over the levels (2,8,32,2,8,32,...) and
+takes the per-stage MIN time per level — the same stall-decorrelation
+protocol as bench.py (multi-second host stalls hit one pass, not both).
+--stages lets a re-measure touch only some stages (csv of
+ingest,rollup,gorilla,detect,corpus; the pipeline total needs the first four).
 """
 
 from __future__ import annotations
@@ -30,6 +37,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ALL_STAGES = ("ingest", "rollup", "gorilla", "detect", "corpus")
+PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 
 
 def build_input(path: str, n_urls: int, snapshots: int, cpus: int) -> None:
@@ -47,7 +57,7 @@ def build_input(path: str, n_urls: int, snapshots: int, cpus: int) -> None:
     spark.stop()
 
 
-def run_level(path: str, cpus: int) -> dict:
+def run_level(path: str, cpus: int, stages: set[str]) -> dict:
     from pyspark.sql import functions as F
 
     from streamchange_spark.kernels import BIC, CUSUM, WindowSegmentor
@@ -73,113 +83,146 @@ def run_level(path: str, cpus: int) -> dict:
         "url", "warc_ts", F.length("text").cast("double").alias("text_len")
     )
     n_rows = metrics.count()
+    out: dict = {"cpus": cpus, "input_rows": n_rows}
 
-    # Ingest invariant: sha256(text) per row (BASELINE.json input_hint's
-    # byte-identity manifest) — pure scan+hash, the linearly-scaling part of
-    # a real 100 TB ingest.
-    from streamchange_spark.sources import text_manifest
+    if "ingest" in stages:
+        # Ingest invariant: sha256(text) per row (BASELINE.json input_hint's
+        # byte-identity manifest) — pure scan+hash, the linearly-scaling
+        # part of a real 100 TB ingest.
+        from streamchange_spark.sources import text_manifest
 
-    t0 = time.time()
-    text_manifest(pages).select(
-        F.count(F.lit(1)), F.max("text_sha256")
-    ).collect()
-    ingest_sec = time.time() - t0
+        t0 = time.time()
+        text_manifest(pages).select(
+            F.count(F.lit(1)), F.max("text_sha256")
+        ).collect()
+        out["ingest_sec"] = round(time.time() - t0, 2)
 
-    from streamchange_spark.operators import rollup_raw, rollup_tier
+    tier1h = None
+    if stages & {"rollup", "gorilla", "detect"}:
+        from streamchange_spark.operators import rollup_raw, rollup_tier
 
-    # Materialize the 1h tier once; coarser tiers re-aggregate the persisted
-    # tier (the continuous-aggregate contract — no raw re-scan per tier).
-    t0 = time.time()
-    tier1h = rollup_raw(metrics, ["url"], "warc_ts", "text_len", "1h").persist()
-    n_points = tier1h.count()
-    tier1d = rollup_tier(tier1h, ["url"], "1d")
-    tier1d.write.mode("overwrite").format("noop").save()
-    rollup_tier(tier1d, ["url"], "30d").write.mode("overwrite").format("noop").save()
-    rollup_sec = time.time() - t0
+        # Materialize the 1h tier once; coarser tiers re-aggregate the
+        # persisted tier (the continuous-aggregate contract — no raw
+        # re-scan per tier).
+        t0 = time.time()
+        tier1h = rollup_raw(metrics, ["url"], "warc_ts", "text_len", "1h").persist()
+        out["hourly_points"] = tier1h.count()
+        tier1d = rollup_tier(tier1h, ["url"], "1d")
+        tier1d.write.mode("overwrite").format("noop").save()
+        rollup_tier(tier1d, ["url"], "30d").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        out["rollup_sec"] = round(time.time() - t0, 2)
 
-    from streamchange_spark.operators import decompress_series
+    if "gorilla" in stages:
+        from streamchange_spark.operators import decompress_series
 
-    t0 = time.time()
-    compressed = compress_series(tier1h, ["url"], "bucket_start", "sum_v").persist()
-    compressed.count()
-    gorilla_sec = time.time() - t0
+        t0 = time.time()
+        compressed = compress_series(
+            tier1h, ["url"], "bucket_start", "sum_v"
+        ).persist()
+        compressed.count()
+        out["gorilla_sec"] = round(time.time() - t0, 2)
 
-    t0 = time.time()
-    decompress_series(compressed, ["url"], "bucket_start", "sum_v").write.mode(
-        "overwrite"
-    ).format("noop").save()
-    gunzip_sec = time.time() - t0
-    compressed.unpersist()
+        t0 = time.time()
+        decompress_series(compressed, ["url"], "bucket_start", "sum_v").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        out["gorilla_decompress_sec"] = round(time.time() - t0, 2)
+        compressed.unpersist()
 
-    # Detectors assume standardized series (reference: pelt/pelt.py:12,
-    # capa/capa.py:12); standardize each url's hourly mean JVM-side.
-    from pyspark.sql import Window
+    if "detect" in stages:
+        # Detectors assume standardized series (reference: pelt/pelt.py:12,
+        # capa/capa.py:12); standardize each url's hourly mean JVM-side.
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("url")
-    hourly_mean = (
-        tier1h.withColumn("_m", F.col("sum_v") / F.col("n_points"))
-        .withColumn("v", (F.col("_m") - F.avg("_m").over(w)) /
-                    # nullif: constant series (stddev 0, short-snapshot
-                    # inputs) standardize to 0 instead of ANSI div-by-zero
-                    F.coalesce(F.nullif(F.stddev("_m").over(w), F.lit(0.0)),
-                               F.lit(1.0)))
-        .where(F.col("v").isNotNull())
-        .select("url", "bucket_start", "v")
-    )
-    t0 = time.time()
-    cpts = window_segmentor_changepoints(
-        hourly_mean,
-        lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=1.0)), 4, 100),
-        key_cols=["url"],
-        ts_col="bucket_start",
-        value_cols=["v"],
-    )
-    n_cpts = cpts.count()
-    detect_sec = time.time() - t0
-    tier1h.unpersist()
+        w = Window.partitionBy("url")
+        hourly_mean = (
+            tier1h.withColumn("_m", F.col("sum_v") / F.col("n_points"))
+            .withColumn("v", (F.col("_m") - F.avg("_m").over(w)) /
+                        # nullif: constant series (stddev 0, short-snapshot
+                        # inputs) standardize to 0, not ANSI div-by-zero
+                        F.coalesce(F.nullif(F.stddev("_m").over(w), F.lit(0.0)),
+                                   F.lit(1.0)))
+            .where(F.col("v").isNotNull())
+            .select("url", "bucket_start", "v")
+        )
+        t0 = time.time()
+        cpts = window_segmentor_changepoints(
+            hourly_mean,
+            lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=1.0)), 4, 100),
+            key_cols=["url"],
+            ts_col="bucket_start",
+            value_cols=["v"],
+        )
+        out["changepoints"] = cpts.count()
+        out["detect_sec"] = round(time.time() - t0, 2)
+    if tier1h is not None:
+        tier1h.unpersist()
 
-    # Corpus dedup stage (same pages input): the pipeline shape — one
-    # persisted feature pass (the only stage that touches payload text),
-    # then id-level global dedup + verdict assembly.
-    from streamchange_spark.corpus_pipeline import latest_pages
-    from streamchange_spark.operators import corpus_features, verdicts_from_features
+    if "corpus" in stages:
+        # Corpus dedup stage (same pages input): the pipeline shape — one
+        # persisted feature pass (the only stage that touches payload text),
+        # then id-level global dedup + verdict assembly. Docs are individual
+        # page SNAPSHOTS (url#ts), deterministically hash-sampled to ~500k
+        # docs so per-document work dominates the measurement (a
+        # latest_pages collapse leaves 20k docs — all fixed cost, no
+        # scaling signal); recrawls of one url are genuine near-duplicates,
+        # so the minhash-LSH path does real dedup work.
+        from streamchange_spark.operators import (
+            corpus_features,
+            verdicts_from_features,
+        )
 
-    t0 = time.time()
-    docs = latest_pages(pages, ["text"]).select("url", "text")
-    feats = corpus_features(
-        docs, id_col="url", text_col="text", keep_langs=None, min_quality=0.0,
-        # xxhash = the pipeline's scale default (md5 is for oracle
-        # reproducibility only; the digest dominated the text pass 76s vs 27s)
-        hash_fn="xxhash",
-    ).persist()
-    n_docs = feats.count()
-    verdicts_from_features(feats, id_col="url").write.mode("overwrite").format(
-        "noop"
-    ).save()
-    corpus_sec = time.time() - t0
-    feats.unpersist()
+        t0 = time.time()
+        docs = pages.where(
+            F.pmod(F.xxhash64("url", "warc_ts"), F.lit(126)) == 0
+        ).select(
+            F.concat_ws("#", "url", F.col("warc_ts").cast("string")).alias(
+                "doc_id"
+            ),
+            "text",
+        )
+        feats = corpus_features(
+            docs, id_col="doc_id", text_col="text", keep_langs=None,
+            min_quality=0.0,
+            # xxhash = the pipeline's scale default (md5 is for oracle
+            # reproducibility only; the digest dominated the text pass:
+            # 76s vs 27s at 8 cores / 300k docs)
+            hash_fn="xxhash",
+        ).persist()
+        out["corpus_docs"] = feats.count()
+        verdicts_from_features(feats, id_col="doc_id").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        out["corpus_sec"] = round(time.time() - t0, 2)
+        feats.unpersist()
 
     spark.stop()
-    pipeline_sec = ingest_sec + rollup_sec + gorilla_sec + detect_sec
-    return {
-        "cpus": cpus,
-        "input_rows": n_rows,
-        "ingest_sec": round(ingest_sec, 2),
-        "ingest_rows_per_sec": round(n_rows / ingest_sec, 1),
-        "rollup_sec": round(rollup_sec, 2),
-        "rolled_points_per_sec": round(3 * n_rows / rollup_sec, 1),
-        "gorilla_sec": round(gorilla_sec, 2),
-        "gorilla_decompress_sec": round(gunzip_sec, 2),
-        "hourly_points": n_points,
-        "detect_sec": round(detect_sec, 2),
-        "detect_points_per_sec": round(n_points / detect_sec, 1),
-        "changepoints": n_cpts,
-        "corpus_docs": n_docs,
-        "corpus_sec": round(corpus_sec, 2),
-        "corpus_docs_per_sec": round(n_docs / corpus_sec, 1),
-        "pipeline_sec": round(pipeline_sec, 2),
-        "pipeline_rows_per_sec": round(n_rows / pipeline_sec, 1),
-    }
+    return out
+
+
+def _derive(merged: dict) -> dict:
+    """Recompute throughputs (and the pipeline total) from merged times."""
+    n_rows = merged["input_rows"]
+    if "ingest_sec" in merged:
+        merged["ingest_rows_per_sec"] = round(n_rows / merged["ingest_sec"], 1)
+    if "rollup_sec" in merged:
+        merged["rolled_points_per_sec"] = round(3 * n_rows / merged["rollup_sec"], 1)
+    if "detect_sec" in merged:
+        merged["detect_points_per_sec"] = round(
+            merged["hourly_points"] / merged["detect_sec"], 1
+        )
+    if "corpus_sec" in merged:
+        merged["corpus_docs_per_sec"] = round(
+            merged["corpus_docs"] / merged["corpus_sec"], 1
+        )
+    if all(f"{s}_sec" in merged for s in PIPELINE_STAGES):
+        merged["pipeline_sec"] = round(
+            sum(merged[f"{s}_sec"] for s in PIPELINE_STAGES), 2
+        )
+        merged["pipeline_rows_per_sec"] = round(n_rows / merged["pipeline_sec"], 1)
+    return merged
 
 
 def main():
@@ -187,48 +230,70 @@ def main():
     ap.add_argument("--urls", type=int, default=20000)
     ap.add_argument("--snapshots", type=int, default=60)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--stages", default="all")
     ap.add_argument("--workdir", default="/root/repo/.bench")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
+
+    stages = (
+        set(ALL_STAGES)
+        if args.stages == "all"
+        else {s.strip() for s in args.stages.split(",")}
+    )
+    unknown = stages - set(ALL_STAGES)
+    if unknown:
+        raise SystemExit(f"unknown stages: {sorted(unknown)}")
 
     levels = sorted(int(x) for x in args.levels.split(","))
     path = os.path.join(args.workdir, f"pages_{args.urls}x{args.snapshots}.parquet")
     if not os.path.exists(path):
         build_input(path, args.urls, args.snapshots, cpus=os.cpu_count() or 8)
 
+    # Interleaved passes: pass 0 over every level, then pass 1, ... so a
+    # host stall window degrades one pass, not every repeat of one level.
+    raw: dict[int, list[dict]] = {c: [] for c in levels}
+    for rep in range(max(1, args.repeats)):
+        for cpus in levels:
+            try:
+                r = run_level(path, cpus, stages)
+            finally:
+                # tmpfs shuffle dirs are outside workdir's cleanup path;
+                # leaving spill in /dev/shm across runs would eat shared mem.
+                shutil.rmtree(f"/dev/shm/spark-local-{cpus}", ignore_errors=True)
+            raw[cpus].append(r)
+            print(json.dumps({"pass": rep, **r}))
+
     results = []
     for cpus in levels:
-        try:
-            r = run_level(path, cpus)
-        finally:
-            # tmpfs shuffle dirs are outside workdir's cleanup path; leaving
-            # spill in /dev/shm across runs would eat shared memory.
-            shutil.rmtree(f"/dev/shm/spark-local-{cpus}", ignore_errors=True)
-        results.append(r)
-        print(json.dumps(r))
+        merged = dict(raw[cpus][0])
+        for r in raw[cpus][1:]:
+            for k, v in r.items():
+                if k.endswith("_sec"):
+                    merged[k] = min(merged[k], v)
+        results.append(_derive(merged))
+        print(json.dumps(results[-1]))
 
-    # (result key, invert?) — gorilla is recorded as seconds, the rest as
-    # throughput already
     metrics = {
-        "ingest": ("ingest_rows_per_sec", False),
-        "rollup": ("rolled_points_per_sec", False),
-        "gorilla": ("gorilla_sec", True),
-        "gorilla_decompress": ("gorilla_decompress_sec", True),
-        "detect": ("detect_points_per_sec", False),
-        "corpus": ("corpus_docs_per_sec", False),
-        "pipeline": ("pipeline_rows_per_sec", False),
+        "ingest": "ingest_rows_per_sec",
+        "rollup": "rolled_points_per_sec",
+        "gorilla": "gorilla_sec",
+        "gorilla_decompress": "gorilla_decompress_sec",
+        "detect": "detect_points_per_sec",
+        "corpus": "corpus_docs_per_sec",
+        "pipeline": "pipeline_rows_per_sec",
     }
 
-    def thr(r, spec):
-        key, invert = spec
-        return 1.0 / r[key] if invert else r[key]
+    def thr(r, key):
+        return 1.0 / r[key] if key.endswith("_sec") else r[key]
 
     summary = {"levels": [r["cpus"] for r in results], "pairs": {}}
     for lo, hi in zip(results, results[1:]):
         ratio = hi["cpus"] / lo["cpus"]
         summary["pairs"][f'{lo["cpus"]}->{hi["cpus"]}'] = {
-            name: round((thr(hi, spec) / thr(lo, spec)) / ratio, 3)
-            for name, spec in metrics.items()
+            name: round((thr(hi, key) / thr(lo, key)) / ratio, 3)
+            for name, key in metrics.items()
+            if key in lo and key in hi
         }
     print(json.dumps(summary))
     if not args.keep:
