@@ -177,11 +177,24 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (no explode, no shuffle, no UDF); cost is the per-document O(L log L)
     sort, bounded by document size. Empty documents score 0.0. The driver
     oracle recomputes every number relationally (unnest + GROUP BY in
-    DuckDB), an independent execution path. NULL text counts as empty."""
+    DuckDB), an independent execution path. NULL text counts as empty.
+
+    The two run-scan structs are materialized in their OWN projection and
+    the ratios reference struct fields from a second one: inlining the
+    fields directly would re-evaluate the whole sort+scan per numerator,
+    denominator, and guard (~10 O(L log L) passes per row — measured 17 s
+    vs 3.6 s for the noop write at sf0.1). CollapseProject leaves the
+    boundary alone because the producing expressions are non-cheap and
+    referenced more than once."""
     df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
-    lines = _run_stats(_line_col(text_col))
-    toks = _run_stats(tokens_col(text_col))
-    return df.select(
+    staged = df.select(
+        F.col(id_col),
+        _run_stats(_line_col(text_col)).alias("_lines"),
+        _run_stats(tokens_col(text_col)).alias("_toks"),
+    )
+    lines = F.col("_lines")
+    toks = F.col("_toks")
+    return staged.select(
         F.col(id_col),
         lines["n"].alias("n_lines"),
         F.when(
