@@ -567,9 +567,12 @@ def connected_components(
     of CPU, no iterative jobs. Beyond the threshold it falls back to
     distributed min-label propagation: each round joins every node's label
     with its neighbours' and keeps the minimum — one shuffle-join + one
-    hash-aggregate per round, converging in O(graph diameter) rounds
-    (near-dup graphs are unions of near-cliques; 2-3 rounds settle real
-    corpora, with an early-stop convergence check per round)."""
+    hash-aggregate per round, plus a pointer-jumping step (each node also
+    adopts its current label's label) so convergence is O(log diameter)
+    rounds, not O(diameter) — a path component of length 10^6 settles in
+    ~20 rounds instead of 10^6 (near-dup graphs are unions of
+    near-cliques; 2-3 rounds settle real corpora, with an early-stop
+    convergence check per round)."""
     slim = pairs.select(F.col(id_a), F.col(id_b))
     head = slim.limit(driver_threshold + 1).collect()
     if len(head) <= driver_threshold:
@@ -615,8 +618,22 @@ def connected_components(
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), "component")
         )
+        # Pointer jumping: adopt the label OF my label. Neighbour
+        # propagation alone moves the min one hop per round (O(diameter));
+        # composing the label map with itself doubles the reach per round
+        # (O(log diameter)) — the advice in Kiveris et al.'s star
+        # contractions, grafted onto the same join+agg loop.
+        jump = (
+            labels.alias("a")
+            .join(
+                labels.alias("b"),
+                F.col("a.component") == F.col("b.id"),
+            )
+            .select(F.col("a.id").alias("id"), F.col("b.component").alias("component"))
+        )
         new_labels = (
             labels.unionAll(neigh)
+            .unionAll(jump)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
@@ -641,8 +658,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components: min-label propagation did not converge "
             f"in max_iters={max_iters} rounds ({changed} labels still "
-            f"changing); the pair graph has a component with diameter > "
-            f"{max_iters} — raise max_iters (rounds needed = graph diameter)"
+            f"changing); raise max_iters (with pointer jumping the rounds "
+            f"needed are ~log2(graph diameter): 25 covers diameter ~3e7)"
         )
     return labels
 

@@ -441,6 +441,23 @@ def test_connected_components_distributed_raises_on_nonconvergence(spark):
     assert set(ok["component"]) == {0}
 
 
+def test_connected_components_pointer_jumping_is_logarithmic(spark):
+    """A 300-node path (diameter 299) must converge in ~log2(299)+slack
+    rounds, not 299 — the pointer-jumping step doubles label reach per
+    round, so 12 iterations suffice where one-hop propagation needs 299."""
+    from streamchange_spark.operators import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a long, id_b long"
+    )
+    out = (
+        connected_components(chain, driver_threshold=0, max_iters=12)
+        .toPandas()
+    )
+    assert len(out) == 300
+    assert set(out["component"]) == {0}
+
+
 def test_ngram_jaccard_default_cap_bounds_boilerplate(spark):
     """The DEFAULT max_doc_freq suppresses corpus-wide boilerplate shingles:
     300 pages sharing heavy boilerplate produce no O(n^2) pair explosion,
