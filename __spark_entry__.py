@@ -417,6 +417,27 @@ def q_repetition(spark, sf_dir):
     )
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-source document cap (keep the 5 longest docs per source,
+    doc_id tiebreak): row_number <= K over a total order, which Catalyst
+    rewrites to a map-side partial top-K (WindowGroupLimit) before the
+    exchange — a mega-domain never funnels whole into one reducer. The
+    oracle replays the identical total order relationally."""
+    from streamchange_spark.operators import cap_per_group
+
+    _configure(spark)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return cap_per_group(
+        docs,
+        "source",
+        5,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        rank_col="rank",
+    ).select(
+        "doc_id", "source", "n_chars", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing: documents' text as an opaque payload ->
     (n_bytes, sha256, mime) through the mapInPandas metadata extractor; the
@@ -974,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
+        "domain_cap": q_domain_cap,
         "multimodal_meta": q_multimodal_meta,
         "window_segmentor": q_window_segmentor,
         "pelt_segments": q_pelt_segments,
@@ -1942,6 +1964,15 @@ SELECT d.doc_id,
        coalesce(h.contaminated_ngrams, 0)::BIGINT AS contaminated_ngrams,
        coalesce(h.contaminated_ngrams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+        "domain_cap": """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rank FROM r WHERE rank <= 5
 """,
         "corpus_split": """
 WITH b AS (

@@ -53,7 +53,12 @@ from .dedup import (
 from .asof import asof_join
 from .plot_tables import figure_frames, figure_table, figure_table_multivariate
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
-from .sampling import sample_fraction, split_bucket_col, train_test_split
+from .sampling import (
+    cap_per_group,
+    sample_fraction,
+    split_bucket_col,
+    train_test_split,
+)
 from .textstats import (
     fingerprint,
     lang_id,
@@ -62,6 +67,7 @@ from .textstats import (
 )
 
 __all__ = [
+    "cap_per_group",
     "contamination_flags",
     "repetition_features",
     "train_test_split",

@@ -28,10 +28,15 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sample_fraction", "split_bucket_col", "train_test_split"]
+__all__ = [
+    "cap_per_group",
+    "sample_fraction",
+    "split_bucket_col",
+    "train_test_split",
+]
 
 _MD5_HEX_CHARS = 15  # 60 bits: fits bigint in both engines, no sign issues
 
@@ -104,3 +109,35 @@ def sample_fraction(
         raise ValueError(f"fraction must be in [0, 1]: {fraction}")
     bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets)
     return df.where(bucket < int(round(fraction * n_buckets)))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    order_by: Sequence[Column | str],
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group — the per-domain document
+    cap every web-corpus curation pipeline applies so one mega-site cannot
+    dominate the training mix.
+
+    ``order_by`` decides WHICH rows survive (e.g. quality desc, then id as
+    the deterministic tiebreak — pass a total order for reproducible
+    output). ``rank_col`` optionally exposes the 1-based rank.
+
+    Scale shape: expressed as ``row_number() <= K`` so Catalyst's
+    InferWindowGroupLimit rewrites it into a WindowGroupLimit pair — a
+    map-side partial top-K per partition BEFORE the exchange, then the
+    final top-K after — meaning the shuffle carries at most K rows per
+    group per input partition, not the whole group. A mega-domain with
+    10^8 pages ships ~K·partitions rows, not 10^8 (verified in the plan
+    test; skew never reaches one reducer)."""
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1: {max_rows}")
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    rank = "_rank" if rank_col is None else rank_col
+    out = df.withColumn(rank, F.row_number().over(w)).where(
+        F.col(rank) <= max_rows
+    )
+    return out.drop("_rank") if rank_col is None else out

@@ -190,3 +190,36 @@ def test_contamination_flags_broadcast_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_cap_per_group_matches_pandas_and_uses_window_group_limit(spark):
+    """Per-group cap vs a pandas replay of the same total order, plus the
+    scale property: the optimizer must rewrite row_number<=K into a
+    WindowGroupLimit (map-side partial top-K before the exchange)."""
+    from pyspark.sql import functions as F
+
+    from streamchange_spark.operators import cap_per_group
+
+    rows = [
+        (i, f"g{i % 7}", (i * 37) % 101) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, score long")
+    capped = cap_per_group(
+        df, "grp", 3, [F.col("score").desc(), F.col("id").asc()], rank_col="rank"
+    )
+    got = capped.toPandas().sort_values(["grp", "rank"]).reset_index(drop=True)
+
+    pdf = pd.DataFrame(rows, columns=["id", "grp", "score"])
+    pdf = pdf.sort_values(["score", "id"], ascending=[False, True])
+    exp = pdf.groupby("grp").head(3)
+    assert len(got) == len(exp) == 21
+    exp_ids = {g: list(sub["id"]) for g, sub in exp.groupby("grp")}
+    for g, sub in got.groupby("grp"):
+        assert list(sub.sort_values("rank")["id"]) == exp_ids[g]
+    assert (got.groupby("grp")["rank"].max() == 3).all()
+
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    with pytest.raises(ValueError):
+        cap_per_group(df, "grp", 0, ["score"])
