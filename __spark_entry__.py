@@ -417,6 +417,25 @@ def q_repetition(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Per-source mixture sampling (src0 kept fully, src1 at 40%, others
+    at 10%): one CASE-threshold keyed Bernoulli, a pure map-side
+    projection; the oracle replays the md5-bucket arithmetic and CASE in
+    SQL."""
+    from streamchange_spark.operators import mixture_sample
+
+    _configure(spark)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return mixture_sample(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.4},
+        key_col="doc_id",
+        seed=11,
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-source document cap (keep the 5 longest docs per source,
     doc_id tiebreak): row_number <= K over a total order, which Catalyst
@@ -996,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
         "domain_cap": q_domain_cap,
+        "mixture_sample": q_mixture_sample,
         "multimodal_meta": q_multimodal_meta,
         "window_segmentor": q_window_segmentor,
         "pelt_segments": q_pelt_segments,
@@ -1964,6 +1984,19 @@ SELECT d.doc_id,
        coalesce(h.contaminated_ngrams, 0)::BIGINT AS contaminated_ngrams,
        coalesce(h.contaminated_ngrams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+        "mixture_sample": """
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 15))::BIGINT % 10000
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, source
+FROM b
+WHERE bucket < CASE source WHEN 'src0' THEN 10000
+                           WHEN 'src1' THEN 4000
+                           ELSE 1000 END
 """,
         "domain_cap": """
 WITH r AS (

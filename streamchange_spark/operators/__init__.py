@@ -55,6 +55,7 @@ from .plot_tables import figure_frames, figure_table, figure_table_multivariate
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
 from .sampling import (
     cap_per_group,
+    mixture_sample,
     sample_fraction,
     split_bucket_col,
     train_test_split,
@@ -69,6 +70,7 @@ from .textstats import (
 __all__ = [
     "cap_per_group",
     "contamination_flags",
+    "mixture_sample",
     "repetition_features",
     "train_test_split",
     "split_bucket_col",

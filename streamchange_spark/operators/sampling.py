@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cap_per_group",
+    "mixture_sample",
     "sample_fraction",
     "split_bucket_col",
     "train_test_split",
@@ -109,6 +110,38 @@ def sample_fraction(
         raise ValueError(f"fraction must be in [0, 1]: {fraction}")
     bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets)
     return df.where(bucket < int(round(fraction * n_buckets)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    seed: int = 0,
+    n_buckets: int = 10_000,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keyed Bernoulli sample at a PER-GROUP rate — the data-mixing pass
+    that up/down-weights sources into a training mix (e.g. wiki 2.0 is
+    expressed as two passes at 1.0; code 0.3; web 0.08). Groups absent
+    from ``fractions`` keep ``default_fraction`` (0 = drop).
+
+    Same md5-bucket hash as :func:`sample_fraction`, so the per-group
+    slices are deterministic, partition-invariant, and nested across
+    rates. The rate lookup is a CASE expression (no join): still a pure
+    map-side projection at 100 TB."""
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1]: {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1]: {default_fraction}")
+    bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets)
+    cutoff = F.lit(int(round(default_fraction * n_buckets)))
+    for g, f in fractions.items():
+        cutoff = F.when(
+            F.col(group_col) == g, F.lit(int(round(f * n_buckets)))
+        ).otherwise(cutoff)
+    return df.where(bucket < cutoff)
 
 
 def cap_per_group(

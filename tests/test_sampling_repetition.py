@@ -223,3 +223,33 @@ def test_cap_per_group_matches_pandas_and_uses_window_group_limit(spark):
 
     with pytest.raises(ValueError):
         cap_per_group(df, "grp", 0, ["score"])
+
+
+def test_mixture_sample_per_group_rates_and_determinism(spark):
+    """Per-group keep rates realize near the requested fractions, the kept
+    set is exactly the keyed-hash oracle, and absent groups follow
+    default_fraction."""
+    from streamchange_spark.operators import mixture_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(6000)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    kept = mixture_sample(
+        df, "grp", {"a": 1.0, "b": 0.25}, key_col="k", seed=3,
+        default_fraction=0.0,
+    ).toPandas()
+
+    def keep(k, frac):
+        return _bucket(str(k), seed=3) < round(frac * 10_000)
+
+    exp = {
+        k for k, g in rows
+        if (g == "a" and keep(k, 1.0)) or (g == "b" and keep(k, 0.25))
+    }
+    assert set(kept["k"]) == exp
+    counts = kept.groupby("grp")["k"].count()
+    assert counts.get("a", 0) == 2000          # 1.0 keeps everything
+    assert abs(counts.get("b", 0) / 2000 - 0.25) < 0.05
+    assert counts.get("c", 0) == 0             # default_fraction=0 drops
+
+    with pytest.raises(ValueError):
+        mixture_sample(df, "grp", {"a": 1.5}, key_col="k")
