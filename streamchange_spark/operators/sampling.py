@@ -129,7 +129,10 @@ def mixture_sample(
     Same md5-bucket hash as :func:`sample_fraction`, so the per-group
     slices are deterministic, partition-invariant, and nested across
     rates. The rate lookup is a CASE expression (no join): still a pure
-    map-side projection at 100 TB."""
+    map-side projection at 100 TB. Mixture maps are small by nature (a
+    training mix has tens of sources); if rates came per-DOMAIN (10^5+
+    entries) prefer a broadcast join against a rates table over a 10^5-arm
+    CASE — the evaluator walks CASE arms linearly per row."""
     for g, f in fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for {g!r} must be in [0, 1]: {f}")
