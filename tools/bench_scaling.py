@@ -285,7 +285,9 @@ def main():
     }
 
     def thr(r, key):
-        return 1.0 / r[key] if key.endswith("_sec") else r[key]
+        # *_per_sec keys are already throughputs; bare *_sec keys are times.
+        is_time = key.endswith("_sec") and not key.endswith("_per_sec")
+        return 1.0 / r[key] if is_time else r[key]
 
     summary = {"levels": [r["cpus"] for r in results], "pairs": {}}
     for lo, hi in zip(results, results[1:]):
