@@ -45,8 +45,11 @@ from streamchange_spark.operators import (
     ngram_jaccard_pairs,
     pelt_segments,
     quality_features,
+    rolling_zscore,
     rollup_raw,
     rollup_tier,
+    scrub_pii,
+    session_stats,
     sequential_scores,
     simhash,
     window_segmentor_changepoints,
@@ -274,9 +277,69 @@ def q_event_type_stats(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) + per-session stats; one hash
+    exchange end to end (the groupBy reuses the window's partitioning)."""
+    _configure(spark)
+    sess = session_stats(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "ts",
+        gap_seconds=1800.0,
+        value_col="value",
+        order_tiebreak=["event_id"],
+    )
+    return sess.select(
+        "user_id",
+        "session_id",
+        _epoch("session_start").alias("start_epoch"),
+        _epoch("session_end").alias("end_epoch"),
+        "n_events",
+        F.round("duration_sec", 3).alias("duration_sec"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Trailing-window anomaly score per event vs the same user's last 24
+    observations (current row excluded); null where the baseline has fewer
+    than 8 points. Rounded at 6 dp on both sides (the flag compares the
+    UNROUNDED score in both engines)."""
+    _configure(spark)
+    z = rolling_zscore(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "ts",
+        "value",
+        window=24,
+        min_periods=8,
+        threshold=2.0,
+        order_tiebreak=["event_id"],
+    )
+    return z.select(
+        "event_id", F.round("zscore", 6).alias("zscore"), "is_anomaly"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / similarity / text analysis (documents + embeddings)
 # ---------------------------------------------------------------------------
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction pass: sequential email/IPv4/long-digit-run scrubbing.
+    The oracle nests the same three stages in SQL (counts taken on the text
+    as it stands when each pattern runs); equality of md5(clean_text) proves
+    Java-regex and RE2 agree span for span on this corpus."""
+    _configure(spark)
+    out = scrub_pii(_spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_longnum").cast("long").alias("n_longnum"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     _configure(spark)
     return exact_dedup(_spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text")
@@ -1001,6 +1064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "order_revenue_by_status": q_order_revenue_by_status,
         "event_type_stats": q_event_type_stats,
+        "sessionize": q_sessionize,
+        "rolling_zscore": q_rolling_zscore,
+        "scrub_pii": q_scrub_pii,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1748,6 +1814,32 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _scrub_pii_oracle() -> str:
+    """Nested sequential regexp stages generated from the SAME PII_PATTERNS
+    list the engine applies — pattern parity by construction. DuckDB's
+    regexp_replace needs the explicit 'g' flag (Spark's is global already);
+    counts via len(regexp_extract_all) on the stage input."""
+    from streamchange_spark.operators.textstats import PII_PATTERNS
+
+    prev, stages, names = "t0", ["s0 AS (SELECT doc_id, text AS t0 FROM documents)"], []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        lit = pat.replace("'", "''")
+        carried = ", ".join(f"n_{n}" for n in names)
+        carried = f"{carried}, " if carried else ""
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all({prev}, '{lit}'))::BIGINT AS n_{name}, "
+            f"regexp_replace({prev}, '{lit}', '{repl}', 'g') AS t{i} FROM s{i-1})"
+        )
+        names.append(name)
+        prev = f"t{i}"
+    cols = ", ".join(f"n_{n}" for n in names)
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"\nSELECT doc_id, md5({prev}) AS clean_md5, {cols} FROM s{len(PII_PATTERNS)}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "segmentation_stats": _segmentation_oracle_sql(),
@@ -1843,6 +1935,45 @@ SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v,
        round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
 FROM events GROUP BY event_type
 """,
+        "sessionize": """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       floor(epoch(min(ts)))::BIGINT AS start_epoch,
+       floor(epoch(max(ts)))::BIGINT AS end_epoch,
+       count(*) AS n_events,
+       round((epoch_ms(max(ts)) - epoch_ms(min(ts))) / 1000.0, 3) AS duration_sec,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY 1, 2
+""",
+        "rolling_zscore": """
+WITH z AS (
+  SELECT event_id, value,
+         avg(value) OVER w AS m,
+         stddev_samp(value) OVER w AS sd,
+         count(value) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id,
+       round(CASE WHEN n >= 8 AND sd > 0 THEN (value - m) / sd END, 6) AS zscore,
+       CASE WHEN n >= 8 AND sd > 0 THEN abs((value - m) / sd) > 2.0 END AS is_anomaly
+FROM z
+""",
+        "scrub_pii": _scrub_pii_oracle(),
         "dedup_exact": """
 SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY 1

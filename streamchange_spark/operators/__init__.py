@@ -50,7 +50,9 @@ from .dedup import (
     lsh_cluster_edges_from_signatures,
     lsh_pairs_from_signatures,
 )
+from .anomaly import rolling_zscore
 from .asof import asof_join
+from .sessions import session_stats, sessionize
 from .plot_tables import figure_frames, figure_table, figure_table_multivariate
 from .similarity import cosine_topk, cosine_topk_gemm, ivf_topk, lsh_ann_pairs
 from .sampling import (
@@ -65,6 +67,7 @@ from .textstats import (
     lang_id,
     quality_features,
     repetition_features,
+    scrub_pii,
 )
 
 __all__ = [
@@ -77,6 +80,10 @@ __all__ = [
     "sample_fraction",
     "TIER_SECONDS",
     "asof_join",
+    "rolling_zscore",
+    "scrub_pii",
+    "session_stats",
+    "sessionize",
     "cosine_col",
     "clean_corpus",
     "connected_components",

@@ -115,6 +115,46 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), fp.alias("fp"))
 
 
+# (name, pattern, replacement) triples, applied IN ORDER — emails first so
+# the digit-run rule cannot eat the local part of an address. Patterns are
+# restricted to the syntax Java regex and RE2 (the DuckDB oracle) interpret
+# identically: character classes, bounded repeats, \b, ASCII \d.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{9,}\b", "<NUM>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: list[tuple[str, str, str]] | None = None,
+    clean_col: str = "clean_text",
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4 addresses, long digit runs) —
+    the scrubbing pass a web corpus gets before training.
+
+    Returns (id, clean_text, n_<name>... per pattern). Each pattern's count
+    is taken on the text AS IT STANDS when that pattern runs (sequential
+    semantics: an address inside an already-redacted email is not counted
+    twice); the oracle nests the same stages in SQL. NULL text propagates
+    to NULL outputs in both engines.
+
+    Scale shape: a pure projection — regexp_count + regexp_replace chains
+    inside whole-stage codegen, no shuffle, no UDF; composes with scans so
+    column pruning still reaches the parquet reader.
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    text = F.col(text_col)
+    counts = []
+    for name, pat, repl in patterns:
+        counts.append(F.regexp_count(text, F.lit(pat)).alias(f"n_{name}"))
+        text = F.regexp_replace(text, pat, repl)
+    return df.select(F.col(id_col), text.alias(clean_col), *counts)
+
+
 def _line_col(text_col: str) -> Column:
     """Non-empty lines (whitespace-trimmed) as an array<string>."""
     return F.filter(
