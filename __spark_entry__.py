@@ -340,6 +340,26 @@ def q_scrub_pii(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus subsample: Efraimidis-Spirakis top-10 race
+    per source, weights = n_chars, uniforms from the md5 bucket hash (the
+    oracle replays the identical ln(u)/w ranking in SQL; both engines cast
+    the hash to double BEFORE the +1 so the fp rounding point matches)."""
+    _configure(spark)
+    from streamchange_spark.operators import weighted_sample_k
+
+    out = weighted_sample_k(
+        _t(spark, sf_dir, "documents"),
+        group_col="source",
+        k=10,
+        weight_col="n_chars",
+        key_col="doc_id",
+        seed=0,
+        rank_col="rank",
+    )
+    return out.select("source", "doc_id", F.col("rank").cast("long").alias("rank"))
+
+
 def q_dedup_exact(spark, sf_dir):
     _configure(spark)
     return exact_dedup(_spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text")
@@ -1067,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rolling_zscore": q_rolling_zscore,
         "scrub_pii": q_scrub_pii,
+        "weighted_sample": q_weighted_sample,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1974,6 +1995,20 @@ SELECT event_id,
 FROM z
 """,
         "scrub_pii": _scrub_pii_oracle(),
+        "weighted_sample": """
+WITH scored AS (
+  SELECT source, doc_id,
+         ln(((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))::BIGINT)::DOUBLE + 1.0)
+            / 1152921504606846977.0) / n_chars::DOUBLE AS es
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT source, doc_id, rn::BIGINT AS rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY es DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+""",
         "dedup_exact": """
 SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY 1

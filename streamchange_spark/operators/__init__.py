@@ -61,6 +61,7 @@ from .sampling import (
     sample_fraction,
     split_bucket_col,
     train_test_split,
+    weighted_sample_k,
 )
 from .textstats import (
     fingerprint,
@@ -84,6 +85,7 @@ __all__ = [
     "scrub_pii",
     "session_stats",
     "sessionize",
+    "weighted_sample_k",
     "cosine_col",
     "clean_corpus",
     "connected_components",

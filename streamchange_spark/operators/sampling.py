@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cap_per_group",
+    "weighted_sample_k",
     "mixture_sample",
     "sample_fraction",
     "split_bucket_col",
@@ -145,6 +146,53 @@ def mixture_sample(
             F.col(group_col) == g, F.lit(int(round(f * n_buckets)))
         ).otherwise(cutoff)
     return df.where(bucket < cutoff)
+
+
+_U_DENOM = float((1 << 60) + 1)  # maps the 60-bit hash into (0, 1)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    seed: int = 0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep k rows per
+    group with inclusion probability proportional to ``weight_col`` —
+    Efraimidis–Spirakis reservoir keys ``u^(1/w)`` ranked per group, with
+    the uniform u derived from the SAME md5 bucket hash as every sampler
+    here (``(h+1)/(2^60+1)`` in (0,1)), so the draw is reproducible,
+    partition-invariant, and re-run-stable. Ranking uses the monotone
+    transform ``ln(u)/w`` (descending); rows with weight <= 0 or NULL are
+    excluded (zero mass). The quality-weighted corpus subsample: weight by
+    quality score, group by source, keep the top-k race winners.
+
+    Scale shape: identical to :func:`cap_per_group` — ``row_number() <= k``
+    triggers Catalyst's WindowGroupLimit partial top-K, so each input
+    partition ships at most k rows per group into the exchange; the hash
+    and ln are map-side codegen expressions.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("null"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(f":{int(seed)}"))), 1, _MD5_HEX_CHARS),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(_U_DENOM)
+    es = F.ln(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(es.desc(), F.col(key_col))
+    rank = "_wrank" if rank_col is None else rank_col
+    out = (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(rank, F.row_number().over(w))
+        .where(F.col(rank) <= k)
+    )
+    return out.drop("_wrank") if rank_col is None else out
 
 
 def cap_per_group(

@@ -253,3 +253,50 @@ def test_mixture_sample_per_group_rates_and_determinism(spark):
 
     with pytest.raises(ValueError):
         mixture_sample(df, "grp", {"a": 1.5}, key_col="k")
+
+
+def test_weighted_sample_k_basic_and_plan(spark):
+    from streamchange_spark.operators import weighted_sample_k
+
+    rows = [(g, i, float(w)) for g in ("a", "b") for i, w in enumerate([5, 1, 3, 0, 2, 4, 7, 6])]
+    df = spark.createDataFrame(rows, "src string, id long, w double")
+    out = weighted_sample_k(df, "src", 3, "w", "id", seed=1, rank_col="rank")
+    got = out.collect()
+    # exactly k winners per group, ranks 1..k, zero-weight rows never drawn
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.src, []).append(r)
+    for g, rs in by_g.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3]
+        assert all(r.w > 0 for r in rs)
+    # deterministic + partition-invariant
+    again = weighted_sample_k(
+        df.repartition(9), "src", 3, "w", "id", seed=1, rank_col="rank"
+    ).collect()
+    key = lambda r: (r.src, r.id)
+    assert sorted(got, key=key) == sorted(again, key=key)
+    # different seed -> (almost surely) different draw for some group
+    other = weighted_sample_k(df, "src", 3, "w", "id", seed=2).collect()
+    assert {(r.src, r.id) for r in other} != {(r.src, r.id) for r in got}
+    # map-side partial top-K survives in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_k_inclusion_proportional_to_weight(spark):
+    """For k=1, Efraimidis-Spirakis includes item i with probability exactly
+    w_i / sum(w). 400 independent replicate groups (group id salts the key,
+    so each group gets fresh uniforms) with weights 9:1 -> the heavy item
+    should win ~360; a fair sampler would win ~200. One Spark job."""
+    from streamchange_spark.operators import weighted_sample_k
+
+    rows = []
+    for g in range(400):
+        rows.append((g, f"{g}:heavy", 9.0))
+        rows.append((g, f"{g}:light", 1.0))
+    df = spark.createDataFrame(rows, "grp long, id string, w double")
+    won = weighted_sample_k(df, "grp", 1, "w", "id", seed=0).collect()
+    heavy_wins = sum(1 for r in won if r.id.endswith("heavy"))
+    assert len(won) == 400
+    # binomial(400, 0.9): sd ~ 6 -> [330, 390] is a >5-sigma corridor
+    assert 330 <= heavy_wins <= 390, heavy_wins
