@@ -277,6 +277,27 @@ def q_event_type_stats(spark, sf_dir):
     )
 
 
+def q_percentile_rollup(spark, sf_dir):
+    """Exact p50/p95/p99 per (user, day) — the observability percentile tier.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    interpolation definition (rank (n-1)q, linear); 6-dp rounding absorbs
+    fp reassociation."""
+    _configure(spark)
+    from streamchange_spark.operators import rollup_percentiles
+
+    out = rollup_percentiles(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", tier="1d"
+    )
+    return out.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        "n_points",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) + per-session stats; one hash
     exchange end to end (the groupBy reuses the window's partitioning)."""
@@ -358,6 +379,25 @@ def q_weighted_sample(spark, sf_dir):
         rank_col="rank",
     )
     return out.select("source", "doc_id", F.col("rank").cast("long").alias("rank"))
+
+
+def q_token_topk(spark, sf_dir):
+    """Vocabulary heavy hitters: top-5 tokens per language with corpus
+    share. Engine = explode -> partial-agg count -> WindowGroupLimit top-K;
+    oracle = unnest + GROUP BY + row_number replay."""
+    _configure(spark)
+    from streamchange_spark.operators.textstats import token_topk
+
+    out = token_topk(
+        _spread(spark, _t(spark, sf_dir, "documents")), "text", k=5, by_col="lang"
+    )
+    return out.select(
+        "lang",
+        "token",
+        "n",
+        F.round("frac", 6).alias("frac"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1088,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "scrub_pii": q_scrub_pii,
         "weighted_sample": q_weighted_sample,
+        "percentile_rollup": q_percentile_rollup,
+        "token_topk": q_token_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1955,6 +1997,32 @@ GROUP BY c.c_nationkey, o.o_orderstatus
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v,
        round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
 FROM events GROUP BY event_type
+""",
+        "token_topk": """
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+counted AS (SELECT lang, token, count(*) AS n FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, token, n,
+         n / sum(n) OVER (PARTITION BY lang) AS frac,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+  FROM counted
+)
+SELECT lang, token, n, round(frac, 6) AS frac, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "percentile_rollup": """
+SELECT user_id,
+       (floor(epoch(ts))::BIGINT // 86400) * 86400 AS bucket,
+       count(value) AS n_points,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1, 2
 """,
         "sessionize": """
 WITH ordered AS (

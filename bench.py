@@ -46,6 +46,10 @@ HEADLINE = [
     "multivariate_alarms",
     "plot_table",
     "asof_enrich",
+    "sessionize",
+    "rolling_zscore",
+    "scrub_pii",
+    "weighted_sample",
 ]
 
 

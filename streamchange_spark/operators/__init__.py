@@ -38,6 +38,7 @@ from .rollup import (
     TIER_SECONDS,
     retention_filter,
     rollup_all_tiers,
+    rollup_percentiles,
     rollup_raw,
     rollup_tier,
     with_avg,
@@ -128,6 +129,7 @@ __all__ = [
     "pelt_segments",
     "retention_filter",
     "rollup_all_tiers",
+    "rollup_percentiles",
     "rollup_raw",
     "rollup_tier",
     "segmentation_with_stats",

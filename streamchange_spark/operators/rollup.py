@@ -133,3 +133,47 @@ def retention_filter(
         F.unix_timestamp(F.lit(now_ts)) - F.lit(max_age_seconds)
     )
     return tier_df.where(F.col("bucket_start") >= cutoff)
+
+
+def rollup_percentiles(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tier: str = "1h",
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Percentile tier (p50/p95/p99 per bucket) — the observability rollup
+    that sums/mins can't express.
+
+    ``exact=True`` uses SQL ``percentile`` (linear interpolation at rank
+    (n-1)·q — the same definition as DuckDB's ``quantile_cont``, so the
+    result is oracle-checkable). Exact percentiles materialize each group's
+    values; at 100 TB switch ``exact=False`` for ``approx_percentile``
+    (GK-sketch, mergeable map-side partial aggregation, error bounded by
+    1/``accuracy``) — same output schema, rank error documented instead of
+    zero. Unlike sums, percentiles do NOT re-aggregate across tiers: always
+    compute each tier from raw (or accept the documented sketch-merge error
+    with approx).
+    """
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}: {sorted(TIER_SECONDS)}")
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1]: {q}")
+    bucket = bucket_col(ts_col, TIER_SECONDS[tier]).alias("bucket_start")
+    arr = F.array(*[F.lit(float(q)) for q in quantiles])
+    agg = (
+        F.percentile(F.col(value_col), arr)
+        if exact
+        else F.percentile_approx(F.col(value_col), arr, F.lit(int(accuracy)))
+    )
+    out = df.groupBy(*key_cols, bucket).agg(
+        F.count(value_col).alias("n_points"), agg.alias("_q")
+    )
+    for i, q in enumerate(quantiles):
+        name = f"p{q * 100:g}".replace(".", "_")  # 0.5 -> p50, 0.999 -> p99_9
+        out = out.withColumn(name, F.col("_q")[i])
+    return out.drop("_q")

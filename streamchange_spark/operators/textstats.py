@@ -256,3 +256,40 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .otherwise(0.0)
         .alias("top_token_frac"),
     )
+
+
+def token_topk(
+    df: DataFrame,
+    text_col: str,
+    k: int = 100,
+    by_col: str | None = None,
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the k most frequent tokens (whitespace
+    tokenization, lowercased) with their counts and corpus share — optionally
+    per ``by_col`` group (e.g. per language). Output: [by_col,] token, n,
+    frac, rank. Ties break lexicographically for determinism.
+
+    Scale shape: explode -> two-level aggregation. The per-token groupBy gets
+    a map-side partial count (the shuffle carries one row per distinct token
+    per task, not per occurrence), the total for ``frac`` reuses the counted
+    table (no second scan of text), and the final ``row_number() <= k``
+    top-K is a WindowGroupLimit (partial top-K before the exchange). At
+    100 TB the only heavy step is the token count shuffle, bounded by
+    vocabulary size x tasks.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    groups = [by_col] if by_col else []
+    toks = df.select(
+        *groups, F.explode(tokens_col(text_col)).alias("token")
+    )
+    counted = toks.groupBy(*groups, "token").agg(F.count(F.lit(1)).alias("n"))
+    total_w = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    rank_w = total_w.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counted.withColumn("frac", F.col("n") / F.sum("n").over(total_w))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+    )

@@ -477,3 +477,35 @@ def test_ngram_jaccard_default_cap_bounds_boilerplate(spark):
     # boilerplate shingles have df=300 > default cap (256) -> dropped before
     # the self-join; the 300*299/2 boilerplate-only pairs must not appear
     assert all(a >= 1000 for a, _ in got)
+
+
+def test_token_topk_counts_and_plan(spark):
+    from streamchange_spark.operators.textstats import token_topk
+
+    docs = [
+        (1, "en", "the cat the dog THE bird"),
+        (2, "en", "a cat a cat"),
+        (3, "no", "og og og det"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    rows = token_topk(df, "text", k=2, by_col="lang").collect()
+    got = {(r.lang, r.token): (r.n, r.rank) for r in rows}
+    # en: 'the' x3 (case-folded) and 'cat' x3 (1+2) tie; 'cat' wins lexically
+    assert got[("en", "cat")] == (3, 1)
+    assert got[("en", "the")] == (3, 2)
+    assert ("en", "a") not in got
+    assert got[("no", "og")] == (3, 1) and got[("no", "det")] == (1, 2)
+    en_rows = {r.token: r for r in rows if r.lang == "en"}
+    assert abs(en_rows["the"].frac - 3 / 10) < 1e-12
+    # global mode (no by_col): one partition, still a bounded top-k
+    all_rows = token_topk(df, "text", k=1).collect()
+    assert len(all_rows) == 1 and all_rows[0].token == "cat"  # 3-way tie, lexical
+    # plan: partial count before the shuffle + WindowGroupLimit top-K
+    plan = (
+        token_topk(df, "text", k=2, by_col="lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan

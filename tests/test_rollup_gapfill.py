@@ -159,3 +159,38 @@ def test_dense_grid_guard_max_buckets_per_key(spark):
         dense_grid(
             df, ["key"], "bucket_start", 3600, max_buckets_per_key=100
         ).toPandas()
+
+
+def test_rollup_percentiles_exact_and_approx(spark):
+    import datetime as dt
+
+    from streamchange_spark.operators import rollup_percentiles
+
+    base = dt.datetime(2026, 1, 1)
+    # one user, one hour bucket, values 1..101 -> exact p50=51, p95=96, p99=100
+    rows = [(1, base + dt.timedelta(seconds=i * 30), float(i + 1)) for i in range(101)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rollup_percentiles(df, ["user_id"], "ts", "value", tier="1h").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_points == 101
+    assert (r.p50, r.p95, r.p99) == (51.0, 96.0, 100.0)
+    # approx path: same schema, GK sketch within rank error at accuracy 10k
+    ra = rollup_percentiles(
+        df, ["user_id"], "ts", "value", tier="1h", exact=False
+    ).collect()[0]
+    assert set(ra.asDict()) == set(r.asDict())
+    assert abs(ra.p50 - 51.0) <= 1.0 and abs(ra.p99 - 100.0) <= 1.0
+    # interpolation parity with DuckDB's quantile_cont on a non-grid case
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 4.0, 8.0]})
+    want = duckdb.sql("SELECT quantile_cont(v, 0.5) FROM pdf").fetchone()[0]
+    got = rollup_percentiles(
+        spark.createDataFrame(
+            [(1, base, v) for v in pdf.v], "user_id long, ts timestamp, value double"
+        ),
+        ["user_id"], "ts", "value", tier="1h", quantiles=(0.5,),
+    ).collect()[0].p50
+    assert abs(got - want) < 1e-12

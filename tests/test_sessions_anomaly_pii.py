@@ -151,3 +151,39 @@ def test_scrub_pii_matches_duckdb_on_pii_text(spark):
     sql = _scrub_pii_oracle().replace("md5(t3) AS clean_md5", "t3 AS clean_text")
     for doc_id, clean, ne, ni, nn in con.sql(sql).fetchall():
         assert got[doc_id] == (clean, ne, ni, nn), doc_id
+
+
+def test_sessionize_agrees_with_builtin_session_window(spark):
+    """Spark's native session_window groupBy is an independent JVM
+    implementation of gap-based sessions (merge-on-overlap). For events
+    whose consecutive gaps are never EXACTLY the gap threshold the two
+    semantics coincide ([t, t+gap) half-open vs strict > on deltas), so the
+    per-session (start, end, n) sets must match on random-ish data."""
+    import random
+
+    rng = random.Random(42)
+    rows, t = [], 0
+    for uid in range(20):
+        t = 0
+        for i in range(50):
+            t += rng.choice([30, 120, 600, 1700, 1900, 4000])  # never 1800
+            rows.append((uid, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=t), float(i)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    mine = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_stats(df, ["user_id"], "ts", 1800.0).collect()
+    }
+    builtin = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .collect()
+        )
+    }
+    assert mine == builtin
