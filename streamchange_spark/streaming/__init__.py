@@ -14,6 +14,7 @@ from .detectors import (
     streaming_window_segmentor,
 )
 from .rollup import streaming_rollup_raw
+from .sessions import streaming_sessions
 
 __all__ = [
     "corpus_verdicts_from_ingest",
@@ -23,5 +24,6 @@ __all__ = [
     "streaming_pelt",
     "streaming_rollup_raw",
     "streaming_sequential_detector",
+    "streaming_sessions",
     "streaming_window_segmentor",
 ]

@@ -1,0 +1,65 @@
+"""Streaming gap-based sessionization.
+
+The streaming twin of ``operators.sessions.session_stats`` built on Spark's
+native ``session_window`` state store: windows merge while events keep
+arriving within the gap, and the watermark closes a session once the event
+clock passes ``last_event + gap + delay``. ``append`` mode therefore emits
+each session exactly once, when it can no longer grow — the semantics a
+funnel/engagement pipeline needs (an open session must not be double
+counted).
+
+Differences from the batch operator, by stream necessity:
+- no ordinal ``session_id`` (a stable per-key numbering requires total
+  order over the whole history; downstream keys sessions by
+  ``(key, session_start)``, which is unique and stable);
+- boundary semantics are the built-in's half-open ``[t, t+gap)`` merge —
+  an event at EXACTLY ``prev + gap`` starts a new session, where the batch
+  operator's strict ``> gap`` rule keeps it (tested equal whenever no
+  delta hits the threshold exactly; see test_sessions_anomaly_pii).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+    value_col: str | None = None,
+) -> DataFrame:
+    """(keys..., session_start, session_end, n_events, duration_sec
+    [, sum_value]) for every watermark-closed session — schema-compatible
+    with the batch ``session_stats`` minus ``session_id``.
+
+    State per open session is one merged window + the running aggregate
+    tuple; the watermark bounds total state by the number of keys active
+    within the delay horizon, so a 100 TB/day stream holds state
+    proportional to live keys, not history.
+    """
+    key_cols = list(key_cols)
+    ts = F.col(ts_col)
+    aggs = [
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_millis(F.max(ts).cast("timestamp"))
+             - F.unix_millis(F.min(ts).cast("timestamp")))
+            / F.lit(1000.0)
+        ).alias("duration_sec"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(*key_cols, F.session_window(ts_col, gap).alias("_sw"))
+        .agg(*aggs)
+        .drop("_sw")
+    )

@@ -300,3 +300,61 @@ def test_streaming_multivariate_sequential_matches_kernel(spark, tmp_path):
             exp.append((t, oracle.penalised_score.value))
     assert list(got["detection_ts"]) == [t for t, _ in exp]
     assert np.allclose(got["penalised_score"], [s for _, s in exp], rtol=0, atol=0)
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Watermarked session_window stream == batch session_stats on the same
+    rows (closed sessions only; gaps never hit the threshold exactly, where
+    the two boundary conventions coincide)."""
+    from streamchange_spark.operators import session_stats
+    from streamchange_spark.streaming import streaming_sessions
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for key in ("a", "b", "c", "d"):
+        t = 1_704_067_200
+        for _ in range(120):
+            t += int(rng.choice([40, 300, 900, 1700, 1900, 7200]))
+            rows.append((key, t, float(rng.normal(5, 2))))
+    pdf = pd.DataFrame(rows, columns=["key", "epoch", "value"])
+    pdf["ts"] = pd.to_datetime(pdf.pop("epoch"), unit="s")
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+        spark.createDataFrame(pdf.iloc[chunk]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"batch_{i}"))
+
+    stream = (
+        spark.readStream.schema("key string, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch_*"))
+    )
+    sess = streaming_sessions(
+        stream, ["key"], "ts", gap="30 minutes",
+        watermark_delay="30 minutes", value_col="value",
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from sess_out").toPandas()
+
+    batch = session_stats(
+        spark.createDataFrame(pdf), ["key"], "ts", 1800.0, value_col="value"
+    ).toPandas()
+    assert len(got) > 0
+    merged = got.merge(
+        batch, on=["key", "session_start"], suffixes=("_s", "_b"), how="left"
+    )
+    # every emitted (closed) session exists in batch with identical stats
+    assert merged["n_events_b"].notna().all()
+    for c in ("session_end", "n_events", "duration_sec"):
+        assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all(), c
+    assert np.allclose(merged["sum_value_s"], merged["sum_value_b"], rtol=1e-12)
