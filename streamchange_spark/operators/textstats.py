@@ -271,11 +271,14 @@ def token_topk(
 
     Scale shape: explode -> two-level aggregation. The per-token groupBy gets
     a map-side partial count (the shuffle carries one row per distinct token
-    per task, not per occurrence), the total for ``frac`` reuses the counted
-    table (no second scan of text), and the final ``row_number() <= k``
-    top-K is a WindowGroupLimit (partial top-K before the exchange). At
-    100 TB the only heavy step is the token count shuffle, bounded by
-    vocabulary size x tasks.
+    per task, not per occurrence), the ``row_number() <= k`` top-K is a
+    WindowGroupLimit (partial top-K per input partition BEFORE its exchange
+    — even the global no-``by_col`` mode moves only k rows per task through
+    the single-partition window), and ``frac`` joins the per-group totals
+    AFTER the top-K filter as a broadcast (one row per group), so the full
+    vocabulary never crosses a single-partition boundary. At 100 TB the only
+    heavy step is the token count shuffle, bounded by vocabulary size x
+    tasks.
     """
     from pyspark.sql import Window
 
@@ -286,10 +289,18 @@ def token_topk(
         *groups, F.explode(tokens_col(text_col)).alias("token")
     )
     counted = toks.groupBy(*groups, "token").agg(F.count(F.lit(1)).alias("n"))
-    total_w = Window.partitionBy(*groups) if groups else Window.partitionBy()
-    rank_w = total_w.orderBy(F.col("n").desc(), F.col("token"))
-    return (
-        counted.withColumn("frac", F.col("n") / F.sum("n").over(total_w))
-        .withColumn("rank", F.row_number().over(rank_w))
-        .where(F.col("rank") <= k)
+    rank_w = (
+        Window.partitionBy(*groups) if groups else Window.partitionBy()
+    ).orderBy(F.col("n").desc(), F.col("token"))
+    top = counted.withColumn("rank", F.row_number().over(rank_w)).where(
+        F.col("rank") <= k
+    )
+    totals = counted.groupBy(*groups).agg(F.sum("n").alias("_total"))
+    joined = (
+        top.join(F.broadcast(totals), on=groups)
+        if groups
+        else top.crossJoin(F.broadcast(totals))
+    )
+    return joined.withColumn("frac", F.col("n") / F.col("_total")).select(
+        *groups, "token", "n", "frac", "rank"
     )
