@@ -298,6 +298,27 @@ def q_percentile_rollup(spark, sf_dir):
     )
 
 
+def q_hopping_rollup(spark, sf_dir):
+    """Trailing-hour aggregates every 15 minutes (hopping windows). The
+    oracle replays the window replication relationally: each event joins
+    every aligned window start in (t - width, t]."""
+    _configure(spark)
+    from streamchange_spark.operators import rollup_hopping
+
+    out = rollup_hopping(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value",
+        width="1 hour", slide="15 minutes",
+    )
+    return out.select(
+        "user_id",
+        _epoch("window_start").alias("wstart"),
+        "n_points",
+        F.round("sum_v", 4).alias("sum_v"),
+        "min_v",
+        "max_v",
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) + per-session stats; one hash
     exchange end to end (the groupBy reuses the window's partitioning)."""
@@ -1130,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "percentile_rollup": q_percentile_rollup,
         "token_topk": q_token_topk,
+        "hopping_rollup": q_hopping_rollup,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1997,6 +2019,22 @@ GROUP BY c.c_nationkey, o.o_orderstatus
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v,
        round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
 FROM events GROUP BY event_type
+""",
+        "hopping_rollup": """
+WITH ev AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS es, value
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT user_id, value,
+         unnest(generate_series(((es - 3600) // 900 + 1) * 900,
+                                (es // 900) * 900, 900)) AS wstart
+  FROM ev
+)
+SELECT user_id, wstart, count(*) AS n_points,
+       round(sum(value), 4) AS sum_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM w GROUP BY 1, 2
 """,
         "token_topk": """
 WITH toks AS (

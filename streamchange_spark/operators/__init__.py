@@ -38,6 +38,7 @@ from .rollup import (
     TIER_SECONDS,
     retention_filter,
     rollup_all_tiers,
+    rollup_hopping,
     rollup_percentiles,
     rollup_raw,
     rollup_tier,
@@ -129,6 +130,7 @@ __all__ = [
     "pelt_segments",
     "retention_filter",
     "rollup_all_tiers",
+    "rollup_hopping",
     "rollup_percentiles",
     "rollup_raw",
     "rollup_tier",

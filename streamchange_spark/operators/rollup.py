@@ -177,3 +177,44 @@ def rollup_percentiles(
         name = f"p{q * 100:g}".replace(".", "_")  # 0.5 -> p50, 0.999 -> p99_9
         out = out.withColumn(name, F.col("_q")[i])
     return out.drop("_q")
+
+
+def rollup_hopping(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Hopping (sliding) window aggregates — the overlapping-window rollup
+    the fixed tiers can't express (e.g. "events per trailing hour, every
+    15 minutes"). Output: (keys..., window_start, n_points, sum_v, min_v,
+    max_v).
+
+    Implemented as the native ``window(ts, width, slide)`` group key:
+    Catalyst expands each row into width/slide window replicas as a
+    PROJECTION and partial-aggregates them map-side before the shuffle, so
+    the exchange carries one row per (key, window) per task — the same
+    shape as the fixed tiers, scaled by the overlap factor. Works unchanged
+    under Structured Streaming with a watermark.
+    """
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*key_cols, F.window(ts_col, width, slide).alias("_w"))
+        .agg(
+            F.count(v).alias("n_points"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+        .select(
+            *key_cols,
+            F.col("_w.start").alias("window_start"),
+            "n_points",
+            "sum_v",
+            "min_v",
+            "max_v",
+        )
+    )

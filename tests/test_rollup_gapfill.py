@@ -194,3 +194,24 @@ def test_rollup_percentiles_exact_and_approx(spark):
         ["user_id"], "ts", "value", tier="1h", quantiles=(0.5,),
     ).collect()[0].p50
     assert abs(got - want) < 1e-12
+
+
+def test_rollup_hopping_overlap(spark):
+    import datetime as dt
+
+    from streamchange_spark.operators import rollup_hopping
+
+    # one event -> exactly width/slide = 4 windows; two events 30m apart
+    # share exactly 2 of them.
+    base = dt.datetime(2026, 1, 1, 12, 7)  # mid-slide, not aligned
+    rows = [(1, base, 10.0), (1, base + dt.timedelta(minutes=30), 20.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rollup_hopping(
+        df, ["user_id"], "ts", "value", width="1 hour", slide="15 minutes"
+    ).collect()
+    per_event_windows = 4
+    assert sum(r.n_points for r in out) == 2 * per_event_windows
+    both = [r for r in out if r.n_points == 2]
+    assert len(both) == 2  # 30m apart within 1h window, slide 15m -> 2 shared
+    for r in both:
+        assert r.sum_v == 30.0 and r.min_v == 10.0 and r.max_v == 20.0
