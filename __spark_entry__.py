@@ -421,6 +421,27 @@ def q_token_topk(spark, sf_dir):
     )
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 keywords per document by smoothed TF-IDF; one explode, tf and
+    doc-frequency from the same (doc, token) table, N broadcast, token-keyed
+    df join, WindowGroupLimit top-K. Rounded at 6 dp (ln differs by <=1 ulp
+    between libm and the JVM; ordering uses the unrounded score in both)."""
+    _configure(spark)
+    from streamchange_spark.operators import tfidf_topk
+
+    out = tfidf_topk(
+        _spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text", k=3
+    )
+    return out.select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     _configure(spark)
     return exact_dedup(_spread(spark, _t(spark, sf_dir, "documents")), "doc_id", "text")
@@ -1152,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_rollup": q_percentile_rollup,
         "token_topk": q_token_topk,
         "hopping_rollup": q_hopping_rollup,
+        "tfidf_topk": q_tfidf_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -2019,6 +2041,28 @@ GROUP BY c.c_nationkey, o.o_orderstatus
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v,
        round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
 FROM events GROUP BY event_type
+""",
+        "tfidf_topk": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, round(score, 6) AS score, rank::BIGINT AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rank
+  FROM scored
+) WHERE rank <= 3
 """,
         "hopping_rollup": """
 WITH ev AS (

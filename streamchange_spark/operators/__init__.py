@@ -71,6 +71,7 @@ from .textstats import (
     quality_features,
     repetition_features,
     scrub_pii,
+    tfidf_topk,
 )
 
 __all__ = [
@@ -87,6 +88,7 @@ __all__ = [
     "scrub_pii",
     "session_stats",
     "sessionize",
+    "tfidf_topk",
     "weighted_sample_k",
     "cosine_col",
     "clean_corpus",

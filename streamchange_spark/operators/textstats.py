@@ -304,3 +304,46 @@ def token_topk(
     return joined.withColumn("frac", F.col("n") / F.col("_total")).select(
         *groups, "token", "n", "frac", "rank"
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k keywords per document by smoothed TF-IDF:
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn's smooth idf).
+    Output: (id, token, tf, df, score, rank); ties break lexicographically.
+
+    Scale shape: one explode feeding TWO aggregations that reuse the same
+    (id, token) shuffle — tf = count per (doc, token); df = doc-frequency
+    re-aggregated FROM the tf table (one row per distinct (doc, token),
+    never a second pass over text). N arrives as a broadcast scalar, the
+    df table joins back token-keyed (a plain shuffle join — vocabulary
+    tables are too big to broadcast at corpus scale), and the final
+    ``row_number() <= k`` is a WindowGroupLimit partial top-K keyed by doc.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.ln((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )

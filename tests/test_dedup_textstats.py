@@ -509,3 +509,34 @@ def test_token_topk_counts_and_plan(spark):
     )
     assert "WindowGroupLimit" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_tfidf_topk_matches_sklearn_style_recomputation(spark):
+    import math
+
+    from streamchange_spark.operators import tfidf_topk
+
+    docs = [
+        (1, "spark spark engine rollup"),
+        (2, "spark parquet parquet parquet"),
+        (3, "rollup tier tier"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = tfidf_topk(df, "doc_id", "text", k=2).collect()
+    got = {(r.doc_id, r.token): (r.tf, r.df, r.score, r.rank) for r in rows}
+
+    def idf(dfreq, n=3):
+        return math.log((n + 1.0) / (dfreq + 1.0)) + 1.0
+
+    # doc1: spark tf2 df2, engine tf1 df1, rollup tf1 df2
+    assert got[(1, "spark")][0:2] == (2, 2)
+    assert abs(got[(1, "spark")][2] - 2 * idf(2)) < 1e-12
+    # engine (tf1, df1) outscores rollup (tf1, df2)
+    assert got[(1, "engine")][3] < 3
+    assert (1, "rollup") not in got  # rank 3 cut at k=2
+    # doc2: parquet tf3 dominates
+    assert got[(2, "parquet")][3] == 1
+    # every doc contributes at most k rows
+    from collections import Counter
+
+    assert max(Counter(r.doc_id for r in rows).values()) <= 2
