@@ -1,0 +1,55 @@
+"""Bucketed table layout: co-located joins and shuffle-free per-key scans.
+
+At 100 TB the dominant cost of the detector/asof/dedup paths is the hash
+exchange that co-locates rows by key. Writing the hot tables BUCKETED by
+that key (``bucketBy(n, key)`` + ``sortBy``) moves the exchange to write
+time, once: every later join between two tables bucketed the same way, and
+every ``groupBy(key)`` / window partitioned by the key, reads the bucket
+files directly — Catalyst reports the scan as already hash-partitioned and
+plans NO Exchange (asserted in tests/test_bucketed.py).
+
+Deployment shape: the pipeline writes the 1h tier and the latest-pages
+table bucketed by ``url`` with the same bucket count; detector scans,
+as-of enrichment, and per-url dedup then run exchange-free. Bucket count
+rule of thumb: total table size / target partition size (128-256 MB),
+rounded to a power of two shared by every table that joins on the key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Save ``df`` as a bucketed catalog table (``path`` makes it external).
+
+    ``sort_cols`` additionally sorts within each bucket file — joins then
+    skip the sort side of sort-merge too, and per-key time scans read rows
+    already ordered.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    w = df.write.format(format).mode(mode).bucketBy(int(n_buckets), *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table through the catalog (the bucket spec only
+    survives catalog reads — ``spark.read.parquet(path)`` on the same files
+    loses it and reintroduces the exchange)."""
+    return spark.table(table)

@@ -1,0 +1,61 @@
+"""Bucketed tables: co-located joins and groupBy without an Exchange."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamchange_spark.sources import read_bucketed, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    left = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("user_id"), F.col("id").alias("event_id"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    right = spark.range(0, 97).select(
+        F.col("id").alias("user_id"), F.concat(F.lit("u"), F.col("id")).alias("name")
+    )
+    write_bucketed(left, "ev_b", ["user_id"], n_buckets=8,
+                   sort_cols=["user_id", "event_id"], path=str(base / "ev"))
+    write_bucketed(right, "us_b", ["user_id"], n_buckets=8,
+                   sort_cols=["user_id"], path=str(base / "us"))
+    return read_bucketed(spark, "ev_b"), read_bucketed(spark, "us_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    left, right = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = left.join(right, "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
+    left, _ = bucketed_pair
+    agg = left.groupBy("user_id").agg(F.sum("value").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert agg.count() == 97
+
+
+def test_path_read_loses_bucketing_documented(spark, bucketed_pair, tmp_path):
+    """The docstring's warning is real: reading the same files by path (not
+    catalog) reintroduces the exchange."""
+    left, _ = bucketed_pair
+    loc = (
+        spark.sql("DESCRIBE FORMATTED ev_b")
+        .where(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    by_path = spark.read.parquet(loc)
+    plan = (
+        by_path.groupBy("user_id").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" in plan
