@@ -50,6 +50,10 @@ HEADLINE = [
     "rolling_zscore",
     "scrub_pii",
     "weighted_sample",
+    "percentile_rollup",
+    "token_topk",
+    "hopping_rollup",
+    "tfidf_topk",
 ]
 
 

@@ -38,7 +38,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-ALL_STAGES = ("ingest", "rollup", "gorilla", "detect", "corpus")
+ALL_STAGES = ("ingest", "rollup", "gorilla", "detect", "corpus", "sessions")
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 
 
@@ -198,6 +198,20 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         out["corpus_sec"] = round(time.time() - t0, 2)
         feats.unpersist()
 
+    if "sessions" in stages:
+        # Crawl-activity sessionization over the full pages table: per-url
+        # gap-based sessions on warc_ts (1-day gap) + per-session stats —
+        # exercises the lag/cumsum window + superset-keyed aggregate on one
+        # exchange at the full 63M-row input.
+        from streamchange_spark.operators import session_stats
+
+        t0 = time.time()
+        sess = session_stats(
+            pages.select("url", "warc_ts"), ["url"], "warc_ts", 86400.0
+        )
+        out["sessions"] = sess.count()
+        out["sessions_sec"] = round(time.time() - t0, 2)
+
     spark.stop()
     return out
 
@@ -216,6 +230,10 @@ def _derive(merged: dict) -> dict:
     if "corpus_sec" in merged:
         merged["corpus_docs_per_sec"] = round(
             merged["corpus_docs"] / merged["corpus_sec"], 1
+        )
+    if "sessions_sec" in merged:
+        merged["sessions_rows_per_sec"] = round(
+            n_rows / merged["sessions_sec"], 1
         )
     if all(f"{s}_sec" in merged for s in PIPELINE_STAGES):
         merged["pipeline_sec"] = round(
@@ -281,6 +299,7 @@ def main():
         "gorilla_decompress": "gorilla_decompress_sec",
         "detect": "detect_points_per_sec",
         "corpus": "corpus_docs_per_sec",
+        "sessions": "sessions_rows_per_sec",
         "pipeline": "pipeline_rows_per_sec",
     }
 
