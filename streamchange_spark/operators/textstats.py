@@ -316,13 +316,15 @@ def tfidf_topk(
     ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn's smooth idf).
     Output: (id, token, tf, df, score, rank); ties break lexicographically.
 
-    Scale shape: one explode feeding TWO aggregations that reuse the same
-    (id, token) shuffle — tf = count per (doc, token); df = doc-frequency
-    re-aggregated FROM the tf table (one row per distinct (doc, token),
-    never a second pass over text). N arrives as a broadcast scalar, the
-    df table joins back token-keyed (a plain shuffle join — vocabulary
-    tables are too big to broadcast at corpus scale), and the final
-    ``row_number() <= k`` is a WindowGroupLimit partial top-K keyed by doc.
+    Scale shape: text is exploded and aggregated to (doc, token, tf) ONCE;
+    doc-frequency is a ``count over (partition by token)`` window on that
+    same table — no self-join, and no second evaluation of the explode (a
+    groupBy+join formulation computes the tf subtree twice: Spark's
+    ReuseExchange does not fire across the differently-partitioned
+    consumers, verified on the executed plan). N arrives as a broadcast
+    scalar and the final ``row_number() <= k`` is a WindowGroupLimit
+    partial top-K keyed by doc. Exchanges: (doc, token) agg -> token
+    window -> doc window, each carrying one row per distinct (doc, token).
     """
     from pyspark.sql import Window
 
@@ -330,10 +332,9 @@ def tfidf_topk(
         raise ValueError(f"k must be >= 1: {k}")
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
     scored = (
-        tf.join(docfreq, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
