@@ -276,7 +276,13 @@ def lsh_pairs_from_signatures(
     expensive text pass (signatures) incrementally — e.g. per resume shard —
     and still band/join GLOBALLY across all of it: band keys depend only on
     the signature values, so pairs from merged per-shard signature tables
-    are identical to a single global run."""
+    are identical to a single global run.
+
+    The self-join below does NOT recompute the signature pass: both sides
+    shuffle the identical exploded-band subplan on (band, band_key), which
+    canonicalizes to one exchange — verified ReusedExchange in the physical
+    plan (1 MapInPandas node; AQE's stage cache reuses on the same
+    canonical form)."""
     exploded = _lsh_band_rows(sig, id_col, num_hashes, bands)
     left = exploded.alias("l")
     right = exploded.alias("r")
