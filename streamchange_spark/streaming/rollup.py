@@ -24,20 +24,24 @@ def streaming_rollup_raw(
     value_col: str,
     width: str = "1 hour",
     watermark_delay: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """(keys..., bucket_start, n_points, sum_v, min_v, max_v, first_ts,
     first_v, last_ts, last_v) — streaming twin of
     operators.rollup.rollup_raw with the identical schema, so the streamed
     1h tuples feed ``rollup_tier`` into coarser batch tiers unchanged
     (tested); the window aggregation is incremental per micro-batch with
-    watermark-bounded state."""
+    watermark-bounded state. ``slide`` < ``width`` turns the tier into
+    HOPPING windows (each event lands in width/slide overlapping buckets —
+    the streaming twin of operators.rollup.rollup_hopping; state grows by
+    the same overlap factor)."""
     key_cols = list(key_cols)
     v = F.col(value_col)
     ts = F.col(ts_col)
     return (
         stream.where(v.isNotNull())
         .withWatermark(ts_col, watermark_delay)
-        .groupBy(*key_cols, F.window(ts_col, width).alias("_w"))
+        .groupBy(*key_cols, F.window(ts_col, width, slide or width).alias("_w"))
         .agg(
             F.count(v).alias("n_points"),
             F.sum(v).alias("sum_v"),

@@ -358,3 +358,53 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     for c in ("session_end", "n_events", "duration_sec"):
         assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all(), c
     assert np.allclose(merged["sum_value_s"], merged["sum_value_b"], rtol=1e-12)
+
+
+def test_streaming_hopping_rollup_matches_batch(spark, tmp_path):
+    """slide < width: the streaming tier's closed hopping windows equal the
+    batch rollup_hopping on the same rows."""
+    from streamchange_spark.operators import rollup_hopping
+    from streamchange_spark.streaming import streaming_rollup_raw
+
+    rng = np.random.default_rng(21)
+    n = 300
+    ts = pd.to_datetime(
+        1_704_067_200 + np.sort(rng.integers(0, 12 * 3600, n)), unit="s"
+    )
+    pdf = pd.DataFrame(
+        {"key": rng.choice(["a", "b"], n), "ts": ts, "value": rng.normal(0, 1, n)}
+    )
+    src = tmp_path / "hop_src"
+    src.mkdir()
+    for i, chunk in enumerate(np.array_split(np.arange(n), 3)):
+        spark.createDataFrame(pdf.iloc[chunk]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    hop = streaming_rollup_raw(
+        stream, ["key"], "ts", "value", width="1 hour",
+        watermark_delay="30 minutes", slide="15 minutes",
+    ).select("key", "bucket_start", "n_points", "sum_v", "min_v", "max_v")
+    q = (
+        hop.writeStream.format("memory").queryName("hop_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from hop_out").toPandas()
+
+    batch = rollup_hopping(
+        spark.createDataFrame(pdf), ["key"], "ts", "value",
+        width="1 hour", slide="15 minutes",
+    ).withColumnRenamed("window_start", "bucket_start").toPandas()
+    assert len(got) > 0
+    merged = got.merge(batch, on=["key", "bucket_start"],
+                       suffixes=("_s", "_b"), how="left")
+    assert merged["n_points_b"].notna().all()
+    for c in ("n_points", "min_v", "max_v"):
+        assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all(), c
+    assert np.allclose(merged["sum_v_s"], merged["sum_v_b"], rtol=1e-12)
