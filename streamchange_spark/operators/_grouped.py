@@ -77,7 +77,11 @@ def grouped_apply(
         # span two partitions, ``run_one`` fires once per fragment and the
         # output silently contains duplicate/partial results for that key.
         # Only pass True when the immediately preceding op was a
-        # repartition/bucketed-read on exactly ``key_cols``. NB: repartitioning
+        # repartition on exactly ``key_cols``, or a
+        # sources.read_bucketed(clustered=True) — a PLAIN bucketed read is
+        # NOT enough: auto-bucketed-scan drops bucket-per-partition reads
+        # for plans with no distribution requirement (mapInPandas has
+        # none) and splits bucket files by size (tests/test_bucketed.py). NB: repartitioning
         # RAW data to feed aggregation + kernels shuffle-free measured SLOWER
         # than partial-agg-then-shuffle (the agg reduces rows before the
         # wire); use this only when the input is already key-clustered at

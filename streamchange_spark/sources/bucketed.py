@@ -48,8 +48,27 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
-def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+def read_bucketed(
+    spark: SparkSession, table: str, clustered: bool = False
+) -> DataFrame:
     """Read a bucketed table through the catalog (the bucket spec only
     survives catalog reads — ``spark.read.parquet(path)`` on the same files
-    loses it and reintroduces the exchange)."""
+    loses it and reintroduces the exchange).
+
+    ``clustered=True`` guarantees ONE SCAN PARTITION PER BUCKET — required
+    before ``grouped_apply(..., assume_partitioned=True)`` or any
+    ``mapInPandas`` that assumes each key's rows arrive together. The
+    guarantee is NOT the default because Spark's auto-bucketed-scan
+    (``spark.sql.sources.bucketing.autoBucketedScan.enabled``, default
+    true) silently DISABLES bucketed reads for plans with no
+    distribution-requiring operator — mapInPandas has none — and then
+    splits bucket files by size: measured on a 97-key/8-bucket table with
+    small ``maxPartitionBytes``, every key's rows spanned multiple scan
+    partitions (tests/test_bucketed.py). ``clustered=True`` turns that
+    conf off (a session-wide setting; groupBy/join plans are unaffected —
+    they keep choosing bucketed scans on their own)."""
+    if clustered:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
     return spark.table(table)

@@ -59,3 +59,48 @@ def test_path_read_loses_bucketing_documented(spark, bucketed_pair, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" in plan
+
+
+def test_clustered_read_required_for_assume_partitioned(spark, tmp_path_factory):
+    """Auto-bucketed-scan silently drops bucket-per-partition reads for
+    plans with no distribution requirement (mapInPandas has none) and then
+    splits bucket files by size. read_bucketed(clustered=True) pins the
+    guarantee grouped_apply(assume_partitioned=True) depends on."""
+    base = tmp_path_factory.mktemp("bucketed_clustered")
+    df = spark.range(0, 400_000, 1, 16).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    write_bucketed(df, "probe_clustered", ["k"], n_buckets=8, path=str(base / "t"))
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_auto = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    try:
+        # tiny scan partitions make the file-split behavior visible
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        pdf = (
+            spark.table("probe_clustered")
+            .select("k", F.spark_partition_id().alias("pid"))
+            .toPandas()
+        )
+        split_default = int((pdf.groupby("k")["pid"].nunique() > 1).sum())
+
+        clustered = read_bucketed(spark, "probe_clustered", clustered=True)
+        pdf2 = clustered.select("k", F.spark_partition_id().alias("pid")).toPandas()
+        split_clustered = int((pdf2.groupby("k")["pid"].nunique() > 1).sum())
+
+        # the hazard is real on this table AND the clustered read fixes it
+        assert split_default > 0
+        assert split_clustered == 0
+        assert pdf2.pid.nunique() == 8  # one partition per bucket
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old_auto
+        )
