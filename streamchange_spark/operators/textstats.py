@@ -348,3 +348,29 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "token", "tf", "df", "score", "rank")
     )
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Append per-URL curation keys: ``domain`` (lower-cased host),
+    ``tld`` (last dot-label of the host), ``path_depth`` (non-empty path
+    segments), ``is_https``. The domain column is what
+    :func:`~streamchange_spark.operators.sampling.cap_per_group` and
+    per-domain mixture rates key on in a web-corpus pipeline.
+
+    Pure ``try_parse_url``/regexp projections (JVM codegen, no UDF);
+    malformed URLs yield NULL host rather than an ANSI-mode error (plain
+    ``parse_url`` throws INVALID_URL under ANSI).
+    """
+    url = F.col(url_col)
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    path = F.try_parse_url(url, F.lit("PATH"))
+    segs = F.filter(F.split(F.coalesce(path, F.lit("")), "/"), lambda s: s != F.lit(""))
+    return (
+        df.withColumn("domain", host)
+        .withColumn("tld", F.element_at(F.split(host, r"\."), -1))
+        .withColumn("path_depth", F.size(segs))
+        .withColumn("is_https", F.startswith(F.lower(url), F.lit("https://")))
+    )

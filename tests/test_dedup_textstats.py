@@ -540,3 +540,28 @@ def test_tfidf_topk_matches_sklearn_style_recomputation(spark):
     from collections import Counter
 
     assert max(Counter(r.doc_id for r in rows).values()) <= 2
+
+
+def test_url_features_matches_urllib(spark):
+    from urllib.parse import urlparse
+
+    from streamchange_spark.operators import url_features
+
+    urls = [
+        "https://News.Example.COM/a/b/c.html?q=1",
+        "http://sub.domain.org/",
+        "https://example.net",
+        "not a url at all",
+        None,
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    got = {r.i: r for r in url_features(df, "url").collect()}
+    for i, u in enumerate(urls):
+        if u is None or "://" not in u:
+            assert got[i].domain is None
+            continue
+        p = urlparse(u)
+        assert got[i].domain == p.hostname, u
+        assert got[i].tld == p.hostname.split(".")[-1]
+        assert got[i].path_depth == len([s for s in p.path.split("/") if s])
+        assert got[i].is_https == u.lower().startswith("https://")
