@@ -319,6 +319,35 @@ def q_hopping_rollup(spark, sf_dir):
     )
 
 
+def q_distinct_rollup(spark, sf_dir):
+    """Daily distinct-user cardinality per event_type (exact mode — the
+    HLL++ sketch path shares the schema; see rollup_distinct)."""
+    _configure(spark)
+    from streamchange_spark.operators import rollup_distinct
+
+    out = rollup_distinct(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", "user_id", tier="1d"
+    )
+    return out.select(
+        "event_type", _epoch("bucket_start").alias("bucket"), "n_distinct"
+    )
+
+
+def q_props_extract(spark, sf_dir):
+    """Semi-structured extraction: pull props.$.k out of the JSON payload
+    column and aggregate per event_type — the JSON-path scan every event
+    pipeline runs (get_json_object == DuckDB json_extract_string)."""
+    _configure(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) + per-session stats; one hash
     exchange end to end (the groupBy reuses the window's partitioning)."""
@@ -1174,6 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "hopping_rollup": q_hopping_rollup,
         "tfidf_topk": q_tfidf_topk,
+        "distinct_rollup": q_distinct_rollup,
+        "props_extract": q_props_extract,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -2041,6 +2072,20 @@ GROUP BY c.c_nationkey, o.o_orderstatus
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v,
        round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
 FROM events GROUP BY event_type
+""",
+        "distinct_rollup": """
+SELECT event_type,
+       (floor(epoch(ts))::BIGINT // 86400) * 86400 AS bucket,
+       count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1, 2
+""",
+        "props_extract": """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
 """,
         "tfidf_topk": """
 WITH toks AS (

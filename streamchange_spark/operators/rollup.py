@@ -218,3 +218,33 @@ def rollup_hopping(
             "max_v",
         )
     )
+
+
+def rollup_distinct(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    distinct_col: str,
+    tier: str = "1d",
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Cardinality tier: distinct ``distinct_col`` values per (keys, bucket)
+    — e.g. daily active users. ``exact=True`` is the oracle-checkable mode;
+    at 100 TB switch ``exact=False`` for HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``): the sketch is a
+    mergeable map-side partial aggregate, so the shuffle carries one sketch
+    per (key, bucket) per task instead of every distinct value — exact
+    distinct counting must ship each distinct value to its reducer. Like
+    percentiles (and unlike sums), exact distinct counts do NOT re-aggregate
+    across tiers; HLL sketches DO merge, which is the other reason the
+    sketch is the scale path."""
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}: {sorted(TIER_SECONDS)}")
+    bucket = bucket_col(ts_col, TIER_SECONDS[tier]).alias("bucket_start")
+    agg = (
+        F.countDistinct(F.col(distinct_col))
+        if exact
+        else F.approx_count_distinct(F.col(distinct_col), rsd)
+    )
+    return df.groupBy(*key_cols, bucket).agg(agg.alias("n_distinct"))

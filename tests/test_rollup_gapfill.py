@@ -215,3 +215,20 @@ def test_rollup_hopping_overlap(spark):
     assert len(both) == 2  # 30m apart within 1h window, slide 15m -> 2 shared
     for r in both:
         assert r.sum_v == 30.0 and r.min_v == 10.0 and r.max_v == 20.0
+
+
+def test_rollup_distinct_exact_and_hll(spark):
+    import datetime as dt
+
+    from streamchange_spark.operators import rollup_distinct
+
+    base = dt.datetime(2026, 1, 1)
+    # 2000 events, 500 distinct users, one day bucket
+    rows = [(i % 500, base + dt.timedelta(seconds=i * 20), "view") for i in range(2000)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    exact = rollup_distinct(df, ["event_type"], "ts", "user_id", tier="1d").collect()
+    assert len(exact) == 1 and exact[0].n_distinct == 500
+    approx = rollup_distinct(
+        df, ["event_type"], "ts", "user_id", tier="1d", exact=False, rsd=0.02
+    ).collect()[0].n_distinct
+    assert abs(approx - 500) / 500 < 0.06  # HLL++ within ~3x rsd
