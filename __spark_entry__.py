@@ -348,6 +348,44 @@ def q_props_extract(spark, sf_dir):
     )
 
 
+def q_pivot_events(spark, sf_dir):
+    """Relational pivot: one column per event_type holding that user's
+    event count (df.groupBy(user).pivot(type).count() — Catalyst compiles
+    it to ONE pass of conditional aggregates, exactly the FILTER-clause
+    form the oracle states; no per-type scans)."""
+    _configure(spark)
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return out.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+def q_rollup_totals(spark, sf_dir):
+    """GROUP BY ROLLUP (grouping sets): per-(returnflag, linestatus)
+    revenue plus per-flag subtotals and the grand total in one aggregation
+    pass — Spark plans one Expand + one shuffle, not three scans."""
+    _configure(spark)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+               coalesce(l_linestatus, '<all>') AS linestatus,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS revenue_cents,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) + per-session stats; one hash
     exchange end to end (the groupBy reuses the window's partitioning)."""
@@ -1205,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "distinct_rollup": q_distinct_rollup,
         "props_extract": q_props_extract,
+        "pivot_events": q_pivot_events,
+        "rollup_totals": q_rollup_totals,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -2072,6 +2112,24 @@ GROUP BY c.c_nationkey, o.o_orderstatus
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v,
        round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
 FROM events GROUP BY event_type
+""",
+        "pivot_events": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+""",
+        "rollup_totals": """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         "distinct_rollup": """
 SELECT event_type,
