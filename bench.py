@@ -54,6 +54,10 @@ HEADLINE = [
     "token_topk",
     "hopping_rollup",
     "tfidf_topk",
+    "distinct_rollup",
+    "props_extract",
+    "pivot_events",
+    "rollup_totals",
 ]
 
 
