@@ -2251,7 +2251,7 @@ FROM z
         "weighted_sample": """
 WITH scored AS (
   SELECT source, doc_id,
-         ln(((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))::BIGINT)::DOUBLE + 1.0)
+         ln(((('0x' || substr(md5(source || ':' || doc_id::VARCHAR || ':0'), 1, 15))::BIGINT)::DOUBLE + 1.0)
             / 1152921504606846977.0) / n_chars::DOUBLE AS es
   FROM documents
   WHERE n_chars IS NOT NULL AND n_chars > 0

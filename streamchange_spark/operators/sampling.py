@@ -165,10 +165,14 @@ def weighted_sample_k(
     Efraimidis–Spirakis reservoir keys ``u^(1/w)`` ranked per group, with
     the uniform u derived from the SAME md5 bucket hash as every sampler
     here (``(h+1)/(2^60+1)`` in (0,1)), so the draw is reproducible,
-    partition-invariant, and re-run-stable. Ranking uses the monotone
-    transform ``ln(u)/w`` (descending); rows with weight <= 0 or NULL are
-    excluded (zero mass). The quality-weighted corpus subsample: weight by
-    quality score, group by source, keep the top-k race winners.
+    partition-invariant, and re-run-stable. The hash is salted with the
+    GROUP as well as the key and seed: a key that appears in several
+    groups (user_id sampled per day) must get a fresh uniform per group,
+    or the per-group samples are correlated replicas — ES assumes
+    independent draws per item. Ranking uses the monotone transform
+    ``ln(u)/w`` (descending); rows with weight <= 0 or NULL are excluded
+    (zero mass). The quality-weighted corpus subsample: weight by quality
+    score, group by source, keep the top-k race winners.
 
     Scale shape: identical to :func:`cap_per_group` — ``row_number() <= k``
     triggers Catalyst's WindowGroupLimit partial top-K, so each input
@@ -177,9 +181,14 @@ def weighted_sample_k(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("null"))
     key = F.coalesce(F.col(key_col).cast("string"), F.lit("null"))
     h = F.conv(
-        F.substring(F.md5(F.concat(key, F.lit(f":{int(seed)}"))), 1, _MD5_HEX_CHARS),
+        F.substring(
+            F.md5(F.concat(grp, F.lit(":"), key, F.lit(f":{int(seed)}"))),
+            1,
+            _MD5_HEX_CHARS,
+        ),
         16,
         10,
     ).cast("bigint")

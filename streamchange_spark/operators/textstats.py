@@ -269,26 +269,52 @@ def token_topk(
     per ``by_col`` group (e.g. per language). Output: [by_col,] token, n,
     frac, rank. Ties break lexicographically for determinism.
 
-    Scale shape: explode -> two-level aggregation. The per-token groupBy gets
-    a map-side partial count (the shuffle carries one row per distinct token
-    per task, not per occurrence), the ``row_number() <= k`` top-K is a
-    WindowGroupLimit (partial top-K per input partition BEFORE its exchange
-    — even the global no-``by_col`` mode moves only k rows per task through
-    the single-partition window), and ``frac`` joins the per-group totals
-    AFTER the top-K filter as a broadcast (one row per group), so the full
-    vocabulary never crosses a single-partition boundary. At 100 TB the only
-    heavy step is the token count shuffle, bounded by vocabulary size x
-    tasks.
+    Scale shape (see :func:`topk_from_token_counts` for the second half):
+    the counted table is consumed TWICE (top-K branch and totals branch),
+    and Spark recomputes the explode+count subtree for each consumer —
+    ReuseExchange does not fire across differently-partitioned consumers,
+    and a grouping-sets single-pass formulation does not survive the
+    optimizer either (the grouping-id filters get pushed below the
+    aggregation, splitting the branches again; verified on the executed
+    plan). For a one-off query that is fine; a PIPELINE should materialize
+    :func:`token_counts` once (persist / write) and call
+    :func:`topk_from_token_counts` — the same split this package uses for
+    minhash signatures vs LSH banding.
+    """
+    counted = token_counts(df, text_col, by_col=by_col)
+    return topk_from_token_counts(counted, k, by_col=by_col)
+
+
+def token_counts(
+    df: DataFrame, text_col: str, by_col: str | None = None
+) -> DataFrame:
+    """([by_col,] token, n): token occurrence counts — the expensive text
+    pass (explode + map-side partial count; the shuffle carries one row per
+    distinct token per task, not per occurrence). Materialize THIS table in
+    pipelines that feed it to several consumers."""
+    groups = [by_col] if by_col else []
+    toks = df.select(*groups, F.explode(tokens_col(text_col)).alias("token"))
+    return toks.groupBy(*groups, "token").agg(F.count(F.lit(1)).alias("n"))
+
+
+def topk_from_token_counts(
+    counted: DataFrame, k: int = 100, by_col: str | None = None
+) -> DataFrame:
+    """Top-k + corpus share from a (possibly materialized) counts table.
+
+    The ``row_number() <= k`` top-K is a WindowGroupLimit (partial top-K
+    per input partition BEFORE its exchange — even the global no-``by_col``
+    mode moves only k rows per task through the single-partition window),
+    and ``frac`` joins the one-row-per-group totals AFTER the top-K filter
+    as a NULL-SAFE broadcast (a plain equi-join would silently DROP the
+    NULL group — e.g. untagged-language documents), so the full vocabulary
+    never crosses a single-partition boundary.
     """
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     groups = [by_col] if by_col else []
-    toks = df.select(
-        *groups, F.explode(tokens_col(text_col)).alias("token")
-    )
-    counted = toks.groupBy(*groups, "token").agg(F.count(F.lit(1)).alias("n"))
     rank_w = (
         Window.partitionBy(*groups) if groups else Window.partitionBy()
     ).orderBy(F.col("n").desc(), F.col("token"))
@@ -296,11 +322,13 @@ def token_topk(
         F.col("rank") <= k
     )
     totals = counted.groupBy(*groups).agg(F.sum("n").alias("_total"))
-    joined = (
-        top.join(F.broadcast(totals), on=groups)
-        if groups
-        else top.crossJoin(F.broadcast(totals))
-    )
+    if groups:
+        g = groups[0]
+        joined = top.join(
+            F.broadcast(totals), top[g].eqNullSafe(totals[g])
+        ).drop(totals[g])
+    else:
+        joined = top.crossJoin(F.broadcast(totals))
     return joined.withColumn("frac", F.col("n") / F.col("_total")).select(
         *groups, "token", "n", "frac", "rank"
     )
@@ -362,15 +390,20 @@ def url_features(
 
     Pure ``try_parse_url``/regexp projections (JVM codegen, no UDF);
     malformed URLs yield NULL host rather than an ANSI-mode error (plain
-    ``parse_url`` throws INVALID_URL under ANSI).
+    ``parse_url`` throws INVALID_URL under ANSI), and every derived column
+    is NULL for such rows — a curation rule like ``path_depth == 0`` must
+    not classify garbage URLs as root pages.
     """
     url = F.col(url_col)
     host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     path = F.try_parse_url(url, F.lit("PATH"))
     segs = F.filter(F.split(F.coalesce(path, F.lit("")), "/"), lambda s: s != F.lit(""))
+    valid = host.isNotNull()
     return (
         df.withColumn("domain", host)
         .withColumn("tld", F.element_at(F.split(host, r"\."), -1))
-        .withColumn("path_depth", F.size(segs))
-        .withColumn("is_https", F.startswith(F.lower(url), F.lit("https://")))
+        .withColumn("path_depth", F.when(valid, F.size(segs)))
+        .withColumn(
+            "is_https", F.when(valid, F.startswith(F.lower(url), F.lit("https://")))
+        )
     )

@@ -1,7 +1,7 @@
 """Sources and storage: deterministic pages generator, snapshot store."""
 
 from .pages import PAGES_SCHEMA, generate_pages, generate_url_history, text_manifest
-from .bucketed import read_bucketed, write_bucketed
+from .bucketed import read_bucketed, restore_auto_bucketed_scan, write_bucketed
 from .snapshots import SnapshotStore, run_resumable
 
 __all__ = [
@@ -10,6 +10,7 @@ __all__ = [
     "generate_pages",
     "generate_url_history",
     "read_bucketed",
+    "restore_auto_bucketed_scan",
     "run_resumable",
     "write_bucketed",
     "text_manifest",

@@ -65,10 +65,30 @@ def read_bucketed(
     splits bucket files by size: measured on a 97-key/8-bucket table with
     small ``maxPartitionBytes``, every key's rows spanned multiple scan
     partitions (tests/test_bucketed.py). ``clustered=True`` turns that
-    conf off (a session-wide setting; groupBy/join plans are unaffected —
-    they keep choosing bucketed scans on their own)."""
+    conf off.
+
+    The conf change is SESSION-WIDE and deliberately sticky: DataFrames
+    are lazy, so the setting must still hold when the consuming ACTION
+    eventually runs — a scoped set/restore around this call would be a
+    race, and resetting on a later ``clustered=False`` call could break a
+    clustered DataFrame that has not executed yet. The cost of the sticky
+    state: every bucketed-table scan in the session now reads one
+    partition per bucket (size-based file splitting is off for them), so
+    an oversized bucket becomes one long task even in queries that never
+    needed clustering — size buckets for your target partition size, or
+    call :func:`restore_auto_bucketed_scan` once all clustered consumers
+    have executed. Non-bucketed tables are unaffected."""
     if clustered:
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
         )
     return spark.table(table)
+
+
+def restore_auto_bucketed_scan(spark: SparkSession) -> None:
+    """Re-enable size-based splitting of bucketed scans (undo the sticky
+    ``clustered=True`` setting) — call only after every DataFrame obtained
+    via ``read_bucketed(..., clustered=True)`` has finished executing."""
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )

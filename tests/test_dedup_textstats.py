@@ -558,10 +558,39 @@ def test_url_features_matches_urllib(spark):
     got = {r.i: r for r in url_features(df, "url").collect()}
     for i, u in enumerate(urls):
         if u is None or "://" not in u:
-            assert got[i].domain is None
+            # every derived column is NULL for unparseable rows — garbage
+            # must not look like a root page (path_depth=0) or http
+            assert got[i].domain is None and got[i].tld is None
+            assert got[i].path_depth is None and got[i].is_https is None
             continue
         p = urlparse(u)
         assert got[i].domain == p.hostname, u
         assert got[i].tld == p.hostname.split(".")[-1]
         assert got[i].path_depth == len([s for s in p.path.split("/") if s])
         assert got[i].is_https == u.lower().startswith("https://")
+
+
+def test_token_topk_keeps_null_group_and_single_explode(spark):
+    from streamchange_spark.operators.textstats import token_topk
+
+    docs = [(1, "en", "a a b"), (2, None, "x x y"), (3, None, "x z")]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    rows = token_topk(df, "text", k=1, by_col="lang").collect()
+    got = {r.lang: (r.token, r.n, r.frac) for r in rows}
+    # the NULL-lang group must survive the totals join
+    assert got[None] == ("x", 3, 3 / 5)
+    assert got["en"] == ("a", 2, 2 / 3)
+    # a MATERIALIZED counts table feeds both consumers without recompute
+    from streamchange_spark.operators.textstats import (
+        token_counts,
+        topk_from_token_counts,
+    )
+
+    counted = token_counts(df, "text", by_col="lang").persist()
+    try:
+        rows2 = topk_from_token_counts(counted, k=1, by_col="lang").collect()
+        assert {(r.lang, r.token, r.n) for r in rows2} == {
+            (r.lang, r.token, r.n) for r in rows
+        }
+    finally:
+        counted.unpersist()

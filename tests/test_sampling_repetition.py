@@ -300,3 +300,16 @@ def test_weighted_sample_k_inclusion_proportional_to_weight(spark):
     assert len(won) == 400
     # binomial(400, 0.9): sd ~ 6 -> [330, 390] is a >5-sigma corridor
     assert 330 <= heavy_wins <= 390, heavy_wins
+
+
+def test_weighted_sample_k_fresh_uniforms_per_group(spark):
+    """A key appearing in many groups must get an independent draw per
+    group — with equal weights, the per-group winners must differ across
+    groups (a key-only hash makes every group pick the same winner)."""
+    from streamchange_spark.operators import weighted_sample_k
+
+    rows = [(g, u, 1.0) for g in range(40) for u in range(20)]
+    df = spark.createDataFrame(rows, "grp long, uid long, w double")
+    winners = {r.grp: r.uid for r in weighted_sample_k(df, "grp", 1, "w", "uid", seed=3).collect()}
+    assert len(winners) == 40
+    assert len(set(winners.values())) > 5  # correlated draws -> exactly 1
