@@ -386,6 +386,25 @@ def q_rollup_totals(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (64-token chunks, 8-token overlap): the
+    oracle replays the identical slice arithmetic with DuckDB list slicing
+    (1-based inclusive tk[s+1 : s+64] == Spark slice(tk, s+1, 64))."""
+    _configure(spark)
+    from streamchange_spark.operators import chunk_documents
+
+    out = chunk_documents(
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        chunk_tokens=64,
+        overlap=8,
+    )
+    return out.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) + per-session stats; one hash
     exchange end to end (the groupBy reuses the window's partitioning)."""
@@ -1245,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "pivot_events": q_pivot_events,
         "rollup_totals": q_rollup_totals,
+        "chunk_documents": q_chunk_documents,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -2112,6 +2132,24 @@ GROUP BY c.c_nationkey, o.o_orderstatus
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v,
        round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
 FROM events GROUP BY event_type
+""",
+        "chunk_documents": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+meta AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+chunks AS (
+  SELECT doc_id, tk,
+         unnest(range(0, greatest(1, CAST(ceil((n - 8) / 56.0) AS BIGINT)))) AS chunk_id
+  FROM meta
+)
+SELECT doc_id, chunk_id,
+       len(tk[chunk_id * 56 + 1 : chunk_id * 56 + 64]) AS n_tokens,
+       md5(array_to_string(tk[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')) AS chunk_md5
+FROM chunks
 """,
         "pivot_events": """
 SELECT user_id,

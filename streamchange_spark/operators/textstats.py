@@ -407,3 +407,52 @@ def url_features(
             "is_https", F.when(valid, F.startswith(F.lower(url), F.lit("https://")))
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    chunk_col: str = "chunk_text",
+) -> DataFrame:
+    """Split each document into token-window chunks with optional overlap —
+    the context-length slicing pass of an LLM training pipeline. Output:
+    (id, chunk_id, n_tokens, chunk_text); chunk i covers tokens
+    ``[i*(chunk-overlap), i*(chunk-overlap)+chunk)`` of the lower-cased
+    whitespace tokenization (consistent with every other token operator
+    here); empty/NULL documents yield no rows, short documents yield one.
+
+    Scale shape: pure projection + one explode — the chunk index sequence
+    is generated per row (``sequence`` + ``explode``) and each chunk is a
+    ``slice``+``array_join`` over the already-tokenized array, all inside
+    whole-stage codegen; no shuffle, no UDF. Fan-out is bounded by
+    n_tokens/(chunk-overlap) rows per document.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1: {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap must be in [0, chunk_tokens): {overlap}")
+    step = chunk_tokens - overlap
+    toks = tokens_col(text_col)
+    staged = df.select(
+        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n")
+    ).where(F.col("_n") > 0)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(float(step)))
+    ).cast("int")
+    exploded = staged.select(
+        F.col(id_col),
+        "_tk",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_tk"), F.col("chunk_id") * step + 1, chunk_tokens
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias(chunk_col),
+    )

@@ -594,3 +594,31 @@ def test_token_topk_keeps_null_group_and_single_explode(spark):
         }
     finally:
         counted.unpersist()
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from streamchange_spark.operators import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(23))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=10, overlap=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 23 tokens, step 8: chunks at 0,8,16 -> ceil((23-2)/8)=3
+    assert [r.n_tokens for r in by_doc[1]] == [10, 10, 7]
+    # consecutive chunks share exactly `overlap` tokens
+    c0, c1 = by_doc[1][0].chunk_text.split(), by_doc[1][1].chunk_text.split()
+    assert c0[-2:] == c1[:2]
+    # every token covered in order when overlap stripped
+    recon = c0 + c1[2:] + by_doc[1][2].chunk_text.split()[2:]
+    assert recon == [f"t{i}" for i in range(23)]
+    # short doc -> one chunk; empty/null -> none
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
+    assert 3 not in by_doc and 4 not in by_doc
