@@ -64,7 +64,7 @@ HEADLINE = [
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
 
     from streamchange_spark.session import get_spark
 
