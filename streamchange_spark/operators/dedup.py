@@ -369,22 +369,13 @@ def simhash(
     return ones.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_hamming: int = 3,
-    hash_fn: str = "md5",
-    block_bits: int = 16,
+def _simhash_block_rows(
+    sig: DataFrame, id_col: str, block_bits: int = 16
 ) -> DataFrame:
-    """Near-dup pairs by SimHash. Candidate generation blocks on each of the
-    four 16-bit quarters (pigeonhole: any pair within Hamming distance 3 of a
-    64-bit hash agrees on >= 1 quarter), then verifies with bit_count(xor)."""
-    sig = simhash(df, id_col, text_col, hash_fn)
+    """Explode (id, simhash) to (id, simhash, block, block_key) — one row per
+    ``block_bits``-bit slice. One projection (see minhash_lsh_pairs:
+    unionAll would re-evaluate the simhash aggregation once per block)."""
     n_blocks = 64 // block_bits
-    # Explode one struct per quarter from a single projection (see
-    # minhash_lsh_pairs: unionAll would re-evaluate the simhash
-    # aggregation once per block).
     block_structs = [
         F.struct(
             F.lit(q).alias("block"),
@@ -394,12 +385,58 @@ def simhash_pairs(
         )
         for q in range(n_blocks)
     ]
-    blocks = sig.select(
+    return sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*block_structs)).alias("_q")
     ).select(
         id_col, "simhash",
         F.col("_q.block").alias("block"), F.col("_q.block_key").alias("block_key"),
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "md5",
+    block_bits: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash. Candidate generation blocks on each of the
+    four 16-bit quarters (pigeonhole: any pair within Hamming distance 3 of a
+    64-bit hash agrees on >= 1 quarter), then verifies with bit_count(xor).
+
+    Scale guard: the self-join is quadratic per (block, block_key) bucket
+    and the keyspace is only 2^block_bits (65k), so a template-heavy corpus
+    (near-identical pages collide on ALL quarters) floods single buckets.
+    ``max_bucket_size`` drops members of buckets above the cap BEFORE the
+    join — mirroring ``lsh_ann_pairs`` (similarity.py) — bounding worst-case
+    pair counts at bands * cap^2 per bucket value. Dropped buckets mean
+    lost recall, never wrong pairs (every emitted pair is exactly verified
+    by hamming distance). When the cap is active the dropped-row count is
+    attached as an ``observe`` metric (``simhash_pair_drops_*``), visible in
+    the Spark UI / QueryExecutionListener — no silent truncation. For
+    dedup clustering use :func:`simhash_cluster_edges`, which needs no cap
+    at all (star edges are linear in bucket size)."""
+    sig = simhash(df, id_col, text_col, hash_fn)
+    blocks = _simhash_block_rows(sig, id_col, block_bits)
+    if max_bucket_size is not None:
+        logger.info(
+            "simhash_pairs: max_bucket_size=%d active — blocks with more "
+            "members are dropped before pairing (recall, not correctness); "
+            "pass max_bucket_size=None for exact pigeonhole semantics",
+            max_bucket_size,
+        )
+        w = Window.partitionBy("block", "block_key")
+        blocks = blocks.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        blocks = blocks.observe(
+            f"simhash_pair_drops_{uuid.uuid4().hex[:8]}",
+            F.sum(
+                F.when(F.col("_bsz") > max_bucket_size, F.lit(1)).otherwise(F.lit(0))
+            ).alias("dropped_block_rows"),
+            F.count(F.lit(1)).alias("total_block_rows"),
+        )
+        blocks = blocks.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -418,6 +455,40 @@ def simhash_pairs(
         .distinct()
     )
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+def simhash_cluster_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_fn: str = "md5",
+    block_bits: int = 16,
+) -> DataFrame:
+    """Connectivity-preserving SimHash candidate edges (id_a, id_b) for
+    dedup clustering — the star-edge analogue of
+    :func:`lsh_cluster_edges_from_signatures`.
+
+    A (block, block_key) bucket is a CLIQUE in the candidate graph, so for
+    connected components the all-pairs self-join of :func:`simhash_pairs`
+    is redundant: per bucket, star edges from the bucket-minimum member to
+    every other member have the same transitive closure. A bucket of m
+    members emits m-1 edges instead of m(m-1)/2 — linear in corpus size
+    (<= 64/block_bits * n edges before dedup) even on template-heavy
+    corpora where near-identical pages flood single 16-bit buckets, so NO
+    bucket-size cap is needed. One shuffle: min-over-window keyed by
+    (block, block_key). Hamming is NOT verified here (star edges connect
+    via the hub, so per-edge hamming can exceed max_hamming while the
+    clique is still within threshold of the hub); use
+    :func:`simhash_pairs` when each pair needs individual verification."""
+    sig = simhash(df, id_col, text_col, hash_fn)
+    blocks = _simhash_block_rows(sig, id_col, block_bits)
+    w = Window.partitionBy("block", "block_key")
+    return (
+        blocks.withColumn("_min", F.min(id_col).over(w))
+        .where(F.col("_min") != F.col(id_col))
+        .select(F.col("_min").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

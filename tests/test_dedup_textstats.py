@@ -21,6 +21,7 @@ from streamchange_spark.operators import (
     ngram_jaccard_pairs,
     quality_features,
     sample_video_frames,
+    simhash_cluster_edges,
     simhash_pairs,
 )
 from streamchange_spark.operators.textstats import fingerprint
@@ -103,6 +104,84 @@ def test_simhash_pairs(spark):
     got = set(map(tuple, pairs[["id_a", "id_b"]].values))
     assert (0, 1) in got
     assert (0, 2) not in got
+
+
+def test_simhash_pairs_mega_bucket_cap(spark):
+    # Template-heavy corpus: 40 near-identical pages collide on every 16-bit
+    # block -> uncapped candidate generation is quadratic (m*(m-1)/2 per
+    # block). The cap bounds pair counts; star edges stay linear with NO cap.
+    base = "identical boilerplate template page body " * 30
+    rows = [(i, base + f" v{i % 2}") for i in range(40)] + [
+        (100, "entirely different content words " * 25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = simhash_pairs(df, "doc_id", "text", max_hamming=64).toPandas()
+    assert len(uncapped) == 40 * 39 // 2  # full clique survives verify
+
+    capped = simhash_pairs(
+        df, "doc_id", "text", max_hamming=64, max_bucket_size=10
+    ).toPandas()
+    # every block bucket holding the 40 template docs exceeds the cap and is
+    # dropped wholesale -> pair count bounded (here: zero template pairs)
+    assert len(capped) <= 10 * 9 // 2 * 4
+    # emitted pairs (if any) are a subset of the exact result: recall loss
+    # only, never wrong pairs
+    got_capped = set(map(tuple, capped[["id_a", "id_b"]].values))
+    got_full = set(map(tuple, uncapped[["id_a", "id_b"]].values))
+    assert got_capped <= got_full
+
+    from streamchange_spark.operators import simhash_cluster_edges
+
+    edges = simhash_cluster_edges(df, "doc_id", "text").toPandas()
+    # star edges: linear in bucket size — at most (m-1) per bucket value,
+    # <= 4*(n-1) total before distinct; and the clique stays connected
+    assert len(edges) <= 4 * 40
+
+
+def _uf_components(n_ids, edges):
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    return {i: find(i) for i in n_ids}
+
+
+def test_simhash_cluster_edges_same_components_as_pairs(spark):
+    base = "identical boilerplate template page body " * 30
+    rows = [(i, base) for i in range(20)] + [
+        (100, "entirely different content words " * 25),
+        (101, "another unrelated page talking about something else " * 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ids = [r[0] for r in rows]
+    pair_edges = set(
+        map(tuple, simhash_pairs(df, "doc_id", "text", max_hamming=64)
+            .toPandas()[["id_a", "id_b"]].values)
+    )
+    star_edges = set(
+        map(tuple, simhash_cluster_edges(df, "doc_id", "text")
+            .toPandas()[["id_a", "id_b"]].values)
+    )
+    assert len(star_edges) < len(pair_edges)  # m-1 vs m(m-1)/2
+    comp_pairs = _uf_components(ids, pair_edges)
+    comp_star = _uf_components(ids, star_edges)
+    # identical partition of ids into components
+    from collections import defaultdict
+
+    def groups(comp):
+        g = defaultdict(set)
+        for k, v in comp.items():
+            g[v].add(k)
+        return {frozenset(s) for s in g.values()}
+
+    assert groups(comp_pairs) == groups(comp_star)
 
 
 def test_ngram_jaccard_matches_numpy(spark, docs):
