@@ -50,6 +50,42 @@ def bucket_col(ts_col: str, seconds: int):
     )
 
 
+_INTERVAL_UNIT_SECONDS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1, "minute": 60,
+    "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def interval_seconds(interval: str) -> float:
+    """Parse a Spark window-duration string ('1 hour', '15 minutes', '90
+    seconds', multi-part '1 hour 30 minutes') to seconds. Mirrors the units
+    ``F.window`` accepts; raises ValueError on anything it can't parse so
+    validation failures never silently pass."""
+    toks = interval.strip().lower().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"cannot parse interval: {interval!r}")
+    total = 0.0
+    for qty, unit in zip(toks[::2], toks[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _INTERVAL_UNIT_SECONDS:
+            raise ValueError(f"unknown interval unit {unit!r} in {interval!r}")
+        total += float(qty) * _INTERVAL_UNIT_SECONDS[unit]
+    return total
+
+
+def check_hop(width: str, slide: str) -> None:
+    """Raise when ``slide`` exceeds ``width``: Spark's ``window(ts, width,
+    slide)`` then emits GAPPED windows and events falling between hops
+    silently vanish from the tier — never what a rollup means."""
+    w, s = interval_seconds(width), interval_seconds(slide)
+    if s > w:
+        raise ValueError(
+            f"slide ({slide!r} = {s:g}s) exceeds width ({width!r} = {w:g}s): "
+            "windows would be gapped and in-between events silently dropped; "
+            "use slide <= width (slide == width for tumbling)"
+        )
+
+
 def rollup_raw(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -199,6 +235,7 @@ def rollup_hopping(
     shape as the fixed tiers, scaled by the overlap factor. Works unchanged
     under Structured Streaming with a watermark.
     """
+    check_hop(width, slide)
     v = F.col(value_col)
     return (
         df.where(v.isNotNull())

@@ -44,15 +44,30 @@ _MD5_HEX_CHARS = 15  # 60 bits: fits bigint in both engines, no sign issues
 
 
 def split_bucket_col(
-    key_col: str, seed: int = 0, n_buckets: int = 10_000
+    key_col: str, seed: int = 0, n_buckets: int = 10_000, salt: str = ""
 ) -> Column:
     """Deterministic bucket in [0, n_buckets) from md5 of the key and seed.
 
     NULL keys hash the literal string 'null' (stable, never a null bucket).
+
+    CROSS-OPERATOR CORRELATION: every sampler in this module shares this
+    bucket at the same ``(seed, salt)``, so a default-seed
+    :func:`sample_fraction` slice selects the LOWEST buckets — which nest
+    entirely inside the first-named split of :func:`train_test_split` (a 1%
+    sample is drawn 100% from 'train'), and any two samplers at one seed
+    pick identical keys. WITHIN one operator that nesting is the feature
+    (subset relation across rates; splits stable under re-runs). ACROSS
+    operators it is usually unwanted: pass a distinct ``salt`` (or seed)
+    per purpose — e.g. ``salt='split'`` for the split pass and
+    ``salt='ablation'`` for a sample — to decorrelate the draws. The salt
+    participates as ``md5(key ':' salt ':' seed)`` (DuckDB twin:
+    ``('0x' || substr(md5(key || ':salt:seed'), 1, 15))::BIGINT``); the
+    default '' preserves the historical ``md5(key ':' seed)`` form.
     """
     key = F.coalesce(F.col(key_col).cast("string"), F.lit("null"))
+    tag = f":{salt}:{int(seed)}" if salt else f":{int(seed)}"
     h = F.conv(
-        F.substring(F.md5(F.concat(key, F.lit(f":{int(seed)}"))), 1, _MD5_HEX_CHARS),
+        F.substring(F.md5(F.concat(key, F.lit(tag))), 1, _MD5_HEX_CHARS),
         16,
         10,
     ).cast("bigint")
@@ -66,6 +81,7 @@ def train_test_split(
     seed: int = 0,
     n_buckets: int = 10_000,
     split_col: str = "split",
+    salt: str = "",
 ) -> DataFrame:
     """Append ``split_col`` naming each row's split, assigned by hashed key.
 
@@ -82,7 +98,7 @@ def train_test_split(
     if total <= 0 or any(w < 0 for w in weights.values()):
         raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
 
-    bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets)
+    bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets, salt=salt)
     names = list(weights)
     expr = F.lit(names[-1])  # last split takes the remainder buckets
     acc = 0.0
@@ -101,6 +117,7 @@ def sample_fraction(
     fraction: float,
     seed: int = 0,
     n_buckets: int = 10_000,
+    salt: str = "",
 ) -> DataFrame:
     """Keyed deterministic sample: keep rows whose bucket < fraction·n_buckets.
 
@@ -109,18 +126,19 @@ def sample_fraction(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1]: {fraction}")
-    bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets)
+    bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets, salt=salt)
     return df.where(bucket < int(round(fraction * n_buckets)))
 
 
 def mixture_sample(
     df: DataFrame,
     group_col: str,
-    fractions: Mapping[str, float],
+    fractions: Mapping[str | None, float],
     key_col: str,
     seed: int = 0,
     n_buckets: int = 10_000,
     default_fraction: float = 0.0,
+    salt: str = "",
 ) -> DataFrame:
     """Keyed Bernoulli sample at a PER-GROUP rate — the data-mixing pass
     that up/down-weights sources into a training mix (e.g. wiki 2.0 is
@@ -133,18 +151,26 @@ def mixture_sample(
     map-side projection at 100 TB. Mixture maps are small by nature (a
     training mix has tens of sources); if rates came per-DOMAIN (10^5+
     entries) prefer a broadcast join against a rates table over a 10^5-arm
-    CASE — the evaluator walks CASE arms linearly per row."""
+    CASE — the evaluator walks CASE arms linearly per row.
+
+    NULL groups: a row with a NULL ``group_col`` never equals any string
+    key (SQL three-valued logic), so it falls through to
+    ``default_fraction`` — at the default 0.0, NULL-source rows are
+    DROPPED. To assign the NULL group its own rate, put ``None`` in
+    ``fractions`` (matched with ``isNull()``), mirroring the NULL-group
+    retention convention of ``topk_from_token_counts``."""
     for g, f in fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for {g!r} must be in [0, 1]: {f}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0, 1]: {default_fraction}")
-    bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets)
+    bucket = split_bucket_col(key_col, seed=seed, n_buckets=n_buckets, salt=salt)
     cutoff = F.lit(int(round(default_fraction * n_buckets)))
     for g, f in fractions.items():
-        cutoff = F.when(
-            F.col(group_col) == g, F.lit(int(round(f * n_buckets)))
-        ).otherwise(cutoff)
+        cond = (
+            F.col(group_col).isNull() if g is None else F.col(group_col) == g
+        )
+        cutoff = F.when(cond, F.lit(int(round(f * n_buckets)))).otherwise(cutoff)
     return df.where(bucket < cutoff)
 
 

@@ -17,9 +17,12 @@ rounded to a power of two shared by every table that joins on the key.
 
 from __future__ import annotations
 
+import logging
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
 
 
 def write_bucketed(
@@ -37,6 +40,12 @@ def write_bucketed(
     ``sort_cols`` additionally sorts within each bucket file — joins then
     skip the sort side of sort-merge too, and per-key time scans read rows
     already ordered.
+
+    Consumers that need each key's rows in one scan partition must read the
+    table back with ``read_bucketed(..., clustered=True)`` — note that call
+    flips ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` off
+    session-wide; undo with :func:`restore_auto_bucketed_scan` once the
+    clustered consumers have executed.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
@@ -79,6 +88,21 @@ def read_bucketed(
     call :func:`restore_auto_bucketed_scan` once all clustered consumers
     have executed. Non-bucketed tables are unaffected."""
     if clustered:
+        already_off = (
+            spark.conf.get(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+            )
+            == "false"
+        )
+        if not already_off:
+            logger.warning(
+                "read_bucketed(clustered=True): disabling "
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled "
+                "SESSION-WIDE — every bucketed-table scan in this session "
+                "now reads one partition per bucket (an oversized bucket "
+                "becomes one long task). Call restore_auto_bucketed_scan() "
+                "after the clustered consumers have executed."
+            )
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
         )

@@ -16,6 +16,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.rollup import check_hop
+
 
 def streaming_rollup_raw(
     stream: DataFrame,
@@ -35,6 +37,8 @@ def streaming_rollup_raw(
     HOPPING windows (each event lands in width/slide overlapping buckets —
     the streaming twin of operators.rollup.rollup_hopping; state grows by
     the same overlap factor)."""
+    if slide is not None:
+        check_hop(width, slide)
     key_cols = list(key_cols)
     v = F.col(value_col)
     ts = F.col(ts_col)

@@ -232,3 +232,33 @@ def test_rollup_distinct_exact_and_hll(spark):
         df, ["event_type"], "ts", "user_id", tier="1d", exact=False, rsd=0.02
     ).collect()[0].n_distinct
     assert abs(approx - 500) / 500 < 0.06  # HLL++ within ~3x rsd
+
+
+def test_hopping_rejects_slide_wider_than_width(spark):
+    """slide > width would emit gapped windows (events between hops silently
+    vanish); both batch and streaming variants must refuse."""
+    import pytest
+
+    from streamchange_spark.operators import rollup_hopping
+    from streamchange_spark.operators.rollup import check_hop, interval_seconds
+    from streamchange_spark.streaming.rollup import streaming_rollup_raw
+
+    assert interval_seconds("1 hour 30 minutes") == 5400.0
+    assert interval_seconds("90 seconds") == 90.0
+    with pytest.raises(ValueError):
+        interval_seconds("1 fortnight")
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="gapped"):
+        rollup_hopping(df, ["user_id"], "ts", "value", width="15 minutes", slide="1 hour")
+    # equal width/slide (tumbling) is fine
+    check_hop("1 hour", "1 hour")
+    # streaming twin refuses too (plan construction is eager enough)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS user_id", "timestamp AS ts", "CAST(value AS DOUBLE) AS value")
+    )
+    with pytest.raises(ValueError, match="gapped"):
+        streaming_rollup_raw(stream, ["user_id"], "ts", "value", width="15 minutes", slide="1 hour")

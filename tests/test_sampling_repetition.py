@@ -313,3 +313,55 @@ def test_weighted_sample_k_fresh_uniforms_per_group(spark):
     winners = {r.grp: r.uid for r in weighted_sample_k(df, "grp", 1, "w", "uid", seed=3).collect()}
     assert len(winners) == 40
     assert len(set(winners.values())) > 5  # correlated draws -> exactly 1
+
+
+def _bucket_salted(key: str, salt: str, seed: int = 0, n_buckets: int = 10_000) -> int:
+    h = int(hashlib.md5(f"{key}:{salt}:{seed}".encode()).hexdigest()[:15], 16)
+    return h % n_buckets
+
+
+def test_salt_decorrelates_samplers(spark):
+    """Same-seed samplers share the bucket hash (a 1% sample nests inside
+    'train'); a distinct salt per purpose decorrelates the draws while
+    keeping each operator's own determinism and subset nesting."""
+    from streamchange_spark.operators import sample_fraction, train_test_split
+
+    df = spark.createDataFrame([(i,) for i in range(8000)], "k long")
+
+    split = train_test_split(df, "k", {"train": 0.5, "test": 0.5}).toPandas()
+    train_keys = set(split.loc[split["split"] == "train", "k"])
+
+    unsalted = set(sample_fraction(df, "k", 0.05).toPandas()["k"])
+    assert unsalted <= train_keys  # the documented correlation hazard
+
+    salted = set(sample_fraction(df, "k", 0.05, salt="ablation").toPandas()["k"])
+    # matches the independent hashlib oracle for the salted form
+    exp = {k for k in range(8000) if _bucket_salted(str(k), "ablation") < 500}
+    assert salted == exp
+    # decorrelated: lands in both splits, and differs from the unsalted draw
+    assert salted - train_keys and salted & train_keys
+    assert salted != unsalted
+    # subset nesting still holds WITHIN one salt
+    bigger = set(sample_fraction(df, "k", 0.2, salt="ablation").toPandas()["k"])
+    assert salted <= bigger
+
+
+def test_mixture_sample_null_group(spark):
+    """NULL groups fall through to default_fraction unless fractions carries
+    a None key, which matches via isNull()."""
+    from streamchange_spark.operators import mixture_sample
+
+    rows = [(i, "a" if i % 2 else None) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+
+    dropped = mixture_sample(df, "grp", {"a": 1.0}, key_col="k").toPandas()
+    assert dropped["grp"].notna().all()  # default 0.0 drops NULL-group rows
+
+    kept = mixture_sample(
+        df, "grp", {"a": 1.0, None: 0.5}, key_col="k", seed=3
+    ).toPandas()
+    got_null = set(kept.loc[kept["grp"].isna(), "k"])
+    exp_null = {
+        k for k, g in rows if g is None and _bucket(str(k), seed=3) < 5000
+    }
+    assert got_null == exp_null and len(got_null) > 0
