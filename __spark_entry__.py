@@ -1520,24 +1520,44 @@ FROM f
 
 
 def _lang_oracle() -> str:
-    from streamchange_spark.operators.textstats import LANG_STOPWORDS
+    """DuckDB twin of lang_pred_cols, regenerated from the SAME constants
+    (LANG_STOPWORDS / LANG_CHARS / CJK_RANGE) the engine compiles to
+    columns: per-language score = stopword hits + diacritic hits (translate
+    trick), zh = CJK codepoint count (regexp_replace 'g'); argmax with
+    lexicographic tie-break, zero evidence -> 'und'."""
+    from streamchange_spark.operators.textstats import (
+        CJK_RANGE,
+        LANG_CHARS,
+        LANG_STOPWORDS,
+    )
 
-    hit_exprs = {
-        lang: (
+    score_exprs = {}
+    for lang, words in LANG_STOPWORDS.items():
+        stop = (
             "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
             f"t -> t IN ({', '.join(repr(w) for w in words)})))"
         )
-        for lang, words in LANG_STOPWORDS.items()
-    }
-    hits_cols = ",\n       ".join(f"{e} AS h_{lang}" for lang, e in hit_exprs.items())
-    best = "greatest(h_en, h_no, h_de, h_fr)"
+        chars = LANG_CHARS.get(lang, "")
+        if chars:
+            stop += (
+                f" + length(lower(text))"
+                f" - length(translate(lower(text), '{chars}', ''))"
+            )
+        score_exprs[lang] = stop
+    score_exprs["zh"] = (
+        f"length(text) - length(regexp_replace(text, '{CJK_RANGE}', '', 'g'))"
+    )
+    langs = sorted(score_exprs)
+    hits_cols = ",\n       ".join(
+        f"({score_exprs[lang]})::BIGINT AS h_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
     case = " ".join(
-        f"WHEN h_{lang} = best AND best > 0 THEN '{lang}'"
-        for lang in sorted(hit_exprs)  # de < en < fr < no: same priority as engine
+        f"WHEN h_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
     )
     return f"""
 WITH f AS (SELECT doc_id, {hits_cols} FROM documents),
-g AS (SELECT doc_id, h_en, h_no, h_de, h_fr, {best} AS best FROM f)
+g AS (SELECT doc_id, *, {best} AS best FROM f)
 SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred, best::BIGINT AS lang_hits
 FROM g
 """
@@ -1917,24 +1937,37 @@ def _corpus_verdicts_oracle_sql() -> str:
 
     import pandas as pd
 
-    from streamchange_spark.operators.textstats import LANG_STOPWORDS
+    from streamchange_spark.operators.textstats import (
+        CJK_RANGE,
+        LANG_CHARS,
+        LANG_STOPWORDS,
+        QUALITY_STOPWORDS_EN,
+    )
 
     pdf = pd.read_parquet(
         f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
     )
     ws = _re.compile(r"\s+", _re.ASCII)
+    cjk = _re.compile(CJK_RANGE)
     num_hashes, bands, nsh = 16, 4, 3
     rows_per_band = num_hashes // bands
     stop_sets = {lg: set(w) for lg, w in LANG_STOPWORDS.items()}
+    quality_stop_set = set(QUALITY_STOPWORDS_EN)
 
     docs: dict[int, dict] = {}
     for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
         doc_id = int(doc_id)
-        toks = [t for t in ws.split(text.lower()) if t]
-        hits = {lg: sum(1 for t in toks if t in s) for lg, s in stop_sets.items()}
+        low = text.lower()
+        toks = [t for t in ws.split(low) if t]
+        hits = {
+            lg: sum(1 for t in toks if t in s)
+            + sum(low.count(c) for c in LANG_CHARS.get(lg, ""))
+            for lg, s in stop_sets.items()
+        }
+        hits["zh"] = len(cjk.findall(text))
         best = max(hits.values())
         pred = "und"
-        for lang in sorted(LANG_STOPWORDS, reverse=True):
+        for lang in sorted(hits, reverse=True):
             if hits[lang] == best and best > 0:
                 pred = lang
         n_chars, n_tokens = len(text), len(toks)
@@ -1942,7 +1975,8 @@ def _corpus_verdicts_oracle_sql() -> str:
         punct = len(_re.sub(r"[^.,;:!?]", "", text))
         alpha_ratio = alpha / n_chars if n_chars > 0 else 0.0
         punct_ratio = punct / n_chars if n_chars > 0 else 0.0
-        stop_ratio = hits["en"] / n_tokens if n_tokens > 0 else 0.0
+        q_hits = sum(1 for t in toks if t in quality_stop_set)
+        stop_ratio = q_hits / n_tokens if n_tokens > 0 else 0.0
         # identical term order to quality_features (left-associative sum)
         score = (
             min(n_tokens / 100.0, 1.0) * 0.25

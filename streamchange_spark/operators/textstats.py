@@ -10,14 +10,72 @@ from pyspark.sql import functions as F
 
 from .dedup import tokens_col
 
-# Tiny high-frequency stopword lists per language — a deterministic n-gram/
-# stopword-hit heuristic (not a model), identical in engine and oracle.
+# High-frequency stopword lists per language — a deterministic word-unigram
+# + char-unigram ensemble (not a model), replayed identically by the DuckDB
+# oracle and the serial corpus replay. Ten European word-tokenized languages
+# plus zh via CJK-codepoint counting (whitespace tokens carry no signal
+# there). Overlap across lists (Scandinavian especially) is fine: prediction
+# is an argmax and the diacritic evidence below breaks most cross-language
+# confusions a short stopword list can't.
 LANG_STOPWORDS = {
-    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
-    "no": ["og", "i", "det", "som", "en", "av", "er", "til"],
-    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
-    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it",
+           "was", "for", "with", "as", "his", "on", "be", "at",
+           "by", "are", "this", "from", "they", "not", "but", "have"],
+    "no": ["og", "i", "det", "som", "en", "av", "er", "til",
+           "på", "med", "for", "ikke", "den", "har", "de", "et",
+           "om", "å", "var", "seg", "men", "kan", "ved", "fra"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu",
+           "den", "von", "mit", "sich", "des", "auf", "für", "im",
+           "dem", "eine", "als", "auch", "es", "an", "werden", "aus"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est",
+           "dans", "que", "qui", "pour", "pas", "sur", "par", "plus",
+           "avec", "son", "au", "il", "ne", "se", "ce", "du"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los",
+           "se", "del", "las", "por", "con", "para", "una", "su",
+           "es", "no", "al", "lo", "como", "más", "pero", "sus"],
+    # no bare "a" (the en/nl article would feed pt everywhere)
+    "pt": ["o", "de", "que", "e", "do", "da", "em", "um",
+           "para", "é", "com", "não", "uma", "os", "no",
+           "se", "na", "por", "mais", "dos", "como", "mas", "ao"],
+    "it": ["il", "di", "che", "e", "la", "per", "un", "in",
+           "una", "sono", "non", "le", "si", "con", "del", "da",
+           "al", "lo", "come", "più", "ma", "nel", "alla", "dei"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat",
+           "die", "in", "is", "zijn", "niet", "met", "aan", "er",
+           "om", "ook", "als", "dan", "maar", "bij", "voor", "naar"],
+    "sv": ["och", "i", "att", "det", "som", "en", "på", "är",
+           "av", "för", "med", "till", "den", "inte", "har", "de",
+           "ett", "om", "var", "sig", "men", "kan", "vid", "från"],
+    "da": ["og", "i", "at", "det", "som", "en", "på", "er",
+           "af", "for", "med", "til", "den", "ikke", "har", "de",
+           "et", "om", "var", "sig", "men", "kan", "ved", "fra"],
 }
+
+# Characteristic diacritics per language (char-unigram evidence, counted on
+# the lowercased text). Shared chars (æøå in no/da, ç in fr/pt) are fine —
+# the stopword signal disambiguates; ties resolve lexicographically.
+LANG_CHARS = {
+    "de": "äöüß",
+    "fr": "éèêàçâîôûëï",
+    "es": "ñáíóúü¿¡",
+    "pt": "ãõçáéêíóú",
+    "it": "àèéìòù",
+    "no": "æøå",
+    "da": "æøå",
+    "sv": "åäö",
+    "nl": "",
+    "en": "",
+}
+
+# CJK unified ideographs (U+4E00..U+9FFF) as a literal char range — valid in
+# both Java regex (Spark) and RE2 (DuckDB with the 'g' flag).
+CJK_RANGE = "[一-鿿]"
+
+# The quality score's stopword-ratio feature is FROZEN on the original
+# 8-word English list: it's a bounded [0,1] feature inside a fixed linear
+# blend, and pinning it keeps every quality threshold / oracle / fixture
+# bit-identical while the language-ID lists above evolve independently.
+QUALITY_STOPWORDS_EN = ["the", "and", "of", "to", "in", "is", "that", "it"]
 
 
 def token_count_col(text_col: str) -> Column:
@@ -30,21 +88,63 @@ def stopword_hits_col(text_col: str, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(words)))
 
 
+def quality_stopword_hits_col(text_col: str) -> Column:
+    """Stopword hits for the quality score — FROZEN 8-word list (see
+    QUALITY_STOPWORDS_EN), independent of the language-ID lists."""
+    toks = tokens_col(text_col)
+    return F.size(F.filter(toks, lambda t: t.isin(QUALITY_STOPWORDS_EN)))
+
+
+def char_hits_col(text_col: str, lang: str) -> Column:
+    """Occurrences of the language's characteristic diacritics in the
+    lowercased text — length minus length-after-translate, a codegen
+    projection with an exact DuckDB twin (translate is Postgres-compatible
+    in both engines)."""
+    chars = LANG_CHARS.get(lang, "")
+    if not chars:
+        return F.lit(0)
+    low = F.lower(F.col(text_col))
+    return F.length(low) - F.length(F.translate(low, chars, ""))
+
+
+def cjk_hits_col(text_col: str) -> Column:
+    """Count of CJK-unified-ideograph codepoints (the zh evidence; word
+    tokenization carries no signal for unsegmented scripts)."""
+    text = F.col(text_col)
+    return F.length(text) - F.length(F.regexp_replace(text, CJK_RANGE, ""))
+
+
+def lang_score_cols(text_col: str) -> dict[str, Column]:
+    """Per-language integer evidence scores: stopword hits + diacritic hits
+    for word-tokenized languages; CJK codepoint count for zh."""
+    scores = {
+        lang: (
+            stopword_hits_col(text_col, lang) + char_hits_col(text_col, lang)
+        ).cast("long")
+        for lang in LANG_STOPWORDS
+    }
+    scores["zh"] = cjk_hits_col(text_col).cast("long")
+    return scores
+
+
 def lang_pred_cols(text_col: str) -> tuple[Column, Column]:
     """(lang_pred, lang_hits) as bare columns — composable into a wider
-    single-pass select (corpus_features) without a join."""
-    hits = {lang: stopword_hits_col(text_col, lang) for lang in LANG_STOPWORDS}
-    best = F.greatest(*hits.values())
+    single-pass select (corpus_features) without a join. Prediction is the
+    argmax of :func:`lang_score_cols`; ties resolve to the lexicographically
+    smallest language, zero evidence to 'und'."""
+    scores = lang_score_cols(text_col)
+    best = F.greatest(*scores.values())
     pred = F.lit("und")
     # reversed() so the earlier language wins ties (chained when/otherwise).
-    for lang in sorted(LANG_STOPWORDS, reverse=True):
-        pred = F.when((hits[lang] == best) & (best > 0), lang).otherwise(pred)
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
     return pred, best.cast("long")
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, lang_pred, lang_hits): language with the most stopword hits;
-    ties and zero-hit rows resolve to 'und' / lexicographic order."""
+    """(id, lang_pred, lang_hits): language with the highest evidence score
+    (stopword hits + diacritic hits; CJK codepoints for zh); ties and
+    zero-evidence rows resolve to lexicographic order / 'und'."""
     pred, best = lang_pred_cols(text_col)
     return df.select(
         F.col(id_col),
@@ -62,7 +162,7 @@ def quality_score_col(text_col: str) -> Column:
     n_tokens = F.size(toks)
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    en_hits = stopword_hits_col(text_col, "en")
+    en_hits = quality_stopword_hits_col(text_col)
     alpha_ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(0.0)
     punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
     stop_ratio = F.when(n_tokens > 0, en_hits.cast("double") / n_tokens).otherwise(0.0)
@@ -84,7 +184,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_tokens = F.size(toks)
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    en_hits = stopword_hits_col(text_col, "en")
+    en_hits = quality_stopword_hits_col(text_col)
     mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
     alpha_ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(0.0)
     punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)

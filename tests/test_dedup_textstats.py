@@ -701,3 +701,44 @@ def test_chunk_documents_coverage_and_overlap(spark):
     # short doc -> one chunk; empty/null -> none
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
     assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_lang_id_wide_coverage(spark):
+    """Languages the original 4-list/8-word heuristic could never label
+    (es/pt/it/nl/sv/zh have no list there) are now identified, including
+    unsegmented zh via CJK codepoint counting and diacritic evidence."""
+    rows = [
+        (0, "el perro y el gato se fueron a la casa de los vecinos por la tarde"),
+        (1, "o cachorro e o gato foram para a casa dos vizinhos não é uma surpresa"),
+        (2, "il cane e il gatto sono andati alla casa dei vicini non è una sorpresa"),
+        (3, "de hond en de kat zijn naar het huis van de buren gegaan met een bal"),
+        (4, "hunden och katten gick till grannarnas hus på kvällen är det inte sant"),
+        (5, "狗和猫晚上去了邻居家这并不是一个令人惊讶的事情"),
+        (6, "the dog and the cat went to the house of the neighbours in the evening"),
+        (7, "hunden og katten gik hen til naboernes hus om aftenen er det ikke sandt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lang_id(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "es"
+    assert out.loc[1, "lang_pred"] == "pt"
+    assert out.loc[2, "lang_pred"] == "it"
+    assert out.loc[3, "lang_pred"] == "nl"
+    assert out.loc[4, "lang_pred"] == "sv"
+    assert out.loc[5, "lang_pred"] == "zh"
+    assert out.loc[5, "lang_hits"] > 0
+    assert out.loc[6, "lang_pred"] == "en"
+    assert out.loc[7, "lang_pred"] == "da"
+
+
+def test_quality_score_frozen_under_lang_list_growth(spark):
+    """quality_score uses the FROZEN 8-word list, not the widened lang-ID
+    lists: a text hitting only the new en words ('was for with') scores the
+    same stopword_ratio as one with no stopwords at all."""
+    from streamchange_spark.operators import quality_features
+
+    rows = [(0, "was for with his they have are this"),
+            (1, "zebra quartz jumble vortex crispy plasma nimbus dune")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_features(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "stopword_ratio"] == 0.0
+    assert out.loc[1, "stopword_ratio"] == 0.0
