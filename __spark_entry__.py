@@ -298,6 +298,35 @@ def q_percentile_rollup(spark, sf_dir):
     )
 
 
+def q_sketch_percentiles_1d(spark, sf_dir):
+    """Tier-from-tier percentiles via the mergeable rank sketch: raw ->
+    1h sketches -> MERGED into 1d -> p50/p95/p99, never re-scanning raw
+    (qsketch.py — the scale path exact percentiles can't take). At this
+    eps (1e-4 -> 10001 stored points) every sf0.01 bucket is far below the
+    prune threshold, so the sketch path is EXACT and hash-checkable: the
+    query returns the element at rank ceil(q*N) (lower discrete quantile,
+    same element-returning semantics as approx_percentile). The
+    approximation regime (pruned sketches, carried error bound) is
+    certified by tests/test_rollup_gapfill.py."""
+    _configure(spark)
+    from streamchange_spark.operators import sketch_percentiles, sketch_rollup, sketch_tier
+
+    eps = 1e-4
+    t1h = sketch_tier(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", "value", tier="1h", eps=eps
+    )
+    t1d = sketch_rollup(t1h, ["event_type"], "1d", eps=eps)
+    out = sketch_percentiles(t1d, ["event_type"], quantiles=(0.5, 0.95, 0.99))
+    return out.select(
+        "event_type",
+        _epoch("bucket_start").alias("bucket"),
+        "n_points",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
 def q_hopping_rollup(spark, sf_dir):
     """Trailing-hour aggregates every 15 minutes (hopping windows). The
     oracle replays the window replication relationally: each event joins
@@ -1342,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-4 queries ---
         "pelt_segments_pruned": q_pelt_segments_pruned,
         "streaming_sessions": q_streaming_sessions,
+        "sketch_percentiles_1d": q_sketch_percentiles_1d,
         # --- detector kernels (scale-critical variants first) ---
         "window_segmentor": q_window_segmentor,
         "pelt_segments": q_pelt_segments,
@@ -2405,6 +2435,24 @@ ranked AS (
 )
 SELECT lang, token, n, round(frac, 6) AS frac, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 5
+""",
+        "sketch_percentiles_1d": """
+WITH r AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT // 86400) * 86400 AS bucket,
+         value,
+         row_number() OVER (PARTITION BY event_type,
+                            (floor(epoch(ts))::BIGINT // 86400) * 86400
+                            ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type,
+                        (floor(epoch(ts))::BIGINT // 86400) * 86400) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bucket, max(n)::BIGINT AS n_points,
+       round(max(CASE WHEN rn = greatest(ceil(0.5 * n), 1) THEN value END), 6) AS p50,
+       round(max(CASE WHEN rn = greatest(ceil(0.95 * n), 1) THEN value END), 6) AS p95,
+       round(max(CASE WHEN rn = greatest(ceil(0.99 * n), 1) THEN value END), 6) AS p99
+FROM r GROUP BY 1, 2
 """,
         "percentile_rollup": """
 SELECT user_id,

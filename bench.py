@@ -51,6 +51,7 @@ HEADLINE = [
     "scrub_pii",
     "weighted_sample",
     "percentile_rollup",
+    "sketch_percentiles_1d",
     "token_topk",
     "hopping_rollup",
     "tfidf_topk",

@@ -262,3 +262,111 @@ def test_hopping_rejects_slide_wider_than_width(spark):
     )
     with pytest.raises(ValueError, match="gapped"):
         streaming_rollup_raw(stream, ["user_id"], "ts", "value", width="15 minutes", slide="1 hour")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches (qsketch.py): tier-from-tier percentiles
+# ---------------------------------------------------------------------------
+
+
+def _rank_span(x_sorted: np.ndarray, v: float) -> tuple[int, int]:
+    """1-based rank interval the value v occupies in the sorted data."""
+    lo = int(np.searchsorted(x_sorted, v, side="left")) + 1
+    hi = int(np.searchsorted(x_sorted, v, side="right"))
+    return lo, hi
+
+
+def test_qsketch_serial_error_bound():
+    """Carried err tracks the prune cascade and the observed rank error of
+    every queried quantile stays within it (the documented guarantee)."""
+    from streamchange_spark.operators.qsketch import (
+        _decode,
+        sketch_build,
+        sketch_merge,
+        sketch_query,
+    )
+
+    rng = np.random.RandomState(3)
+    eps = 0.02
+    children = [rng.lognormal(0.0, 1.0, size=rng.randint(50, 4000)) for _ in range(24)]
+    blobs = [sketch_build(c, eps) for c in children]
+    day = sketch_merge(blobs, eps)
+    months = sketch_merge([day] * 1, eps)  # second-level merge, single child
+    allx = np.sort(np.concatenate(children))
+    n = len(allx)
+    n_tot, err, _, _ = _decode(months)
+    assert n_tot == n
+    # bound: children each <= eps*n_i (sum eps*n) + 1d prune eps*n + 30d prune eps*n
+    assert err <= 3 * eps * n + 1e-9
+    for q, est in zip([0.01, 0.5, 0.95, 0.99], sketch_query(months, [0.01, 0.5, 0.95, 0.99])):
+        target = min(max(int(np.ceil(q * n)), 1), n)
+        lo, hi = _rank_span(allx, est)
+        assert lo - err <= target <= hi + err, (q, target, lo, hi, err)
+        assert est in allx  # element-returning semantics, like approx_percentile
+
+
+def test_qsketch_exact_when_small():
+    """n <= ceil(1/eps): zero carried error, queries are the exact
+    lower-discrete quantile."""
+    from streamchange_spark.operators.qsketch import _decode, sketch_build, sketch_query
+
+    x = np.arange(100, dtype=float)
+    blob = sketch_build(x, eps=0.005)  # m=200 > 100
+    n_tot, err, vals, w = _decode(blob)
+    assert n_tot == 100 and err == 0.0 and (w == 1).all()
+    assert sketch_query(blob, [0.5, 0.99, 1.0]) == [49.0, 98.0, 99.0]
+
+
+def test_qsketch_tiers_spark(spark, points_df):
+    """sketch_tier -> sketch_rollup(1d) -> sketch_rollup(30d) on Spark:
+    n_points matches the exact rollup per tier, blobs are deterministic
+    across re-runs, and 30d percentiles respect the carried error bound
+    against exact percentiles recomputed from raw."""
+    from streamchange_spark.operators import (
+        sketch_percentiles,
+        sketch_rollup,
+        sketch_tier,
+    )
+    from streamchange_spark.operators.qsketch import _decode
+
+    eps = 0.02
+    t1h = sketch_tier(points_df, ["key"], "ts", "value", tier="1h", eps=eps)
+    t1d = sketch_rollup(t1h, ["key"], "1d", eps=eps)
+    t30 = sketch_rollup(t1d, ["key"], "30d", eps=eps)
+
+    # n_points re-aggregates exactly
+    exact_1d = (
+        rollup_raw(points_df, ["key"], "ts", "value", "1d")
+        .select("key", "bucket_start", "n_points")
+        .toPandas()
+        .set_index(["key", "bucket_start"])["n_points"]
+    )
+    got_1d = t1d.toPandas().set_index(["key", "bucket_start"])["n_points"]
+    assert got_1d.sort_index().equals(exact_1d.sort_index())
+
+    # determinism: independent second build yields byte-identical blobs
+    again = sketch_tier(points_df, ["key"], "ts", "value", tier="1h", eps=eps)
+    a = t1h.toPandas().set_index(["key", "bucket_start"])["qsketch"].sort_index()
+    b = again.toPandas().set_index(["key", "bucket_start"])["qsketch"].sort_index()
+    assert list(a.apply(bytes)) == list(b.apply(bytes))
+
+    # 30d percentiles within carried err of exact ranks
+    raw = points_df.toPandas()
+    raw["bucket"] = (raw["ts"].astype("int64") // 10**9 // (30 * 86400)) * (30 * 86400)
+    pcts = sketch_percentiles(t30, ["key"], quantiles=(0.5, 0.95, 0.99)).toPandas()
+    blobs = t30.toPandas().set_index(["key", "bucket_start"])
+    for _, row in pcts.iterrows():
+        bucket_epoch = int(pd.Timestamp(row["bucket_start"]).value // 10**9)
+        x = np.sort(
+            raw[(raw["key"] == row["key"]) & (raw["bucket"] == bucket_epoch)][
+                "value"
+            ].to_numpy()
+        )
+        n = len(x)
+        assert n == row["n_points"]
+        _, err, _, _ = _decode(blobs.loc[(row["key"], row["bucket_start"]), "qsketch"])
+        assert err <= 3 * eps * n + 1e-9
+        for q, col in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+            target = min(max(int(np.ceil(q * n)), 1), n)
+            lo, hi = _rank_span(x, row[col])
+            assert lo - err <= target <= hi + err, (row["key"], q, target, lo, hi, err)
