@@ -1,7 +1,12 @@
 """Sources and storage: deterministic pages generator, snapshot store."""
 
 from .pages import PAGES_SCHEMA, generate_pages, generate_url_history, text_manifest
-from .bucketed import read_bucketed, restore_auto_bucketed_scan, write_bucketed
+from .bucketed import (
+    enable_sorted_bucketed_scan,
+    read_bucketed,
+    restore_auto_bucketed_scan,
+    write_bucketed,
+)
 from .snapshots import SnapshotStore, run_resumable
 
 __all__ = [
@@ -9,6 +14,7 @@ __all__ = [
     "SnapshotStore",
     "generate_pages",
     "generate_url_history",
+    "enable_sorted_bucketed_scan",
     "read_bucketed",
     "restore_auto_bucketed_scan",
     "run_resumable",

@@ -109,6 +109,27 @@ def read_bucketed(
     return spark.table(table)
 
 
+def enable_sorted_bucketed_scan(spark: SparkSession) -> None:
+    """Let sorted bucketed scans report their ORDERING to Catalyst, so
+    per-key window/sort-merge consumers skip the sort too (Exchange- AND
+    Sort-free plans — measured: the sessionize window pipeline runs
+    straight off the scan, tests/test_bucketed.py).
+
+    Spark gates this behind ``spark.sql.legacy.bucketedTableScan.
+    outputOrdering`` (default off since 3.0, SPARK-28595) because the
+    ordering only holds when EVERY bucket is exactly ONE file — with more,
+    Spark concatenates bucket files and the claimed order would be wrong,
+    so it silently falls back to sorting. Write the table with
+    ``df.repartition(n_buckets, *bucket_cols)`` immediately before
+    :func:`write_bucketed` (hash-repartition and bucket assignment use the
+    same Murmur3 scheme, so each write task holds exactly one bucket) to
+    guarantee the one-file-per-bucket layout. Set BEFORE the consuming
+    action; sticky for the session like the ``clustered=True`` conf."""
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+
+
 def restore_auto_bucketed_scan(spark: SparkSession) -> None:
     """Re-enable size-based splitting of bucketed scans (undo the sticky
     ``clustered=True`` setting) — call only after every DataFrame obtained

@@ -104,3 +104,44 @@ def test_clustered_read_required_for_assume_partitioned(spark, tmp_path_factory)
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", old_auto
         )
+
+
+def test_sorted_bucketed_sessionize_no_exchange_no_sort(spark, tmp_path_factory):
+    """One-file-per-bucket sorted layout + enable_sorted_bucketed_scan:
+    the sessionize window pipeline plans ZERO Exchange and ZERO Sort, and
+    the results equal the plain (shuffle+sort) path. This is the layout
+    that moves session_stats' sort to write time at 100 TB."""
+    from streamchange_spark.operators import session_stats
+    from streamchange_spark.sources import enable_sorted_bucketed_scan
+
+    base = tmp_path_factory.mktemp("srtbkt")
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("u"), (F.col("id") % 73)).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + (F.col("id") % 73) * 17
+            + (F.col("id") / 73).cast("long") * 40000
+        ).alias("warc_ts"),
+    )
+    # repartition on the bucket column with n_buckets partitions -> each
+    # write task holds exactly one bucket -> one file per bucket
+    write_bucketed(df.repartition(8, "url"), "pages_srt_t", ["url"],
+                   n_buckets=8, sort_cols=["url", "warc_ts"],
+                   path=str(base / "pages"))
+    prev = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    try:
+        enable_sorted_bucketed_scan(spark)
+        out = session_stats(read_bucketed(spark, "pages_srt_t"),
+                            ["url"], "warc_ts", 86400.0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Sort" not in plan, plan
+        got = out.toPandas().sort_values(["url", "session_id"], ignore_index=True)
+    finally:
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prev)
+    plain = (
+        session_stats(df, ["url"], "warc_ts", 86400.0)
+        .toPandas()
+        .sort_values(["url", "session_id"], ignore_index=True)
+    )
+    assert got.equals(plain)

@@ -38,8 +38,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-ALL_STAGES = ("ingest", "rollup", "gorilla", "detect", "corpus", "sessions")
+ALL_STAGES = (
+    "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
+    "sessions_sorted",
+)
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
+SORTED_BUCKETS = 64
 
 
 def build_input(path: str, n_urls: int, snapshots: int, cpus: int) -> None:
@@ -54,6 +58,33 @@ def build_input(path: str, n_urls: int, snapshots: int, cpus: int) -> None:
     n = spark.read.parquet(path).count()
     print(f"# generated {n} rows in {time.time() - t0:.1f}s -> {path}",
           file=sys.stderr)
+    spark.stop()
+
+
+def build_sorted_input(path: str, srt_path: str, cpus: int) -> None:
+    """One-time write of the url-bucketed (url, warc_ts)-sorted layout —
+    ONE file per bucket (repartition on the bucket column before the
+    bucketed write) so the scan can report its ordering. This is the
+    write-time cost the sorted layout amortizes; reported once, not part
+    of the per-level measurement."""
+    from streamchange_spark.session import get_spark
+    from streamchange_spark.sources import write_bucketed
+
+    spark = get_spark("bench_srt_gen", master=f"local[{cpus}]")
+    t0 = time.time()
+    pages = spark.read.parquet(path).select("url", "warc_ts")
+    write_bucketed(
+        pages.repartition(SORTED_BUCKETS, "url"),
+        "pages_srt_bench_w",
+        ["url"],
+        n_buckets=SORTED_BUCKETS,
+        sort_cols=["url", "warc_ts"],
+        path=srt_path,
+    )
+    print(
+        f"# sorted-bucketed write: {time.time() - t0:.1f}s -> {srt_path}",
+        file=sys.stderr,
+    )
     spark.stop()
 
 
@@ -212,6 +243,36 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         out["sessions"] = sess.count()
         out["sessions_sec"] = round(time.time() - t0, 2)
 
+    if "sessions_sorted" in stages:
+        # Same sessionization over the sorted one-file-per-bucket layout:
+        # the scan reports HashPartitioning(url) AND (url, warc_ts) order,
+        # so the window pipeline plans ZERO Exchange and ZERO Sort — the
+        # sort the plain stage pays at read time moved to write time.
+        from streamchange_spark.operators import session_stats
+        from streamchange_spark.sources import enable_sorted_bucketed_scan
+
+        srt_path = path + "_srt"
+        enable_sorted_bucketed_scan(spark)
+        spark.sql("DROP TABLE IF EXISTS pages_srt_bench")
+        spark.sql(
+            f"""CREATE TABLE pages_srt_bench (url STRING, warc_ts TIMESTAMP)
+            USING parquet CLUSTERED BY (url)
+            SORTED BY (url, warc_ts) INTO {SORTED_BUCKETS} BUCKETS
+            LOCATION '{srt_path}'"""
+        )
+        t = spark.table("pages_srt_bench")
+        sess = session_stats(t, ["url"], "warc_ts", 86400.0)
+        plan = sess._jdf.queryExecution().executedPlan().toString()
+        out["sessions_sorted_plan_ok"] = (
+            "Exchange" not in plan and "Sort" not in plan
+        )
+        t0 = time.time()
+        out["sessions_sorted"] = sess.count()
+        out["sessions_sorted_sec"] = round(time.time() - t0, 2)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+
     spark.stop()
     return out
 
@@ -234,6 +295,10 @@ def _derive(merged: dict) -> dict:
     if "sessions_sec" in merged:
         merged["sessions_rows_per_sec"] = round(
             n_rows / merged["sessions_sec"], 1
+        )
+    if "sessions_sorted_sec" in merged:
+        merged["sessions_sorted_rows_per_sec"] = round(
+            n_rows / merged["sessions_sorted_sec"], 1
         )
     if all(f"{s}_sec" in merged for s in PIPELINE_STAGES):
         merged["pipeline_sec"] = round(
@@ -267,6 +332,8 @@ def main():
     path = os.path.join(args.workdir, f"pages_{args.urls}x{args.snapshots}.parquet")
     if not os.path.exists(path):
         build_input(path, args.urls, args.snapshots, cpus=os.cpu_count() or 8)
+    if "sessions_sorted" in stages and not os.path.exists(path + "_srt"):
+        build_sorted_input(path, path + "_srt", cpus=os.cpu_count() or 8)
 
     # Interleaved passes: pass 0 over every level, then pass 1, ... so a
     # host stall window degrades one pass, not every repeat of one level.
@@ -300,6 +367,7 @@ def main():
         "detect": "detect_points_per_sec",
         "corpus": "corpus_docs_per_sec",
         "sessions": "sessions_rows_per_sec",
+        "sessions_sorted": "sessions_sorted_rows_per_sec",
         "pipeline": "pipeline_rows_per_sec",
     }
 
