@@ -122,22 +122,28 @@ def decode_image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = _decode(bytes(payload))
-                # Deterministic pooled-intensity features (vectorized numpy).
-                gray = img.mean(axis=2)
-                pools = np.array_split(gray.ravel(), feature_dim)
-                feats = [float(p.mean() / 255.0) for p in pools]
-                rows.append(
-                    {
-                        id_col: rid,
-                        "width": img.shape[1],
-                        "height": img.shape[0],
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            if pdf.empty:
+                continue
+            # Decode is one codec call per payload (irreducible); ALL the
+            # feature math runs once per Arrow batch: stack the decoded
+            # (H, W, 3) frames and pool along axis 1 of the flattened
+            # batch — identical split boundaries to the per-row
+            # array_split, so features are bit-identical to the old loop.
+            imgs = np.stack(
+                [_decode(bytes(p)) for p in pdf[payload_col]]
+            ).astype(np.float64)
+            flat = imgs.mean(axis=3).reshape(len(imgs), -1)
+            pools = np.array_split(flat, feature_dim, axis=1)
+            feats = np.stack([p.mean(axis=1) for p in pools], axis=1) / 255.0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "width": np.full(len(imgs), imgs.shape[2], dtype=np.int32),
+                    "height": np.full(len(imgs), imgs.shape[1], dtype=np.int32),
+                    "features": list(feats),
+                },
+                columns=[f.name for f in schema.fields],
+            )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
@@ -176,23 +182,43 @@ def extract_audio_features(
         sr = 16_000
         return rng.uniform(-1.0, 1.0, sr // 4).astype(np.float64), sr
 
+    def _row_feats(samples: np.ndarray) -> list[float]:
+        pools = np.array_split(samples, feature_dim)
+        return [float(np.sqrt(np.mean(p**2))) for p in pools]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                samples, sr = _decode(bytes(payload))
-                # pooled RMS energies per time slice (vectorized numpy)
-                pools = np.array_split(samples, feature_dim)
-                feats = [float(np.sqrt(np.mean(p**2))) for p in pools]
-                rows.append(
-                    {
-                        id_col: rid,
-                        "sample_rate": sr,
-                        "duration_s": len(samples) / sr,
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            if pdf.empty:
+                continue
+            decoded = [_decode(bytes(p)) for p in pdf[payload_col]]
+            # Real decoders return variable-length clips; when the batch is
+            # uniform (fixed-duration corpora, and this stub) the pooled-RMS
+            # math runs ONCE per Arrow batch — same split boundaries as the
+            # per-row path, so values are bit-identical. Mixed lengths fall
+            # back to per-row pooling (the decode still dominates there).
+            lengths = {len(s) for s, _ in decoded}
+            if len(lengths) == 1:
+                S = np.stack([s for s, _ in decoded])
+                pools = np.array_split(S, feature_dim, axis=1)
+                feats = [
+                    list(row)
+                    for row in np.stack(
+                        [np.sqrt(np.mean(p**2, axis=1)) for p in pools], axis=1
+                    )
+                ]
+            else:
+                feats = [_row_feats(s) for s, _ in decoded]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sample_rate": np.array([sr for _, sr in decoded], dtype=np.int32),
+                    "duration_s": np.array(
+                        [len(s) / sr for s, sr in decoded], dtype=np.float64
+                    ),
+                    "features": feats,
+                },
+                columns=[f.name for f in schema.fields],
+            )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
