@@ -714,19 +714,39 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
+        # Convergence check piggybacked on the SAME job that materializes
+        # the round (one action per round, not two): join the old labels
+        # back in and `observe` the changed-row count during the eager
+        # checkpoint. The join ran every round anyway (it was the separate
+        # count job); observe makes it free-riding.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        audited = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "_old"), "id", "left"
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("component") != F.col("_old"), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("changed"),
+            )
+            .drop("_old")
+        )
         # Truncate lineage every round: the loop otherwise nests the whole
         # previous plan twice per round (join + union), so the logical plan
         # grows 2^rounds and the driver OOMs just *printing* it long before
         # data size matters. (On a real cluster prefer sc.setCheckpointDir +
         # .checkpoint() for executor-failure tolerance; localCheckpoint is
         # the single-process-safe equivalent.)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "_old"), "id")
-            .where(F.col("component") != F.col("_old"))
-            .count()
-        )
-        labels = new_labels
+        labels = audited.localCheckpoint(eager=True)
+        changed = obs.get["changed"]
         if changed == 0:
             break
     else:
