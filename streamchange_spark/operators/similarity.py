@@ -139,9 +139,18 @@ def lsh_ann_pairs(
     seed: int = 7,
     dim: int | None = None,
     max_bucket_size: int | None = None,
+    cache_keys: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs above threshold; candidates limited to
     sign-signature band collisions.
+
+    ``cache_keys`` persists the (id, band, key) table before the self-join:
+    the two join sides otherwise each recompute the signature GEMM pass
+    over the full corpus (measured: exchange reuse does NOT deduplicate the
+    mapInPandas subtrees, even under AQE). The cached table is 3 longs per
+    (vector, band) — orders of magnitude smaller than re-scanning the
+    vectors; set False only if executor storage memory is tighter than a
+    second full GEMM pass is expensive.
 
     Scale shape: the bucketing stage shuffles only (id, band, key) longs;
     the self-join runs on 2^bucket_bits buckets per band (default 65k — at
@@ -157,6 +166,10 @@ def lsh_ann_pairs(
     keys = hyperplane_band_keys(
         df, id_col, vec_col, n_planes, bucket_bits, n_bands, seed
     )
+    if cache_keys:
+        from pyspark.storagelevel import StorageLevel
+
+        keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "band_key")
         keys = keys.withColumn("_bsz", F.count(F.lit(1)).over(w)).where(
@@ -177,16 +190,48 @@ def lsh_ann_pairs(
         .distinct()
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    scored = (
-        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a")
-        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            _cosine_pairs_udf(F.col("_va"), F.col("_vb")).alias("cosine"),
-        )
+    paired = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+        "id_b",
     )
-    return scored.where(F.col("cosine") >= threshold)
+    # Verify in ONE Python crossing that also applies the threshold.
+    # The obvious `select(cosine_udf).where(cosine >= t)` plans TWO
+    # ArrowEvalPython nodes (Catalyst pushes the filter below the project
+    # and re-evaluates the UDF), shipping every candidate's vectors into
+    # Python twice; mapInPandas computes once and returns only survivors.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = next(f for f in df.schema.fields if f.name == id_col).dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type, True),
+            StructField("id_b", id_type, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            cos = num / np.maximum(den, 1e-30)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return paired.mapInPandas(verify, out_schema)
 
 
 def cosine_topk_gemm(
