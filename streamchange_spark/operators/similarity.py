@@ -189,13 +189,22 @@ def lsh_ann_pairs(
         )
         .distinct()
     )
+    # Join the vectors back with SHUFFLE-HASH joins built on the skinny
+    # candidate side: sort-merge would SORT the wide (id, 64-double) vector
+    # rows twice, and sorting wide rows is the same DRAM-bound stage that
+    # caps the plain sessionize path — hash joins stream the vectors.
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    paired = cand.join(
-        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
-        "id_a",
-    ).join(
-        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
-        "id_b",
+    paired = (
+        cand.hint("shuffle_hash")
+        .join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+            "id_a",
+        )
+        .hint("shuffle_hash")
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+            "id_b",
+        )
     )
     # Verify in ONE Python crossing that also applies the threshold.
     # The obvious `select(cosine_udf).where(cosine >= t)` plans TWO
@@ -420,8 +429,11 @@ def ivf_topk(
     qvecs = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     )
+    # shuffle_hash on the skinny (query_id, id) probe side: sort-merge
+    # would sort the wide vector rows (see lsh_ann_pairs).
     scored = (
-        cand.join(vecs, id_col)
+        cand.hint("shuffle_hash")
+        .join(vecs, id_col)
         .join(F.broadcast(qvecs), query_id_col)
         .select(
             query_id_col,
