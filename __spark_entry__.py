@@ -720,6 +720,21 @@ def q_decontaminate(spark, sf_dir):
     return contamination_flags(docs, eval_df, "doc_id", "text", n=3)
 
 
+def q_decontaminate_prefilter(spark, sf_dir):
+    """The big-eval-set decontamination path: broadcast the DISTINCT
+    xxhash64 of the eval shingles (8 B/n-gram vs ~90 B of text), probe the
+    corpus map-side, exact-confirm survivors on string equality — output
+    IDENTICAL to the exact path, so the oracle is the same SQL."""
+    from streamchange_spark.operators import contamination_flags
+
+    _configure(spark)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    eval_df = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination_flags(
+        docs, eval_df, "doc_id", "text", n=3, prefilter_hash=True
+    )
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/valid/test assignment by hashed doc_id (stable
     under re-runs, repartitioning, and corpus growth — Spark's positional
@@ -1372,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt_segments_pruned": q_pelt_segments_pruned,
         "streaming_sessions": q_streaming_sessions,
         "sketch_percentiles_1d": q_sketch_percentiles_1d,
+        "decontaminate_prefilter": q_decontaminate_prefilter,
         # --- detector kernels (scale-critical variants first) ---
         "window_segmentor": q_window_segmentor,
         "pelt_segments": q_pelt_segments,
@@ -2203,7 +2219,7 @@ def _scrub_pii_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "segmentation_stats": _segmentation_oracle_sql(),
         "tuning_grid": _tuning_grid_oracle_sql(),
         "plot_table": _plot_table_oracle_sql(),
@@ -2738,3 +2754,8 @@ LEFT JOIN la ON d.doc_id = la.doc_id
 LEFT JOIN ta ON d.doc_id = ta.doc_id
 """,
     }
+    # The hash-prefilter decontamination path is exact by construction
+    # (hash-positive survivors are re-confirmed on string equality), so its
+    # oracle is byte-for-byte the exact path's SQL.
+    d["decontaminate_prefilter"] = d["decontaminate"]
+    return d

@@ -789,6 +789,7 @@ def contamination_flags(
     eval_text_col: str | None = None,
     n: int = 13,
     broadcast_eval: bool = True,
+    prefilter_hash: bool = False,
 ) -> DataFrame:
     """(id, contaminated_ngrams, contaminated): flag training documents that
     share any word n-gram with an evaluation set — the standard n-gram
@@ -803,17 +804,39 @@ def contamination_flags(
     counts distinct matching shingles (ranking evidence for manual review).
     Set ``broadcast_eval=False`` if the eval set is too large to broadcast
     (falls back to a shuffle hash join on the shingle).
+
+    ``prefilter_hash=True`` is the big-eval-set scale path (the Bloom-style
+    two-phase probe, exact output): the broadcast side becomes the DISTINCT
+    ``xxhash64`` of the eval shingles — 8 bytes per n-gram vs ~90 for a
+    13-gram string, so an eval set ~11x too big to broadcast as text still
+    fits — and the corpus probes it map-side (no corpus shuffle, same as
+    the text broadcast). Only the hash-positive survivors (true hits plus
+    ~N²/2⁶⁴ expected hash collisions) proceed to an exact string-equality
+    confirm join, so the OUTPUT IS IDENTICAL to the exact path — the
+    driver oracle for ``decontaminate_prefilter`` is byte-for-byte the
+    exact path's SQL.
     """
     eval_text = eval_text_col or text_col
     eval_shingles = (
         eval_df.select(F.explode(shingles_col(eval_text, n)).alias("_shingle"))
         .distinct()
     )
-    if broadcast_eval:
-        eval_shingles = F.broadcast(eval_shingles)
     corpus_shingles = corpus.select(
         F.col(id_col), F.explode(shingles_col(text_col, n)).alias("_shingle")
     )
+    if prefilter_hash:
+        hash_set = F.broadcast(
+            eval_shingles.select(F.xxhash64("_shingle").alias("_h")).distinct()
+        )
+        corpus_shingles = corpus_shingles.withColumn(
+            "_h", F.xxhash64("_shingle")
+        ).join(hash_set, "_h").drop("_h")
+        # survivors are tiny; the exact confirm join below stays cheap even
+        # with the eval strings unbroadcast
+        if broadcast_eval:
+            eval_shingles = F.broadcast(eval_shingles)
+    elif broadcast_eval:
+        eval_shingles = F.broadcast(eval_shingles)
     hits = (
         corpus_shingles.join(eval_shingles, "_shingle")
         .groupBy(id_col)

@@ -365,3 +365,30 @@ def test_mixture_sample_null_group(spark):
         k for k, g in rows if g is None and _bucket(str(k), seed=3) < 5000
     }
     assert got_null == exp_null and len(got_null) > 0
+
+
+def test_contamination_prefilter_hash_identical_and_mapside(spark):
+    """prefilter_hash=True (the big-eval-set scale path) returns the exact
+    path's output row-for-row, and the hash probe is a BROADCAST join (the
+    corpus is filtered map-side before any shuffle)."""
+    from streamchange_spark.operators import contamination_flags
+
+    rng_rows = [
+        (i, " ".join(f"w{(i * 17 + j * 5) % 91}" for j in range(14)))
+        for i in range(120)
+    ]
+    cdf = spark.createDataFrame(rng_rows, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    edf = cdf.where(F.col("doc_id") % 10 == 0)
+    exact = (
+        contamination_flags(cdf, edf, "doc_id", "text", n=3)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pre = contamination_flags(
+        cdf, edf, "doc_id", "text", n=3, prefilter_hash=True
+    )
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = pre.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(exact)
