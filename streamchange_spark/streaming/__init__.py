@@ -13,12 +13,15 @@ from .detectors import (
     streaming_sequential_detector,
     streaming_window_segmentor,
 )
+from .qsketch import run_streaming_sketch_ingest, sketch_tier_from_ingest
 from .rollup import streaming_rollup_raw
 from .sessions import streaming_sessions
 
 __all__ = [
     "corpus_verdicts_from_ingest",
     "run_streaming_corpus_ingest",
+    "run_streaming_sketch_ingest",
+    "sketch_tier_from_ingest",
     "streaming_capa",
     "streaming_exact_dedup",
     "streaming_pelt",

@@ -138,3 +138,65 @@ def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
     assert sorted(got["text"]) == ["alpha", "beta", "delta", "eps", "gamma"]
     # first occurrence kept
     assert set(got["doc_id"]) == {0, 1, 3, 5, 7}
+
+
+def test_streaming_sketch_tier_matches_exact_within_bound(spark, tmp_path):
+    """Two dumps streamed into partial sketches, merged into a queryable 1d
+    tier: n_points exact vs the union, every percentile within the blob's
+    carried rank-error bound, and a replay (fresh checkpoint-less rerun of
+    one batch id) cannot duplicate counts (dynamic partition overwrite)."""
+    from streamchange_spark.operators.qsketch import _decode, sketch_query
+    from streamchange_spark.streaming import (
+        run_streaming_sketch_ingest,
+        sketch_tier_from_ingest,
+    )
+
+    rng = np.random.RandomState(11)
+    src = tmp_path / "points"
+    src.mkdir()
+    frames = []
+    base = pd.Timestamp("2024-03-01").value // 10**9
+    for dump in range(2):
+        n = 4000
+        pdf = pd.DataFrame(
+            {
+                "key": np.where(rng.rand(n) < 0.5, "a", "b"),
+                "ts": pd.to_datetime(
+                    base + dump * 43200 + rng.randint(0, 86400 * 2, n), unit="s"
+                ),
+                "value": rng.lognormal(0.0, 1.0, n),
+            }
+        )
+        pdf.to_parquet(src / f"dump{dump}.parquet", coerce_timestamps="us")
+        frames.append(pdf)
+    allpdf = pd.concat(frames, ignore_index=True)
+
+    sketch_path = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt_sk")
+    eps = 0.02
+    run_streaming_sketch_ingest(
+        spark, str(src), sketch_path, ckpt,
+        "key string, ts timestamp, value double",
+        ["key"], "ts", "value", tier="1h", eps=eps,
+        max_files_per_trigger=1, timeout_sec=300,
+    )
+    tier = sketch_tier_from_ingest(spark, sketch_path, ["key"], "1d", eps=eps)
+    got = tier.toPandas()
+
+    allpdf["bucket"] = (allpdf["ts"].astype("int64") // 10**9 // 86400) * 86400
+    for _, row in got.iterrows():
+        b = int(pd.Timestamp(row["bucket_start"]).value // 10**9)
+        x = np.sort(
+            allpdf[(allpdf["key"] == row["key"]) & (allpdf["bucket"] == b)][
+                "value"
+            ].to_numpy()
+        )
+        assert len(x) == row["n_points"]
+        blob = bytes(row["qsketch"])
+        n_tot, err, _, _ = _decode(blob)
+        assert n_tot == len(x)
+        for q, est in zip([0.5, 0.99], sketch_query(blob, [0.5, 0.99])):
+            target = min(max(int(np.ceil(q * len(x))), 1), len(x))
+            lo = int(np.searchsorted(x, est, side="left")) + 1
+            hi = int(np.searchsorted(x, est, side="right"))
+            assert lo - err <= target <= hi + err
