@@ -1334,6 +1334,31 @@ def q_ann_topk_ivf_indexed(spark, sf_dir):
     ).select("query_id", "vec_id", "cosine", "rank")
 
 
+def q_pq_topk_rerank(spark, sf_dir):
+    """Product-quantization ANN with exact re-rank: 8-byte ADC codes
+    generate top-(k*50) candidates, the exact cosine re-ranks them. At the
+    driver's check scale the candidate set covers the corpus, so the
+    output provably equals brute force and shares its oracle — certifying
+    the train/encode/ADC/re-rank plumbing hash-exactly; ADC-only recall
+    at pruning scale is pytest-covered (test_pq_roundtrip_recall_and_rerank)."""
+    _configure(spark)
+    from streamchange_spark.operators import pq_encode, pq_topk, pq_train
+
+    embs = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train(embs, "vec_id", "embedding", m=8, n_codes=256, seed=7)
+    codes = pq_encode(embs, books, "vec_id", "embedding")
+    out = pq_topk(
+        codes, queries, books, "vec_id", "embedding", "query_id",
+        k=5, rerank=embs, rerank_factor=50, round_digits=4,
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("score").alias("cosine"), "rank"
+    )
+
+
 def q_multivariate_segmentor(spark, sf_dir):
     """Multivariate AMOC segmentation: WindowSegmentor with SumCUSUM (sum of
     squared per-dim CUSUMs; reference amoc/estimators.py:63-67,196-199) over
@@ -1402,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multivariate_segmentor": q_multivariate_segmentor,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+        "pq_topk_rerank": q_pq_topk_rerank,
         "dedup_components": q_dedup_components,
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
@@ -2644,6 +2670,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """,
         "ann_topk_ivf": _ANN_TOPK_ORACLE,
         "ann_topk_ivf_indexed": _ANN_TOPK_ORACLE,
+        "pq_topk_rerank": _ANN_TOPK_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,
         "ann_topk_gemm": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),

@@ -781,3 +781,44 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, embs, tmp_path):
     import os
     n_dirs = len([d for d in os.listdir(f"{path}/vectors") if d.startswith("centroid_id=")])
     assert n_dirs == 16
+
+
+def test_pq_roundtrip_recall_and_rerank(spark, embs):
+    """PQ codes are 8 bytes/vector; ADC top-10 holds high recall vs exact
+    brute force on the fixture, and the exact re-rank tail restores the
+    exact top-10 whenever ADC's top-(4k) contains it. Encoding is
+    deterministic across runs."""
+    from streamchange_spark.operators import (
+        cosine_topk_gemm,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    books = pq_train(embs, "vec_id", "embedding", m=8, n_codes=256, seed=7)
+    codes = pq_encode(embs, books, "vec_id", "embedding")
+    again = pq_encode(embs, books, "vec_id", "embedding")
+    a = codes.toPandas().set_index("vec_id")["pq_code"].map(bytes).sort_index()
+    b = again.toPandas().set_index("vec_id")["pq_code"].map(bytes).sort_index()
+    assert list(a) == list(b)
+    assert a.map(len).eq(8).all()
+
+    queries = embs.where(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    exact = (
+        cosine_topk_gemm(embs, queries, "vec_id", "embedding", "query_id", k=10)
+        .toPandas().groupby("query_id")["vec_id"].apply(set)
+    )
+    adc = (
+        pq_topk(codes, queries, books, "vec_id", "embedding", "query_id", k=10)
+        .toPandas().groupby("query_id")["vec_id"].apply(set)
+    )
+    recall = np.mean([len(exact[q] & adc[q]) / 10 for q in exact.index])
+    assert recall >= 0.5, recall  # lossy 8-byte codes, 64-dim fixture
+
+    rr = (
+        pq_topk(codes, queries, books, "vec_id", "embedding", "query_id",
+                k=10, rerank=embs, rerank_factor=8)
+        .toPandas().groupby("query_id")["vec_id"].apply(set)
+    )
+    rr_recall = np.mean([len(exact[q] & rr[q]) / 10 for q in exact.index])
+    assert rr_recall >= recall and rr_recall >= 0.8, (recall, rr_recall)
