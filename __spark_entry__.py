@@ -1359,6 +1359,29 @@ def q_pq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    """The composed FAISS-style serving path: IVF-PQ index (coarse lists
+    partitioned on disk + 8-byte ADC codes) -> partition-pruned probe ->
+    ADC candidates -> exact re-rank. Configured so every list is probed
+    and the candidate set covers the corpus: output provably equals brute
+    force, sharing the ANN oracle; pruned-probe recall and the
+    PartitionFilters plan are pytest-covered (test_ivf_pq_index_serving)."""
+    _configure(spark)
+    import tempfile
+
+    from streamchange_spark.operators import ivf_pq_index_write, ivf_pq_topk
+
+    embs = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
+    ivf_pq_index_write(embs, path, n_centroids=16, m=8, n_codes=256, seed=7)
+    return ivf_pq_topk(
+        spark, path, queries, k=5, nprobe=16, rerank_factor=1000, round_digits=4
+    ).select("query_id", "vec_id", F.col("score").alias("cosine"), "rank")
+
+
 def q_multivariate_segmentor(spark, sf_dir):
     """Multivariate AMOC segmentation: WindowSegmentor with SumCUSUM (sum of
     squared per-dim CUSUMs; reference amoc/estimators.py:63-67,196-199) over
@@ -1428,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         "pq_topk_rerank": q_pq_topk_rerank,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "dedup_components": q_dedup_components,
         "ann_lsh": q_ann_lsh,
         "compression_ratio": q_compression_ratio,
@@ -2671,6 +2695,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
         "ann_topk_ivf": _ANN_TOPK_ORACLE,
         "ann_topk_ivf_indexed": _ANN_TOPK_ORACLE,
         "pq_topk_rerank": _ANN_TOPK_ORACLE,
+        "ivf_pq_topk": _ANN_TOPK_ORACLE,
         "ann_topk": _ANN_TOPK_ORACLE,
         "ann_topk_gemm": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),

@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["pq_train", "pq_encode", "pq_topk"]
+__all__ = ["ivf_pq_index_write", "ivf_pq_topk", "pq_train", "pq_encode", "pq_topk"]
 
 
 def _normalize(X: np.ndarray) -> np.ndarray:
@@ -230,5 +230,211 @@ def pq_topk(
         F.col("score").desc(), F.col(id_col)
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivf_pq_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 8192,
+    iters: int = 10,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The composed FAISS-style layout: ONE pass assigns each vector to its
+    coarse centroid AND encodes its PQ code, writing (id, embedding,
+    pq_code) partitioned by ``centroid_id``; coarse centroids and PQ
+    codebooks persist alongside. Serving (``ivf_pq_topk``) then prunes to
+    the probed list partitions, ADC-scores the 8-byte codes, and exact
+    re-ranks survivors using the vectors already present in the pruned
+    read — no second corpus access at any stage. (Codes quantize the raw
+    normalized vector, not the residual — simpler, slightly lower ADC
+    fidelity, irrelevant once the exact re-rank tail runs.) Returns
+    (centroids, codebooks)."""
+    from .similarity import kmeans_centroids
+
+    centroids = kmeans_centroids(
+        df, id_col, vec_col, n_centroids, sample_size, iters, seed
+    )
+    codebooks = pq_train(
+        df, id_col, vec_col, m=m, n_codes=n_codes,
+        sample_size=sample_size, iters=iters, seed=seed,
+    )
+    from pyspark.sql.types import IntegerType
+
+    by_name = {f.name: f for f in df.schema.fields}
+    schema = StructType(
+        [
+            by_name[id_col],
+            by_name[vec_col],
+            StructField("pq_code", BinaryType(), False),
+            StructField("centroid_id", IntegerType(), False),
+        ]
+    )
+    Ct = centroids.T.copy()
+    books = codebooks.copy()
+    mm, _, dsub = books.shape
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            codes = np.empty((len(X), mm), dtype=np.uint8)
+            for s in range(mm):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                codes[:, s] = np.argmax(
+                    sub @ books[s].T - 0.5 * (books[s] ** 2).sum(axis=1)[None, :],
+                    axis=1,
+                ).astype(np.uint8)
+            out = pdf[[id_col, vec_col]].copy()
+            out["pq_code"] = [c.tobytes() for c in codes]
+            out["centroid_id"] = np.argmax(X @ Ct, axis=1).astype(np.int32)
+            yield out
+
+    (
+        df.select(id_col, vec_col)
+        .mapInPandas(run, schema)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/vectors")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "centroid_id": np.arange(len(centroids), dtype=np.int32),
+                "centroid": list(centroids.astype(np.float64)),
+            }
+        )
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "subspace": np.repeat(np.arange(mm, dtype=np.int32), books.shape[1]),
+                "code": np.tile(np.arange(books.shape[1], dtype=np.int32), mm),
+                "centroid": [list(books[s][c]) for s in range(mm) for c in range(books.shape[1])],
+            }
+        )
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return centroids, codebooks
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 8,
+    rerank_factor: int = 4,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Serve top-k from an :func:`ivf_pq_index_write` index: partition-
+    pruned read of the probed lists -> broadcast probe join -> ADC top-
+    (k*rerank_factor) per query -> exact cosine re-rank of the survivors
+    (their vectors came along in the pruned read)."""
+    cpdf = (
+        spark.read.parquet(f"{path}/centroids").toPandas().sort_values("centroid_id")
+    )
+    centroids = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
+    bpdf = (
+        spark.read.parquet(f"{path}/codebooks")
+        .toPandas()
+        .sort_values(["subspace", "code"])
+    )
+    mm = int(bpdf["subspace"].max()) + 1
+    ncodes = int(bpdf["code"].max()) + 1
+    codebooks = np.stack(bpdf["centroid"].to_numpy()).astype(np.float64).reshape(
+        mm, ncodes, -1
+    )
+    dsub = codebooks.shape[2]
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if qpdf.empty:
+        raise ValueError("ivf_pq_topk: query set is empty")
+    Q = _normalize(np.stack(qpdf[vec_col].to_numpy()).astype(np.float64))
+    qids = qpdf[query_id_col].to_numpy()
+    sims = Q @ centroids.T
+    nprobe = min(nprobe, centroids.shape[0])
+    probe_rows = [
+        (qid, int(cid))
+        for qid, row in zip(qids, sims)
+        for cid in np.argsort(-row)[:nprobe]
+    ]
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=[query_id_col, "centroid_id"])
+    )
+    probed = sorted({cid for _, cid in probe_rows})
+    tables = np.stack(
+        [
+            np.stack(
+                [Q[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T for s in range(mm)],
+                axis=1,
+            )
+        ]
+    )[0]
+    qpos = {qid: i for i, qid in enumerate(qids)}
+
+    corpus = spark.read.parquet(f"{path}/vectors").where(
+        F.col("centroid_id").isin(probed)
+    )
+    joined = corpus.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col, id_col, "pq_code", vec_col
+    )
+
+    q_field = next(f for f in queries.schema.fields if f.name == query_id_col)
+    id_field = next(f for f in joined.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            StructField(query_id_col, q_field.dataType, True),
+            id_field,
+            StructField("adc", DoubleType(), True),
+            next(f for f in joined.schema.fields if f.name == vec_col),
+        ]
+    )
+    cols = np.arange(mm)
+
+    def adc_score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.frombuffer(
+                b"".join(pdf["pq_code"].map(bytes)), dtype=np.uint8
+            ).reshape(len(pdf), mm)
+            qi = pdf[query_id_col].map(qpos).to_numpy()
+            scores = tables[qi[:, None], cols[None, :], C].sum(axis=1)
+            out = pdf[[query_id_col, id_col, vec_col]].copy()
+            out.insert(2, "adc", scores)
+            yield out[[query_id_col, id_col, "adc", vec_col]]
+
+    scored = joined.mapInPandas(adc_score, schema)
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").desc(), F.col(id_col)
+    )
+    cand = scored.withColumn("_r", F.row_number().over(wc)).where(
+        F.col("_r") <= k * rerank_factor
+    )
+    from .similarity import _cosine_pairs_udf
+
+    qvecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    exact = cand.join(F.broadcast(qvecs), query_id_col).select(
+        query_id_col,
+        id_col,
+        _cosine_pairs_udf(F.col("_qv"), F.col(vec_col)).alias("score"),
+    )
+    if round_digits is not None:
+        exact = exact.withColumn("score", F.round("score", round_digits))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )

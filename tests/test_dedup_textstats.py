@@ -822,3 +822,36 @@ def test_pq_roundtrip_recall_and_rerank(spark, embs):
     )
     rr_recall = np.mean([len(exact[q] & rr[q]) / 10 for q in exact.index])
     assert rr_recall >= recall and rr_recall >= 0.8, (recall, rr_recall)
+
+
+def test_ivf_pq_index_serving(spark, embs, tmp_path):
+    """Composed IVF-PQ index: partition-pruned probe read + ADC + exact
+    re-rank. With every list probed and the candidate set covering the
+    corpus the answer equals exact brute force; with pruned probes it
+    keeps recall and reads only probed partitions (PartitionFilters)."""
+    from streamchange_spark.operators import (
+        cosine_topk_gemm,
+        ivf_pq_index_write,
+        ivf_pq_topk,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_index_write(embs, path, n_centroids=16, m=8, n_codes=256, seed=7)
+    queries = embs.where(F.col("vec_id") < 4).withColumnRenamed("vec_id", "query_id")
+
+    exact = (
+        cosine_topk_gemm(embs, queries, "vec_id", "embedding", "query_id", k=5)
+        .toPandas().groupby("query_id")["vec_id"].apply(set)
+    )
+    # all probes + corpus-covering rerank -> exact
+    full = ivf_pq_topk(
+        spark, path, queries, k=5, nprobe=16, rerank_factor=1000, round_digits=4
+    ).toPandas().groupby("query_id")["vec_id"].apply(set)
+    assert all(full[q] == exact[q] for q in exact.index)
+
+    pruned = ivf_pq_topk(spark, path, queries, k=5, nprobe=4, rerank_factor=8)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = pruned.toPandas().groupby("query_id")["vec_id"].apply(set)
+    recall = np.mean([len(exact[q] & got.get(q, set())) / 5 for q in exact.index])
+    assert recall >= 0.5, recall
