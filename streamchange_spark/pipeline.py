@@ -27,6 +27,9 @@ from .kernels import BIC, CUSUM, WindowSegmentor
 from .operators import (
     compress_series,
     rollup_all_tiers,
+    sketch_percentiles,
+    sketch_rollup,
+    sketch_tier,
     window_segmentor_changepoints,
 )
 from .sources.snapshots import SnapshotStore
@@ -82,6 +85,14 @@ def run_pipeline(
                 tiers["1h"], ["url"], "bucket_start", "sum_v",
                 chunk_points=chunk_points,
             )
+            # Mergeable percentile sketches ride the same raw scan: the 1h
+            # blobs commit next to the additive tier, and coarser
+            # percentile tiers merge FROM them (sketch_rollup) instead of
+            # re-scanning raw — the percentile analogue of the
+            # continuous-aggregate contract.
+            partitions[f"qsketch1h/{day}"] = sketch_tier(
+                day_metrics, ["url"], "warc_ts", "text_len", tier="1h"
+            )
         committed = store.commit_partitions(
             partitions, watermark=max(todo), properties={"stage": "tiers"}
         )
@@ -105,12 +116,22 @@ def run_pipeline(
     n_cpts = cpts.count()
     detect_sec = time.time() - t0
 
+    # 1d percentiles merged from the committed 1h sketches — no raw re-scan
+    t0 = time.time()
+    sketch1h = store.read(spark, prefix="qsketch1h/")
+    pctl_1d_rows = sketch_percentiles(
+        sketch_rollup(sketch1h, ["url"], "1d"), ["url"]
+    ).count()
+    sketch_sec = time.time() - t0
+
     return {
         "snapshot_id": committed,
         "days_total": len(days),
         "days_built": len(todo),
         "rolled_rows": tier1h.count(),
         "changepoints": n_cpts,
+        "pctl_1d_rows": pctl_1d_rows,
         "tiers_sec": round(tiers_sec, 2),
         "detect_sec": round(detect_sec, 2),
+        "sketch_sec": round(sketch_sec, 2),
     }
