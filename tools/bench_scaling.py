@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 ALL_STAGES = (
     "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
-    "sessions_sorted",
+    "sessions_sorted", "sketch",
 )
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 SORTED_BUCKETS = 64
@@ -243,6 +243,28 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         out["sessions"] = sess.count()
         out["sessions_sec"] = round(time.time() - t0, 2)
 
+    if "sketch" in stages:
+        # Mergeable percentile tier over the full table (global hourly
+        # text-length percentiles -> 1d merged from the 1h blobs): the
+        # build pays the one raw scan; the tier-from-tier merge shuffles
+        # only ~3 KB blobs per bucket.
+        from streamchange_spark.operators import (
+            sketch_percentiles,
+            sketch_rollup,
+            sketch_tier,
+        )
+
+        t0 = time.time()
+        t1h = sketch_tier(metrics, [], "warc_ts", "text_len", "1h").persist()
+        out["sketch_buckets"] = t1h.count()
+        out["sketch_build_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        sketch_percentiles(sketch_rollup(t1h, [], "1d"), []).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        out["sketch_merge_sec"] = round(time.time() - t0, 2)
+        t1h.unpersist()
+
     if "sessions_sorted" in stages:
         # Same sessionization over the sorted one-file-per-bucket layout:
         # the scan reports HashPartitioning(url) AND (url, warc_ts) order,
@@ -299,6 +321,10 @@ def _derive(merged: dict) -> dict:
     if "sessions_sorted_sec" in merged:
         merged["sessions_sorted_rows_per_sec"] = round(
             n_rows / merged["sessions_sorted_sec"], 1
+        )
+    if "sketch_build_sec" in merged:
+        merged["sketch_rows_per_sec"] = round(
+            n_rows / merged["sketch_build_sec"], 1
         )
     if all(f"{s}_sec" in merged for s in PIPELINE_STAGES):
         merged["pipeline_sec"] = round(
@@ -368,6 +394,8 @@ def main():
         "corpus": "corpus_docs_per_sec",
         "sessions": "sessions_rows_per_sec",
         "sessions_sorted": "sessions_sorted_rows_per_sec",
+        "sketch": "sketch_rows_per_sec",
+        "sketch_merge": "sketch_merge_sec",
         "pipeline": "pipeline_rows_per_sec",
     }
 
