@@ -735,6 +735,21 @@ def q_decontaminate_prefilter(spark, sf_dir):
     )
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk sequence packing of the documents table (budget
+    64 tokens, 8 shards): per-doc (shard, token offset, sequence span) —
+    the prefix-sum layout pass of a pretraining pipeline, sharded so the
+    cumsum window parallelizes. Oracle replays the md5 shard/order hashes
+    and the running sum in SQL."""
+    _configure(spark)
+    from streamchange_spark.operators import pack_sequences
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return pack_sequences(
+        docs, "doc_id", text_col="text", budget=64, n_shards=8, seed=0
+    )
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/valid/test assignment by hashed doc_id (stable
     under re-runs, repartitioning, and corpus growth — Spark's positional
@@ -1462,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "sketch_percentiles_1d": q_sketch_percentiles_1d,
         "decontaminate_prefilter": q_decontaminate_prefilter,
+        "sequence_packing": q_sequence_packing,
         # --- detector kernels (scale-critical variants first) ---
         "window_segmentor": q_window_segmentor,
         "pelt_segments": q_pelt_segments,
@@ -2543,6 +2559,32 @@ SELECT event_type, bucket, max(n)::BIGINT AS n_points,
        round(max(CASE WHEN rn = greatest(ceil(0.95 * n), 1) THEN value END), 6) AS p95,
        round(max(CASE WHEN rn = greatest(ceil(0.99 * n), 1) THEN value END), 6) AS p99
 FROM r GROUP BY 1, 2
+""",
+        "sequence_packing": """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))::BIGINT
+           AS n_tokens,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':packshard:0'), 1, 15))::BIGINT % 8)::INTEGER
+           AS shard,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':packorder:0'), 1, 15))::BIGINT
+           AS ord
+  FROM documents
+),
+nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM nz
+)
+SELECT shard, doc_id, n_tokens,
+       (cum - n_tokens)::BIGINT AS tok_start,
+       ((cum - n_tokens) // 64)::BIGINT AS seq_first,
+       ((cum - 1) // 64)::BIGINT AS seq_last,
+       ((cum - n_tokens) % 64)::BIGINT AS seq_offset
+FROM c
 """,
         "percentile_rollup": """
 SELECT user_id,

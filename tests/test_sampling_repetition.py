@@ -392,3 +392,38 @@ def test_contamination_prefilter_hash_identical_and_mapside(spark):
     assert "BroadcastHashJoin" in plan
     got = pre.toPandas().sort_values("doc_id").reset_index(drop=True)
     assert got.equals(exact)
+
+
+def test_pack_sequences_coverage_and_determinism(spark):
+    """Concat-then-chunk packing: within every shard the token stream is
+    gapless (each doc starts where the previous ended), sequence spans
+    match floor arithmetic, empty docs drop, and the layout is identical
+    across re-runs and repartitionings."""
+    from streamchange_spark.operators import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(
+        df, "doc_id", text_col="text", budget=16, n_shards=4, seed=3
+    ).toPandas()
+    assert (out["n_tokens"] > 0).all()  # empties dropped
+    assert len(out) == sum(1 for _, t in rows if t)
+    for _, g in out.groupby("shard"):
+        g = g.sort_values("tok_start")
+        expect_start = 0
+        for _, r in g.iterrows():
+            assert r["tok_start"] == expect_start
+            assert r["seq_first"] == r["tok_start"] // 16
+            assert r["seq_last"] == (r["tok_start"] + r["n_tokens"] - 1) // 16
+            assert r["seq_offset"] == r["tok_start"] % 16
+            expect_start += r["n_tokens"]
+    again = (
+        pack_sequences(
+            df.repartition(7), "doc_id", text_col="text", budget=16,
+            n_shards=4, seed=3,
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(out.sort_values("doc_id").reset_index(drop=True))
