@@ -52,6 +52,7 @@ HEADLINE = [
     "weighted_sample",
     "percentile_rollup",
     "sketch_percentiles_1d",
+    "sequence_packing",
     "token_topk",
     "hopping_rollup",
     "tfidf_topk",
