@@ -34,7 +34,7 @@ from .dedup import (
     lsh_cluster_edges_from_signatures,
     minhash_signatures,
 )
-from .textstats import lang_pred_cols, quality_score_col
+from .textstats import lang_hits_arr_col, lang_pred_from_hits, quality_score_col
 
 
 def corpus_features(
@@ -64,13 +64,23 @@ def corpus_features(
     joined frame. The only remaining double evaluation is the survivor
     branch feeding minhash — inherent, since signatures need a second pass
     over the text."""
-    pred, hits = lang_pred_cols(text_col)
-    base = df.select(
+    # Stage the single-pass lang-hits array under a name, then take the
+    # argmax from the bound column: the argmax references its input twice,
+    # and staging keeps that from re-evaluating the token aggregate
+    # (CollapseProject won't re-inline a non-cheap expression, SPARK-36718).
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        lang_hits_arr_col(text_col).alias("__lang_hits_arr"),
+        quality_score_col(text_col).alias("quality_score"),
+    )
+    pred, hits = lang_pred_from_hits(F.col("__lang_hits_arr"))
+    base = staged.select(
         F.col(id_col),
         F.col(text_col),
         pred.alias("lang_pred"),
         hits.alias("lang_hits"),
-        quality_score_col(text_col).alias("quality_score"),
+        F.col("quality_score"),
     )
     lang_ok = (
         F.lit(True)

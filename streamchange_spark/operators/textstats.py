@@ -114,9 +114,79 @@ def cjk_hits_col(text_col: str) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, CJK_RANGE, ""))
 
 
+# All scored languages in lexicographic order — the tie-break order of the
+# argmax (position in this list = position in the hits array).
+LANGS: list[str] = sorted([*LANG_STOPWORDS, "zh"])
+
+
+def _word_mask_map() -> Column:
+    """Constant map literal word -> array<long> of per-language 0/1 (one slot
+    per LANGS entry; zh slots are always 0 — CJK evidence is codepoints, not
+    words). Stopword lists overlap across languages ('de' is both German and
+    Dutch), so the value is a multi-hot vector, not a single index. All-literal
+    create_map is constant-folded by Catalyst into one map literal, so the
+    per-token cost is a single map lookup."""
+    mask: dict[str, list[int]] = {}
+    for i, lang in enumerate(LANGS):
+        for word in LANG_STOPWORDS.get(lang, ()):
+            mask.setdefault(word, [0] * len(LANGS))[i] = 1
+    entries: list[Column] = []
+    for word in sorted(mask):
+        entries.append(F.lit(word))
+        entries.append(F.array(*[F.lit(v).cast("long") for v in mask[word]]))
+    return F.create_map(*entries)
+
+
+def lang_hits_arr_col(text_col: str) -> Column:
+    """array<long> of per-language evidence scores in LANGS order, computed
+    in ONE pass over the text: tokenize once, then a single F.aggregate folds
+    every token through the constant word->multi-hot map (stopword hits for
+    all 10 word-tokenized languages at once), plus the per-language diacritic
+    / CJK character columns. Replaces the per-language stopword_hits_col
+    fan-out that re-split the whole text once per language (round-4 verdict:
+    ~11 full-string scans per row, 4.6x regression)."""
+    zero = F.array(*[F.lit(0).cast("long") for _ in LANGS])
+    mask_map = _word_mask_map()
+    tok_hits = F.aggregate(
+        tokens_col(text_col),
+        zero,
+        lambda acc, t: F.zip_with(
+            acc, F.coalesce(mask_map[t], zero), lambda a, b: a + b
+        ),
+    )
+    char_hits = F.array(
+        *[
+            (
+                cjk_hits_col(text_col)
+                if lang == "zh"
+                else char_hits_col(text_col, lang)
+            ).cast("long")
+            for lang in LANGS
+        ]
+    )
+    return F.zip_with(tok_hits, char_hits, lambda a, b: a + b)
+
+
+def lang_pred_from_hits(hits_arr: Column) -> tuple[Column, Column]:
+    """(lang_pred, lang_hits) from a materialized hits array (LANGS order).
+    array_position returns the FIRST index of the max, so ties resolve to the
+    lexicographically smallest language (LANGS is sorted); zero evidence ->
+    'und'. Pass a bound column (see lang_id's staged select), not the raw
+    lang_hits_arr_col expression — each reference here re-evaluates its input."""
+    best = F.array_max(hits_arr)
+    langs_arr = F.array(*[F.lit(lang) for lang in LANGS])
+    pred = F.when(
+        best > 0,
+        F.element_at(langs_arr, F.array_position(hits_arr, best).cast("int")),
+    ).otherwise(F.lit("und"))
+    return pred, best.cast("long")
+
+
 def lang_score_cols(text_col: str) -> dict[str, Column]:
     """Per-language integer evidence scores: stopword hits + diacritic hits
-    for word-tokenized languages; CJK codepoint count for zh."""
+    for word-tokenized languages; CJK codepoint count for zh. Kept as the
+    per-language reference definition (tests, oracle generation); the engine
+    path is the single-pass lang_hits_arr_col."""
     scores = {
         lang: (
             stopword_hits_col(text_col, lang) + char_hits_col(text_col, lang)
@@ -129,24 +199,26 @@ def lang_score_cols(text_col: str) -> dict[str, Column]:
 
 def lang_pred_cols(text_col: str) -> tuple[Column, Column]:
     """(lang_pred, lang_hits) as bare columns — composable into a wider
-    single-pass select (corpus_features) without a join. Prediction is the
-    argmax of :func:`lang_score_cols`; ties resolve to the lexicographically
-    smallest language, zero evidence to 'und'."""
-    scores = lang_score_cols(text_col)
-    best = F.greatest(*scores.values())
-    pred = F.lit("und")
-    # reversed() so the earlier language wins ties (chained when/otherwise).
-    for lang in sorted(scores, reverse=True):
-        pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
-    return pred, best.cast("long")
+    select. Single-pass internals (lang_hits_arr_col); prefer staging the
+    array through a named column first (as lang_id and corpus_features do)
+    so the argmax's two references don't each re-evaluate the aggregate."""
+    return lang_pred_from_hits(lang_hits_arr_col(text_col))
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, lang_pred, lang_hits): language with the highest evidence score
     (stopword hits + diacritic hits; CJK codepoints for zh); ties and
-    zero-evidence rows resolve to lexicographic order / 'und'."""
-    pred, best = lang_pred_cols(text_col)
-    return df.select(
+    zero-evidence rows resolve to lexicographic order / 'und'.
+
+    Two-stage select: the hits array is materialized under a name first, so
+    the pred/best projections reference a bound column instead of inlining
+    the token aggregate 3x. CollapseProject keeps the stage split because the
+    aggregate is non-cheap (SPARK-36718)."""
+    staged = df.select(
+        F.col(id_col), lang_hits_arr_col(text_col).alias("__lang_hits_arr")
+    )
+    pred, best = lang_pred_from_hits(F.col("__lang_hits_arr"))
+    return staged.select(
         F.col(id_col),
         pred.alias("lang_pred"),
         best.alias("lang_hits"),
