@@ -1261,6 +1261,44 @@ def q_corpus_verdicts(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup against persisted corpus state: the first 60% of
+    documents (by id) are 'prior' — reduced to the md5 + LSH-signature
+    indexes — and the remaining 40% are the daily-crawl increment whose
+    verdicts come from verdicts_for_increment: (increment x colliding-
+    bucket) joins against the two indexes, never a re-scan of prior
+    documents. Under monotonic ids the result is hash-exact with the
+    GLOBAL batch clean_corpus restricted to increment ids — which is
+    exactly what the serial-replay oracle emits (split_frac=0.6)."""
+    _configure(spark)
+    from streamchange_spark.operators import (
+        corpus_features,
+        corpus_md5_index,
+        corpus_signature_index,
+        verdicts_for_increment,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    split = int(docs.count() * 0.6)  # doc_ids are contiguous 0..n-1
+    kw = dict(keep_langs=("en",), min_quality=0.2)
+    prior = corpus_features(
+        docs.where(F.col("doc_id") < split), "doc_id", "text", **kw
+    ).localCheckpoint()
+    md5_idx = corpus_md5_index(prior)
+    sig_idx = corpus_signature_index(prior, "doc_id")
+    inc = corpus_features(
+        docs.where(F.col("doc_id") >= split), "doc_id", "text", **kw
+    )
+    v = verdicts_for_increment(inc, md5_idx, sig_idx, "doc_id")
+    return v.select(
+        "doc_id",
+        "lang_pred",
+        F.round(F.col("quality_score") - 1e-9, 4).alias("quality_score"),
+        "keep",
+        "drop_reason",
+    )
+
+
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time (as-of) enrichment: each event joined to its user's
     most recent COMPLETED hourly rollup bucket (bucket close time <= event
@@ -1451,68 +1489,15 @@ def q_ann_topk_gemm(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's CORRECTNESS harness checks roughly the
-    # first 50 entries of this dict.  Round-3 verdict: the last 11 entries
-    # were never (or not recently) driver-checked — above all
-    # corpus_verdicts (the training-data flagship) and asof_enrich.  Those
-    # now lead; queries hash-exact in BOTH r2 and r3 that are cheap
-    # relational variants sit at the tail (their evidence already stands).
+    # first 50 entries of this dict.  Round-4 verdict item 1: the 19 queries
+    # that were dark in r4 lead round 5 (seven of them sit on textstats.py,
+    # which changed in round 4 AND again this round — lang_id single-pass).
+    # Next come this round's new query and every query whose operator file
+    # changed this round (textstats/corpus/dedup/similarity/streaming
+    # sessions).  The tail holds queries hash-exact in r4 whose files are
+    # untouched this round — their evidence stands.
     return {
-        # --- never / not-recently driver-checked (round-3 verdict item 1) ---
-        "corpus_verdicts": q_corpus_verdicts,
-        "asof_enrich": q_asof_enrich,
-        "tuning_grid": q_tuning_grid,
-        "plot_table": q_plot_table,
-        "multivariate_segmentor": q_multivariate_segmentor,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
-        "pq_topk_rerank": q_pq_topk_rerank,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "dedup_components": q_dedup_components,
-        "ann_lsh": q_ann_lsh,
-        "compression_ratio": q_compression_ratio,
-        "multivariate_alarms": q_multivariate_alarms,
-        "ann_topk_gemm": q_ann_topk_gemm,
-        # --- new round-4 queries ---
-        "pelt_segments_pruned": q_pelt_segments_pruned,
-        "streaming_sessions": q_streaming_sessions,
-        "sketch_percentiles_1d": q_sketch_percentiles_1d,
-        "decontaminate_prefilter": q_decontaminate_prefilter,
-        "sequence_packing": q_sequence_packing,
-        # --- detector kernels (scale-critical variants first) ---
-        "window_segmentor": q_window_segmentor,
-        "pelt_segments": q_pelt_segments,
-        "capa_anomalies": q_capa_anomalies,
-        "sequential_alarms": q_sequential_alarms,
-        "offline_pelt": q_offline_pelt,
-        "segmentation_stats": q_segmentation_stats,
-        "mosum_scores_sql": q_mosum_scores_sql,
-        "cusum_transform_sql": q_cusum_transform_sql,
-        # --- timeseries engine tiers ---
-        "rollup_1h": q_rollup_1h,
-        "rollup_1d_from_1h": q_rollup_1d_from_1h,
-        "rollup_30d_from_1d": q_rollup_30d_from_1d,
-        "gapfill_locf": q_gapfill_locf,
-        "gapfill_linear": q_gapfill_linear,
-        "retention_1h": q_retention_1h,
-        "gorilla_roundtrip": q_gorilla_roundtrip,
-        "moving_sum_w8": q_moving_sum_w8,
-        "percentile_rollup": q_percentile_rollup,
-        "hopping_rollup": q_hopping_rollup,
-        "distinct_rollup": q_distinct_rollup,
-        "rollup_totals": q_rollup_totals,
-        # --- LLM-pipeline: dedup / similarity ---
-        "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_topk": q_ann_topk,
-        "decontaminate": q_decontaminate,
-        # --- LLM-pipeline: text analysis / curation ---
-        "lang_id": q_lang_id,
-        "quality": q_quality,
+        # --- r4-dark 19 (VERDICT r4 item 1: rotate back into the gate) ---
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
@@ -1525,7 +1510,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
         "multimodal_meta": q_multimodal_meta,
-        # --- tail: cheap relational variants, hash-exact in BOTH r2 and r3 ---
         "sessionize": q_sessionize,
         "rolling_zscore": q_rolling_zscore,
         "tpch_pricing": q_tpch_pricing,
@@ -1533,6 +1517,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "props_extract": q_props_extract,
         "pivot_events": q_pivot_events,
+        # --- new round-5: incremental dedup against persisted state ---
+        "dedup_incremental": q_dedup_incremental,
+        # --- operator files changed this round: re-certify ---
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "corpus_verdicts": q_corpus_verdicts,
+        "streaming_sessions": q_streaming_sessions,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "dedup_components": q_dedup_components,
+        "decontaminate": q_decontaminate,
+        "decontaminate_prefilter": q_decontaminate_prefilter,
+        "ann_lsh": q_ann_lsh,
+        # --- flagships / kernels filling the checked window ---
+        "asof_enrich": q_asof_enrich,
+        "tuning_grid": q_tuning_grid,
+        "plot_table": q_plot_table,
+        "multivariate_segmentor": q_multivariate_segmentor,
+        "multivariate_alarms": q_multivariate_alarms,
+        "window_segmentor": q_window_segmentor,
+        "pelt_segments": q_pelt_segments,
+        "pelt_segments_pruned": q_pelt_segments_pruned,
+        "capa_anomalies": q_capa_anomalies,
+        "sequential_alarms": q_sequential_alarms,
+        "offline_pelt": q_offline_pelt,
+        "segmentation_stats": q_segmentation_stats,
+        "sketch_percentiles_1d": q_sketch_percentiles_1d,
+        "sequence_packing": q_sequence_packing,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        # --- tail: hash-exact in r4, operator files untouched this round ---
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+        "pq_topk_rerank": q_pq_topk_rerank,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "ann_topk_gemm": q_ann_topk_gemm,
+        "ann_topk": q_ann_topk,
+        "compression_ratio": q_compression_ratio,
+        "mosum_scores_sql": q_mosum_scores_sql,
+        "cusum_transform_sql": q_cusum_transform_sql,
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d_from_1h": q_rollup_1d_from_1h,
+        "rollup_30d_from_1d": q_rollup_30d_from_1d,
+        "gapfill_locf": q_gapfill_locf,
+        "gapfill_linear": q_gapfill_linear,
+        "retention_1h": q_retention_1h,
+        "moving_sum_w8": q_moving_sum_w8,
+        "percentile_rollup": q_percentile_rollup,
+        "hopping_rollup": q_hopping_rollup,
+        "distinct_rollup": q_distinct_rollup,
+        "rollup_totals": q_rollup_totals,
     }
 
 
@@ -2061,13 +2100,20 @@ def _dedup_components_oracle_sql() -> str:
     )
 
 
-def _corpus_verdicts_oracle_sql() -> str:
+def _corpus_verdicts_oracle_sql(split_frac: float | None = None) -> str:
     """Serial pandas/hashlib twin of q_corpus_verdicts: the full corpus
     cleaning decision (lang -> quality -> exact dedup -> minhash-LSH
     near-dup -> union-find representative) replayed document-at-a-time
     with Python md5 arithmetic — an execution path independent of the
     distributed run — and pinned as a VALUES fixture. Clean-room twin of
-    the composition the reference's users would run as separate passes."""
+    the composition the reference's users would run as separate passes.
+
+    ``split_frac``: emit only rows with doc_id >= int(n_docs * split_frac)
+    (the replay itself stays GLOBAL; doc_ids are contiguous 0..n-1 in the
+    fixture, so this matches the Spark side's count-based split). This is
+    the dedup_incremental oracle: under monotonic ids, incremental verdicts
+    for the id-suffix increment are exactly the global batch verdicts
+    restricted to those ids."""
     import hashlib
     import re as _re
 
@@ -2175,7 +2221,11 @@ def _corpus_verdicts_oracle_sql() -> str:
     near_drop = {d for d in parent if find(d) != d}
 
     rows = []
-    for d in sorted(docs):
+    min_doc_id = None if split_frac is None else int(len(docs) * split_frac)
+    emit = sorted(docs) if min_doc_id is None else [
+        d for d in sorted(docs) if d >= min_doc_id
+    ]
+    for d in emit:
         info = docs[d]
         if not info["lang_ok"]:
             reason = "'lang'"
@@ -2315,6 +2365,7 @@ def oracle_sql() -> dict[str, str]:
         "plot_table": _plot_table_oracle_sql(),
         "dedup_components": _dedup_components_oracle_sql(),
         "corpus_verdicts": _corpus_verdicts_oracle_sql(),
+        "dedup_incremental": _corpus_verdicts_oracle_sql(split_frac=0.6),
         "asof_enrich": """
 WITH tier AS (
   SELECT user_id,

@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from .dedup import (
+    _lsh_band_rows,
+    connected_components,
     dedup_keep_ids,
     lsh_cluster_edges_from_signatures,
     minhash_signatures,
@@ -204,3 +208,252 @@ def clean_corpus(
     return verdicts_from_features(
         feats, id_col, near_dup=near_dup, num_hashes=num_hashes, bands=bands
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against persisted corpus state
+# ---------------------------------------------------------------------------
+# At 100 TB a daily crawl increment must NOT re-run global LSH over the union
+# of everything ever ingested (what verdicts_from_features over a feature
+# union does — correct, but the verdict pass re-touches the world every day).
+# The persisted state is two small id-level side tables derived from the
+# corpus_features store:
+#
+#   md5 index        (text_md5)                      — one row per distinct
+#                    surviving text; blocks exact re-crawls.
+#   signature index  (band, band_key, nd_component)  — one row per occupied
+#                    LSH bucket, labelled with the component representative
+#                    (= min doc id) of the bucket's clique. An LSH bucket is
+#                    a clique, so all members share one component and the
+#                    bucket needs exactly one row, NOT one per member: index
+#                    size is O(distinct buckets), ~bands rows per unique doc.
+#
+# The increment pass then touches only (increment x colliding-bucket) rows:
+# band-key join of the increment's signatures against the index, never a
+# scan of prior documents. On a real cluster both indexes live bucketed by
+# their join key (text_md5 / band_key), so the joins are co-located.
+#
+# PRECONDITION (documented contract, asserted in tests): ids are assigned
+# monotonically — every increment id exceeds every prior id. Under that
+# invariant the increment's verdicts are IDENTICAL to a batch clean_corpus
+# over (prior union increment) restricted to increment ids: a prior doc can
+# never lose its representative slot to a later one (min-id policy), so the
+# union run's graph restricted to increment decisions is exactly the
+# contracted graph built here (prior nodes collapse to their component
+# labels; new bridges between prior components only lower the min, which
+# already belongs to a prior doc either way).
+
+
+def corpus_md5_index(features: DataFrame) -> DataFrame:
+    """(text_md5) — distinct text hashes of lang+quality survivors. Exact
+    dedup groups over survivors (not over exact-dedup winners), so any
+    surviving prior text blocks byte-identical later copies."""
+    return (
+        features.where(F.col("lang_ok") & F.col("quality_ok"))
+        .select("text_md5")
+        .distinct()
+    )
+
+
+def _after_exact(features: DataFrame, id_col: str) -> DataFrame:
+    """Survivor rows that win their exact-dup group (min id per text_md5) —
+    the node set of the near-dup graph, same definition as
+    verdicts_from_features."""
+    survivors = features.where(F.col("lang_ok") & F.col("quality_ok"))
+    w = Window.partitionBy("text_md5")
+    return (
+        survivors.withColumn("_md5_min", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_md5_min"))
+        .drop("_md5_min")
+    )
+
+
+def corpus_signature_index(
+    features: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(band, band_key, nd_component): the persisted LSH signature index —
+    one row per occupied bucket, labelled with the component representative
+    of the bucket's clique (min doc id over the connected component, the
+    same label dedup_keep_ids keeps)."""
+    nodes = _after_exact(features, id_col)
+    edges = lsh_cluster_edges_from_signatures(
+        nodes, id_col, num_hashes=num_hashes, bands=bands
+    )
+    comp = connected_components(edges)
+    rows = _lsh_band_rows(nodes, id_col, num_hashes, bands)
+    labeled = (
+        rows.join(comp, rows[id_col] == comp["id"], "left")
+        .withColumn("nd_component", F.coalesce("component", id_col))
+        .select("band", "band_key", "nd_component")
+    )
+    # clique => one component per bucket; min() dedups to one row per bucket
+    return labeled.groupBy("band", "band_key").agg(
+        F.min("nd_component").alias("nd_component")
+    )
+
+
+def corpus_increment_deltas(
+    new_features: DataFrame,
+    md5_index: DataFrame,
+    signature_index: DataFrame,
+    id_col: str = "doc_id",
+    near_dup: bool = True,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Verdicts for ONE increment of corpus_features rows against persisted
+    state, plus the increment's state DELTAS (not merged indexes).
+
+    Returns ``(verdicts, md5_delta, sig_delta)``: ``md5_delta`` is the
+    increment's survivor hashes, ``sig_delta`` its (band, band_key,
+    nd_component) rows. Deltas are what a resumable pipeline persists — one
+    append-only partition per ingest, current state recovered by
+    merge-on-read (distinct for md5, groupBy min for signatures; both
+    merges are associative, so any prefix of deltas folds to the same index
+    the sequential :func:`apply_corpus_increment` chain would build).
+
+    Cost shape: the only joins against prior state are increment-md5 x
+    md5-index and increment-band-rows x signature-index — (increment x
+    colliding-bucket) work, never a re-scan of prior documents. Requires
+    monotonic ids (every increment id > every prior id); see module notes
+    for why that makes the output hash-exact with a batch clean_corpus over
+    the union restricted to increment ids."""
+    survivors = new_features.where(F.col("lang_ok") & F.col("quality_ok"))
+    w_md5 = Window.partitionBy("text_md5")
+    flagged = survivors.withColumn("_inc_min", F.min(id_col).over(w_md5)).join(
+        md5_index.withColumn("_prior_md5", F.lit(True)), "text_md5", "left"
+    )
+    after_exact = flagged.where(
+        (F.col(id_col) == F.col("_inc_min")) & F.col("_prior_md5").isNull()
+    ).drop("_inc_min", "_prior_md5")
+    exact_keep = after_exact.select(
+        F.col(id_col), F.lit(True).alias("_exact_keep")
+    )
+
+    if near_dup:
+        inc_rows = _lsh_band_rows(after_exact, id_col, num_hashes, bands)
+        # Contracted-graph edges: per bucket, hub = the prior component
+        # label if the bucket exists in the index, else the increment's
+        # bucket-min. Prior labels < every increment id, so component = own
+        # id iff the doc collides with nothing prior and wins its increment
+        # cliques — exactly the union run's keep rule for increment docs.
+        joined = inc_rows.join(
+            signature_index, ["band", "band_key"], "left"
+        )
+        w_bucket = Window.partitionBy("band", "band_key")
+        hubbed = joined.withColumn(
+            "_hub",
+            F.coalesce(F.col("nd_component"), F.min(id_col).over(w_bucket)),
+        )
+        edges = (
+            hubbed.where(F.col("_hub") != F.col(id_col))
+            .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+            .distinct()
+        )
+        comp = connected_components(edges)
+        # dedup_keep_ids semantics, reusing comp instead of recomputing it:
+        # keep = nodes absent from the graph + component representatives.
+        drop = comp.where(F.col("id") != F.col("component")).select("id")
+        near_keep = (
+            after_exact.select(F.col(id_col).alias("id"))
+            .join(drop, "id", "left_anti")
+            .select(F.col("id").alias(id_col), F.lit(True).alias("_near_keep"))
+        )
+        inc_index_rows = (
+            inc_rows.join(comp, inc_rows[id_col] == comp["id"], "left")
+            .withColumn("nd_component", F.coalesce("component", id_col))
+            .select("band", "band_key", "nd_component")
+        )
+    else:
+        near_keep = after_exact.select(
+            F.col(id_col), F.lit(True).alias("_near_keep")
+        )
+        inc_index_rows = None  # no signatures without near_dup features
+
+    verdicts = (
+        new_features.join(exact_keep, id_col, "left")
+        .join(near_keep, id_col, "left")
+        .select(
+            id_col,
+            "lang_pred",
+            "quality_score",
+            F.when(~F.col("lang_ok"), "lang")
+            .when(~F.col("quality_ok"), "quality")
+            .when(F.col("_exact_keep").isNull(), "exact_dup")
+            .when(F.col("_near_keep").isNull(), "near_dup")
+            .otherwise(None)
+            .alias("drop_reason"),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .select(id_col, "lang_pred", "quality_score", "keep", "drop_reason")
+    )
+
+    md5_delta = survivors.select("text_md5").distinct()
+    if inc_index_rows is None:
+        sig_delta = new_features.sparkSession.createDataFrame(
+            [], "band int, band_key string, nd_component bigint"
+        )
+    else:
+        sig_delta = inc_index_rows
+    return verdicts, md5_delta, sig_delta
+
+
+def apply_corpus_increment(
+    new_features: DataFrame,
+    md5_index: DataFrame,
+    signature_index: DataFrame,
+    id_col: str = "doc_id",
+    near_dup: bool = True,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Verdicts for ONE increment plus the MERGED updated state.
+
+    ``(verdicts, md5_index', signature_index')`` — the primed indexes cover
+    prior union increment, ready for the next increment. min() keeps prior
+    labels on shared buckets (they're smaller under monotonic ids) and
+    relabels any bucket the increment bridged downward. See
+    :func:`corpus_increment_deltas` for semantics, cost shape, and the
+    monotonic-id precondition."""
+    verdicts, md5_delta, sig_delta = corpus_increment_deltas(
+        new_features,
+        md5_index,
+        signature_index,
+        id_col=id_col,
+        near_dup=near_dup,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    new_md5_index = md5_index.unionByName(md5_delta).distinct()
+    new_signature_index = (
+        signature_index.unionByName(sig_delta)
+        .groupBy("band", "band_key")
+        .agg(F.min("nd_component").alias("nd_component"))
+    )
+    return verdicts, new_md5_index, new_signature_index
+
+
+def verdicts_for_increment(
+    new_features: DataFrame,
+    md5_index: DataFrame,
+    signature_index: DataFrame,
+    id_col: str = "doc_id",
+    near_dup: bool = True,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Verdicts for an increment against persisted state — the read-only
+    form of :func:`apply_corpus_increment` (same output, no state update)."""
+    verdicts, _, _ = apply_corpus_increment(
+        new_features,
+        md5_index,
+        signature_index,
+        id_col=id_col,
+        near_dup=near_dup,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    return verdicts

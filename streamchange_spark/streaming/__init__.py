@@ -4,7 +4,9 @@ streaming.detectors, streaming.rollup, streaming.corpus)."""
 
 from .corpus import (
     corpus_verdicts_from_ingest,
+    incremental_verdicts_from_ingest,
     run_streaming_corpus_ingest,
+    run_streaming_corpus_ingest_incremental,
     streaming_exact_dedup,
 )
 from .detectors import (
@@ -19,7 +21,9 @@ from .sessions import streaming_sessions
 
 __all__ = [
     "corpus_verdicts_from_ingest",
+    "incremental_verdicts_from_ingest",
     "run_streaming_corpus_ingest",
+    "run_streaming_corpus_ingest_incremental",
     "run_streaming_sketch_ingest",
     "sketch_tier_from_ingest",
     "streaming_capa",
