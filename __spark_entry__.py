@@ -465,13 +465,14 @@ def q_streaming_sessions(spark, sf_dir):
     (no maxFilesPerTrigger), so the final watermark is exactly
     max(ts) - delay regardless of file order; with delay=0 every session
     except those whose window end (last event + gap) exceeds max(ts) is
-    emitted by the no-data flush batch. The oracle replays the same rule in
-    SQL: batch sessionization filtered to window_end <= max(ts). Gap is
-    1800.5 s so the stream's >=-split and the batch's >-split coincide
-    (event timestamps are integer-microsecond; exact 1800.5 s gaps cannot
-    occur). Stream==batch stats equality is separately pytest-proven
-    (tests/test_streaming.py); this query puts the streaming tier under the
-    driver's hash-exact CORRECTNESS gate."""
+    emitted by the no-data flush batch. The oracle replays session_window's
+    EXACT semantics, empirically verified on microsecond-boundary fixtures
+    (round 5): split iff delta > gap at full microsecond precision (an
+    exactly-gap delta MERGES), emit iff last_event_us + gap_us <=
+    floor(max_event_us/1000)*1000 (the ms-truncated watermark Spark tracks)
+    — no probabilistic boundary assumptions. Stream==batch stats equality
+    is separately pytest-proven (tests/test_streaming.py); this query puts
+    the streaming tier under the driver's hash-exact CORRECTNESS gate."""
     import tempfile
 
     _configure(spark)
@@ -2384,16 +2385,20 @@ FROM events e ASOF LEFT JOIN tier t
 """,
         "compression_ratio": _compression_ratio_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
-        # Watermark-closed streaming sessions == batch sessions whose window
-        # end (last event + gap) <= max event time (the final watermark at
-        # delay 0). Gap 1800.5 s: the stream's >=-split equals the batch's
-        # >-split because integer-microsecond timestamps can't gap exactly
-        # 1800.5 s. No session_id: the streaming variant doesn't number.
+        # Watermark-closed streaming sessions, replaying session_window's
+        # EXACT boundary semantics (verified empirically on microsecond-
+        # boundary fixtures, round 5): windows merge while next_start <=
+        # prev_end, so a new session starts iff delta > gap at FULL
+        # microsecond precision (an exactly-gap delta merges); and the
+        # flush watermark is ms-TRUNCATED — a session is emitted iff
+        # last_event_us + gap_us <= floor(max_event_us/1000)*1000 (Spark
+        # tracks event-time watermarks in milliseconds, delay 0 here).
+        # No session_id: the streaming variant doesn't number.
         "streaming_sessions": """
 WITH ordered AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800500
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800500000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2411,12 +2416,12 @@ stats AS (
          count(*) AS n_events,
          round((epoch_ms(max(ts)) - epoch_ms(min(ts))) / 1000.0, 3) AS duration_sec,
          round(sum(value), 4) AS sum_value,
-         max(epoch_ms(ts)) AS end_ms
+         max(epoch_us(ts)) AS end_us
   FROM sess GROUP BY user_id, session_id
 )
 SELECT user_id, start_epoch, end_epoch, n_events, duration_sec, sum_value
 FROM stats
-WHERE end_ms + 1800500 <= (SELECT max(epoch_ms(ts)) FROM events)
+WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events)
 """,
         **_detector_fixture_oracles(),
         "rollup_1h": _ROLLUP_ORACLE.format(sec=3600),

@@ -416,8 +416,10 @@ def simhash_pairs(
     by hamming distance). When the cap is active the dropped-row count is
     attached as an ``observe`` metric (``simhash_pair_drops_*``), visible in
     the Spark UI / QueryExecutionListener — no silent truncation. For
-    dedup clustering use :func:`simhash_cluster_edges`, which needs no cap
-    at all (star edges are linear in bucket size)."""
+    dedup clustering consider :func:`simhash_cluster_edges` (star edges,
+    linear in bucket size, no cap needed) — but note its hub-verified
+    components are not pairwise-identical to this function's graph; see its
+    docstring for the exact semantics."""
     sig = simhash(df, id_col, text_col, hash_fn)
     blocks = _simhash_block_rows(sig, id_col, block_bits)
     if max_bucket_size is not None:
@@ -457,37 +459,81 @@ def simhash_pairs(
     return cand.where(F.col("hamming") <= max_hamming)
 
 
+def _simhash_star_edges(
+    sig: DataFrame,
+    id_col: str,
+    block_bits: int = 16,
+    max_hamming: int | None = 8,
+) -> DataFrame:
+    """Star edges over precomputed (id, simhash) rows: per (block,
+    block_key) bucket, bucket-minimum hub -> every other member, each edge
+    verified by hub-to-member hamming distance unless ``max_hamming`` is
+    None. The hub's simhash rides along in a struct min over the bucket
+    window (struct ordering is lexicographic, so min = the min-id member),
+    keeping verification a single window pass — no self-join."""
+    blocks = _simhash_block_rows(sig, id_col, block_bits)
+    w = Window.partitionBy("block", "block_key")
+    hub = F.min(
+        F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+    ).over(w)
+    out = blocks.withColumn("_hub", hub).where(
+        F.col("_hub.i") != F.col(id_col)
+    )
+    if max_hamming is not None:
+        out = out.where(
+            F.bit_count(F.col("_hub.s").bitwiseXOR(F.col("simhash")))
+            <= max_hamming
+        )
+    return (
+        out.select(F.col("_hub.i").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
 def simhash_cluster_edges(
     df: DataFrame,
     id_col: str,
     text_col: str,
     hash_fn: str = "md5",
     block_bits: int = 16,
+    max_hamming: int | None = 8,
 ) -> DataFrame:
-    """Connectivity-preserving SimHash candidate edges (id_a, id_b) for
-    dedup clustering — the star-edge analogue of
-    :func:`lsh_cluster_edges_from_signatures`.
+    """SimHash star edges (id_a, id_b) for dedup clustering — the star-edge
+    analogue of :func:`lsh_cluster_edges_from_signatures`, with per-edge
+    hub-to-member hamming VERIFICATION on by default.
 
-    A (block, block_key) bucket is a CLIQUE in the candidate graph, so for
-    connected components the all-pairs self-join of :func:`simhash_pairs`
-    is redundant: per bucket, star edges from the bucket-minimum member to
-    every other member have the same transitive closure. A bucket of m
-    members emits m-1 edges instead of m(m-1)/2 — linear in corpus size
-    (<= 64/block_bits * n edges before dedup) even on template-heavy
-    corpora where near-identical pages flood single 16-bit buckets, so NO
-    bucket-size cap is needed. One shuffle: min-over-window keyed by
-    (block, block_key). Hamming is NOT verified here (star edges connect
-    via the hub, so per-edge hamming can exceed max_hamming while the
-    clique is still within threshold of the hub); use
-    :func:`simhash_pairs` when each pair needs individual verification."""
+    A (block, block_key) bucket is a CLIQUE in the candidate graph, so per
+    bucket, star edges from the bucket-minimum member to every other member
+    preserve the candidate graph's transitive closure at m-1 edges instead
+    of m(m-1)/2 — linear in corpus size (<= 64/block_bits * n edges before
+    dedup) even on template-heavy corpora where near-identical pages flood
+    single 16-bit buckets, so NO bucket-size cap is needed. One shuffle: a
+    struct-min window keyed by (block, block_key).
+
+    Semantics of the verification (read before feeding components to
+    :func:`dedup_keep_ids`):
+
+    - ``max_hamming=h`` (default 8): every emitted edge carries individual
+      evidence — hub-to-member hamming <= h — so a single random 16-bit
+      block collision (~6e-5 per pair; a certainty at web scale) can no
+      longer chain unrelated documents into one merged cluster. Over-merge
+      through a hub is bounded: any two members of a star are within 2*h of
+      each other. The components are those of the VERIFIED star graph,
+      which is NOT in general the :func:`simhash_pairs` graph — a pair
+      within h of each other but farther than h from their bucket's hub is
+      missed (recall, never wrong merges).
+    - ``max_hamming=None``: the raw CANDIDATE graph (pigeonhole blocking
+      only, the pre-round-5 behavior). Components equal simhash_pairs' only
+      with its verification disabled (max_hamming=64). Do NOT feed this to
+      dedup_keep_ids on a web-scale corpus — unverified block collisions
+      merge unrelated clusters and the min-id policy then drops
+      non-duplicate documents.
+
+    Use :func:`simhash_pairs` when each candidate pair needs individual
+    pairwise verification."""
     sig = simhash(df, id_col, text_col, hash_fn)
-    blocks = _simhash_block_rows(sig, id_col, block_bits)
-    w = Window.partitionBy("block", "block_key")
-    return (
-        blocks.withColumn("_min", F.min(id_col).over(w))
-        .where(F.col("_min") != F.col(id_col))
-        .select(F.col("_min").alias("id_a"), F.col(id_col).alias("id_b"))
-        .distinct()
+    return _simhash_star_edges(
+        sig, id_col, block_bits=block_bits, max_hamming=max_hamming
     )
 
 

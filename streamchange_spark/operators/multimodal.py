@@ -98,13 +98,15 @@ def decode_image_features(
     df: DataFrame,
     id_col: str,
     payload_col: str,
-    target_size: tuple[int, int] = (32, 32),
+    target_size: tuple[int, int] | None = (32, 32),
     feature_dim: int = 8,
     allow_stub: bool = True,
 ) -> DataFrame:
     """(id, width, height, features[feature_dim]) — decode + resize +
     feature-extract. The decode step is the marked stub; everything around it
-    (schema, batching, vectorized feature math) is production-shaped."""
+    (schema, batching, vectorized feature math) is production-shaped.
+    ``target_size=None`` means no resize: native (mixed) per-image sizes,
+    exercising the per-row fallback a real decoder needs."""
     by_name = {f.name: f for f in df.schema.fields}
     schema = StructType(
         [StructField(id_col, by_name[id_col].dataType, True)]
@@ -112,35 +114,55 @@ def decode_image_features(
     )
 
     def _decode(payload: bytes) -> np.ndarray:
-        # STUB — replace with PIL.Image.open(...).resize(target_size) on a
-        # cluster with imaging libraries installed.
+        # STUB — replace with PIL.Image.open(...) [+ .resize(target_size)
+        # when set] on a cluster with imaging libraries installed.
         if not allow_stub:
             raise NotImplementedError("image decoding requires PIL/opencv")
         digest = hashlib.sha256(payload).digest()
         rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
-        return rng.randint(0, 256, (*target_size, 3)).astype(np.uint8)
+        if target_size is None:  # "native" size, deterministic per payload
+            size = (16 + digest[4] % 17, 16 + digest[5] % 17)
+        else:
+            size = target_size
+        return rng.randint(0, 256, (*size, 3)).astype(np.uint8)
+
+    def _frame_feats(frame: np.ndarray) -> np.ndarray:
+        flat = frame.astype(np.float64).mean(axis=2).reshape(-1)
+        pools = np.array_split(flat, feature_dim)
+        return np.array([p.mean() for p in pools]) / 255.0
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            # Decode is one codec call per payload (irreducible); ALL the
-            # feature math runs once per Arrow batch: stack the decoded
-            # (H, W, 3) frames and pool along axis 1 of the flattened
-            # batch — identical split boundaries to the per-row
-            # array_split, so features are bit-identical to the old loop.
-            imgs = np.stack(
-                [_decode(bytes(p)) for p in pdf[payload_col]]
-            ).astype(np.float64)
-            flat = imgs.mean(axis=3).reshape(len(imgs), -1)
-            pools = np.array_split(flat, feature_dim, axis=1)
-            feats = np.stack([p.mean(axis=1) for p in pools], axis=1) / 255.0
+            decoded = [_decode(bytes(p)) for p in pdf[payload_col]]
+            # Decode is one codec call per payload (irreducible). A real
+            # decoder without a resize step returns mixed (H, W) shapes;
+            # mirroring the audio path, the batched math runs only on
+            # uniform batches (this stub resizes, and so do real image
+            # pipelines) and mixed shapes fall back to per-row pooling with
+            # per-row width/height — same split boundaries either way, so
+            # values are bit-identical between the two paths.
+            shapes = {img.shape for img in decoded}
+            if len(shapes) == 1:
+                imgs = np.stack(decoded).astype(np.float64)
+                flat = imgs.mean(axis=3).reshape(len(imgs), -1)
+                pools = np.array_split(flat, feature_dim, axis=1)
+                feats = list(
+                    np.stack([p.mean(axis=1) for p in pools], axis=1) / 255.0
+                )
+                widths = np.full(len(imgs), imgs.shape[2], dtype=np.int32)
+                heights = np.full(len(imgs), imgs.shape[1], dtype=np.int32)
+            else:
+                feats = [_frame_feats(img) for img in decoded]
+                widths = np.array([img.shape[1] for img in decoded], np.int32)
+                heights = np.array([img.shape[0] for img in decoded], np.int32)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "width": np.full(len(imgs), imgs.shape[2], dtype=np.int32),
-                    "height": np.full(len(imgs), imgs.shape[1], dtype=np.int32),
-                    "features": list(feats),
+                    "width": widths,
+                    "height": heights,
+                    "features": feats,
                 },
                 columns=[f.name for f in schema.fields],
             )

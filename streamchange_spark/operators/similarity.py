@@ -128,6 +128,24 @@ def _cosine_pairs_udf(vec_a: Column, vec_b: Column) -> Column:
     return cos(vec_a, vec_b)
 
 
+# Key tables persisted by lsh_ann_pairs(cache_keys=True): the cache must
+# outlive the caller's action, so release is explicit (see
+# release_lsh_key_caches). Bounded by the number of lsh_ann_pairs calls
+# between releases, not by data size.
+_PERSISTED_KEY_TABLES: list[DataFrame] = []
+
+
+def release_lsh_key_caches() -> int:
+    """Unpersist every key table cached by ``lsh_ann_pairs(cache_keys=True)``
+    since the last release; returns how many were dropped. Call after the
+    consuming action in long-lived sessions — each pairs call otherwise
+    leaves one (id, band, key) table pinned in storage memory."""
+    n = len(_PERSISTED_KEY_TABLES)
+    while _PERSISTED_KEY_TABLES:
+        _PERSISTED_KEY_TABLES.pop().unpersist()
+    return n
+
+
 def lsh_ann_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -150,7 +168,11 @@ def lsh_ann_pairs(
     mapInPandas subtrees, even under AQE). The cached table is 3 longs per
     (vector, band) — orders of magnitude smaller than re-scanning the
     vectors; set False only if executor storage memory is tighter than a
-    second full GEMM pass is expensive.
+    second full GEMM pass is expensive. LIFETIME: the persisted table must
+    outlive the caller's action, so it is NOT unpersisted here — in a
+    long-lived session, call :func:`release_lsh_key_caches` after consuming
+    the result (repeated calls otherwise accumulate cached key tables and
+    evict useful storage memory).
 
     Scale shape: the bucketing stage shuffles only (id, band, key) longs;
     the self-join runs on 2^bucket_bits buckets per band (default 65k — at
@@ -170,6 +192,7 @@ def lsh_ann_pairs(
         from pyspark.storagelevel import StorageLevel
 
         keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_KEY_TABLES.append(keys)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "band_key")
         keys = keys.withColumn("_bsz", F.count(F.lit(1)).over(w)).where(

@@ -12,10 +12,15 @@ Differences from the batch operator, by stream necessity:
 - no ordinal ``session_id`` (a stable per-key numbering requires total
   order over the whole history; downstream keys sessions by
   ``(key, session_start)``, which is unique and stable);
-- boundary semantics are the built-in's half-open ``[t, t+gap)`` merge —
-  an event at EXACTLY ``prev + gap`` starts a new session, where the batch
-  operator's strict ``> gap`` rule keeps it (tested equal whenever no
-  delta hits the threshold exactly; see test_sessions_anomaly_pii).
+- boundary semantics (verified empirically against Spark 4.1 on
+  microsecond-boundary fixtures): an event at EXACTLY ``prev + gap``
+  still MERGES into the session — windows merge while
+  ``next_start <= prev_end`` — so a new session starts iff the gap is
+  strictly exceeded (``delta > gap``, compared at full microsecond
+  precision). This matches the batch operator's strict ``> gap`` rule
+  exactly. The watermark flush is ms-truncated: with delay d a session
+  is emitted iff ``session_end <= floor(max_event_us / 1000) * 1000 - d``
+  (Spark tracks event-time watermarks in milliseconds).
 """
 
 from __future__ import annotations

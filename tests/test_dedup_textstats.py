@@ -154,6 +154,10 @@ def _uf_components(n_ids, edges):
 
 
 def test_simhash_cluster_edges_same_components_as_pairs(spark):
+    """max_hamming=None (verification off) reproduces the CANDIDATE graph's
+    components — equal to simhash_pairs only with ITS verification disabled
+    too (max_hamming=64). The verified default is exercised separately in
+    test_simhash_star_edges_verification."""
     base = "identical boilerplate template page body " * 30
     rows = [(i, base) for i in range(20)] + [
         (100, "entirely different content words " * 25),
@@ -166,7 +170,7 @@ def test_simhash_cluster_edges_same_components_as_pairs(spark):
             .toPandas()[["id_a", "id_b"]].values)
     )
     star_edges = set(
-        map(tuple, simhash_cluster_edges(df, "doc_id", "text")
+        map(tuple, simhash_cluster_edges(df, "doc_id", "text", max_hamming=None)
             .toPandas()[["id_a", "id_b"]].values)
     )
     assert len(star_edges) < len(pair_edges)  # m-1 vs m(m-1)/2
@@ -182,6 +186,31 @@ def test_simhash_cluster_edges_same_components_as_pairs(spark):
         return {frozenset(s) for s in g.values()}
 
     assert groups(comp_pairs) == groups(comp_star)
+
+
+def test_simhash_star_edges_verification(spark):
+    """The default hub-hamming verification kills random single-block
+    collisions (the web-scale giant-cluster failure mode) while keeping
+    genuinely-near members: crafted signatures where doc 3 shares block 0
+    with the hub but differs in 48 bits."""
+    from streamchange_spark.operators.dedup import _simhash_star_edges
+
+    rows = [
+        (1, 0),                      # hub
+        (2, 1),                      # hamming 1 from hub, shares blocks 1-3
+        (3, -(1 << 16)),             # upper 48 bits set: shares ONLY block 0
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    verified = set(
+        map(tuple, _simhash_star_edges(sig, "doc_id", max_hamming=8)
+            .toPandas()[["id_a", "id_b"]].values)
+    )
+    assert verified == {(1, 2)}  # the block-collision edge (1,3) is rejected
+    unverified = set(
+        map(tuple, _simhash_star_edges(sig, "doc_id", max_hamming=None)
+            .toPandas()[["id_a", "id_b"]].values)
+    )
+    assert unverified == {(1, 2), (1, 3)}
 
 
 def test_ngram_jaccard_matches_numpy(spark, docs):
@@ -339,6 +368,27 @@ def test_multimodal_meta_and_stubs(spark):
     frames = sample_video_frames(df, "id", "payload", n_frames=3).toPandas()
     assert len(frames) == 9
     assert set(frames["frame_idx"]) == {0, 1, 2}
+
+    # target_size=None -> native (mixed) sizes: the per-row fallback must
+    # report per-image width/height instead of crashing on np.stack
+    mixed = (
+        decode_image_features(df, "id", "payload", target_size=None, feature_dim=4)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert len(mixed) == 3
+    assert all(len(f) == 4 for f in mixed["features"])
+    assert mixed[["width", "height"]].drop_duplicates().shape[0] > 1
+    mixed2 = (
+        decode_image_features(df, "id", "payload", target_size=None, feature_dim=4)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert [list(map(float, f)) for f in mixed["features"]] == [
+        list(map(float, f)) for f in mixed2["features"]
+    ]
 
 
 def test_cosine_topk_gemm_matches_fold(spark):
