@@ -3,6 +3,7 @@
 from .pages import PAGES_SCHEMA, generate_pages, generate_url_history, text_manifest
 from .bucketed import (
     enable_sorted_bucketed_scan,
+    suggest_n_buckets,
     read_bucketed,
     restore_auto_bucketed_scan,
     write_bucketed,
@@ -17,6 +18,7 @@ __all__ = [
     "enable_sorted_bucketed_scan",
     "read_bucketed",
     "restore_auto_bucketed_scan",
+    "suggest_n_buckets",
     "run_resumable",
     "write_bucketed",
     "text_manifest",

@@ -25,6 +25,43 @@ from pyspark.sql import DataFrame, SparkSession
 logger = logging.getLogger(__name__)
 
 
+def suggest_n_buckets(
+    spark: SparkSession,
+    target_rows: int | None = None,
+    row_bytes: int = 200,
+    table_bytes: int | None = None,
+    target_partition_bytes: int = 256 << 20,
+) -> int:
+    """Pick a bucket count for :func:`write_bucketed`: the next power of two
+    >= max(cluster slots, table_size / target_partition_bytes).
+
+    Why the two terms:
+
+    - **Slots floor** (``sc.defaultParallelism`` = executors x cores;
+      ``local[n]`` -> n): one-file-per-bucket reads (the sorted layout, and
+      any ``clustered=True`` read) schedule exactly ONE task per bucket and
+      AQE cannot split a bucket file — n_buckets below the cluster's slot
+      count caps scan parallelism below the hardware. This is the floor the
+      round-4 verdict flagged (BASELINE.md sorted-layout caveat).
+    - **Size term**: buckets above ~``target_partition_bytes`` (default
+      256 MB) become long straggler tasks for the same unsplittable reason;
+      prefer over-bucketing (more, smaller buckets) to under.
+
+    ``table_bytes`` sizes directly; else ``target_rows * row_bytes``
+    estimates it (defaults assume slim id-level rows — pass your measured
+    mean row width for wide tables). Power of two so every table sharing
+    the join key can reuse or halve/double the count and stay co-located
+    (bucket join requires equal counts or an integer multiple)."""
+    slots = max(int(spark.sparkContext.defaultParallelism), 1)
+    if table_bytes is None:
+        if target_rows is None:
+            raise ValueError("pass target_rows or table_bytes")
+        table_bytes = int(target_rows) * int(row_bytes)
+    by_size = -(-int(table_bytes) // int(target_partition_bytes))  # ceil
+    n = max(slots, by_size, 1)
+    return 1 << (n - 1).bit_length()  # next power of two
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -145,3 +145,75 @@ def test_sorted_bucketed_sessionize_no_exchange_no_sort(spark, tmp_path_factory)
         .sort_values(["url", "session_id"], ignore_index=True)
     )
     assert got.equals(plain)
+
+
+def test_suggest_n_buckets(spark):
+    """Power of two, never below cluster slots (one-file-per-bucket reads
+    cap parallelism at n_buckets and AQE can't split a bucket file), grows
+    with table size."""
+    from streamchange_spark.sources import suggest_n_buckets
+
+    slots = spark.sparkContext.defaultParallelism
+    n_small = suggest_n_buckets(spark, target_rows=1000)
+    assert n_small >= slots
+    assert n_small & (n_small - 1) == 0  # power of two
+    # 1 TB at 256 MB targets -> 4096 buckets, dwarfing the slots floor
+    n_big = suggest_n_buckets(spark, table_bytes=1 << 40)
+    assert n_big == 4096
+    # size estimate from rows: 10M rows * 200 B = 2 GB -> 8 partitions,
+    # still subject to the slots floor and power-of-two rounding
+    n_rows = suggest_n_buckets(spark, target_rows=10_000_000)
+    assert n_rows >= max(slots, 8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        suggest_n_buckets(spark)
+
+
+def test_sorted_bucketed_plan_holds_at_suggested_bucket_count(
+    spark, tmp_path_factory
+):
+    """The zero-Exchange/zero-Sort sorted layout is not an artifact of the
+    8-bucket fixture: rebuild at a DIFFERENT count (via suggest_n_buckets)
+    and the sessionize plan still runs straight off the scan."""
+    from streamchange_spark.operators import session_stats
+    from streamchange_spark.sources import (
+        enable_sorted_bucketed_scan,
+        suggest_n_buckets,
+    )
+
+    base = tmp_path_factory.mktemp("srtbkt_n")
+    df = spark.range(0, 4000).select(
+        F.concat(F.lit("u"), (F.col("id") % 61)).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + (F.col("id") % 61) * 13
+            + (F.col("id") / 61).cast("long") * 50000
+        ).alias("warc_ts"),
+    )
+    n = suggest_n_buckets(spark, target_rows=4000)
+    assert n != 8  # actually a different count than the sibling test
+    write_bucketed(df.repartition(n, "url"), "pages_srt_n_t", ["url"],
+                   n_buckets=n, sort_cols=["url", "warc_ts"],
+                   path=str(base / "pages"))
+    prev = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    try:
+        enable_sorted_bucketed_scan(spark)
+        out = session_stats(read_bucketed(spark, "pages_srt_n_t"),
+                            ["url"], "warc_ts", 86400.0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Sort" not in plan, plan
+        got = out.toPandas().sort_values(["url", "session_id"], ignore_index=True)
+    finally:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", prev
+        )
+    plain = (
+        session_stats(df, ["url"], "warc_ts", 86400.0)
+        .toPandas()
+        .sort_values(["url", "session_id"], ignore_index=True)
+    )
+    assert got.equals(plain)
