@@ -38,7 +38,13 @@ from .dedup import (
     lsh_cluster_edges_from_signatures,
     minhash_signatures,
 )
-from .textstats import lang_hits_arr_col, lang_pred_from_hits, quality_score_col
+from .textstats import (
+    lang_hits_arr_sql,
+    lang_pred_from_hits,
+    lang_stage1_col,
+    lang_stage2_cols,
+    quality_score_col,
+)
 
 
 def corpus_features(
@@ -68,14 +74,22 @@ def corpus_features(
     joined frame. The only remaining double evaluation is the survivor
     branch feeding minhash — inherent, since signatures need a second pass
     over the text."""
-    # Stage the single-pass lang-hits array under a name, then take the
-    # argmax from the bound column: the argmax references its input twice,
-    # and staging keeps that from re-evaluating the token aggregate
-    # (CollapseProject won't re-inline a non-cheap expression, SPARK-36718).
-    staged = df.select(
+    # Stage the lang plan through named columns (lowered text -> stopword
+    # token array -> hits array), then take the argmax from the bound hits
+    # column: each later stage references its input multiple times, and
+    # staging keeps that from re-evaluating the tokenize (CollapseProject
+    # won't re-inline a non-cheap expression, SPARK-36718).
+    s1 = df.select(
+        F.col(id_col), F.col(text_col), lang_stage1_col(text_col)
+    )
+    s2 = s1.select(
+        F.col(id_col), F.col(text_col), F.col("__lang_low"),
+        *lang_stage2_cols(),
+    )
+    staged = s2.select(
         F.col(id_col),
         F.col(text_col),
-        lang_hits_arr_col(text_col).alias("__lang_hits_arr"),
+        F.expr(lang_hits_arr_sql(text_col)).alias("__lang_hits_arr"),
         quality_score_col(text_col).alias("quality_score"),
     )
     pred, hits = lang_pred_from_hits(F.col("__lang_hits_arr"))

@@ -119,52 +119,96 @@ def cjk_hits_col(text_col: str) -> Column:
 LANGS: list[str] = sorted([*LANG_STOPWORDS, "zh"])
 
 
-def _word_mask_map() -> Column:
-    """Constant map literal word -> array<long> of per-language 0/1 (one slot
-    per LANGS entry; zh slots are always 0 — CJK evidence is codepoints, not
-    words). Stopword lists overlap across languages ('de' is both German and
-    Dutch), so the value is a multi-hot vector, not a single index. All-literal
-    create_map is constant-folded by Catalyst into one map literal, so the
-    per-token cost is a single map lookup."""
-    mask: dict[str, list[int]] = {}
-    for i, lang in enumerate(LANGS):
-        for word in LANG_STOPWORDS.get(lang, ()):
-            mask.setdefault(word, [0] * len(LANGS))[i] = 1
-    entries: list[Column] = []
-    for word in sorted(mask):
-        entries.append(F.lit(word))
-        entries.append(F.array(*[F.lit(v).cast("long") for v in mask[word]]))
-    return F.create_map(*entries)
+# Union of every language's stopwords — the one-pass token prefilter: a
+# token not in ANY list contributes to no language, so the per-language
+# counts only need to scan the (much shorter) stopword-only token array.
+ALL_STOPWORDS: list[str] = sorted(
+    {w for ws in LANG_STOPWORDS.values() for w in ws}
+)
+
+
+def _sql_in_list(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+def lang_stage1_col(text_col: str) -> Column:
+    """Stage 1 of the language-ID plan: the lowercased text, computed once.
+    The whole lang plan is built as a handful of F.expr SQL strings instead
+    of per-literal Column calls: the previous builders issued one py4j
+    round-trip per literal (~4.4k for the word->multi-hot map), which put
+    2-4 s of DRIVER-side construction+planning on every invocation — 30x the
+    actual executor work at bench scale. SQL strings parse JVM-side in one
+    call and produce the same expression tree."""
+    return F.expr(f"lower(`{text_col}`)").alias("__lang_low")
+
+
+def lang_stage2_cols() -> list[Column]:
+    """Stage 2: text length and the stopword-only token array, both from the
+    staged ``__lang_low``. Tokens are split once and immediately filtered to
+    the union stopword set (IN-list above the InSet threshold -> one hash
+    probe per token); empty split artifacts are never stopwords, so the
+    explicit empty-token filter of tokens_col is unnecessary here."""
+    stops = (
+        "filter(split(__lang_low, '\\\\s+'), "
+        f"t -> t IN ({_sql_in_list(ALL_STOPWORDS)}))"
+    )
+    return [
+        F.expr("length(__lang_low)").alias("__lang_len"),
+        F.expr(stops).alias("__lang_stops"),
+    ]
+
+
+def lang_hits_arr_sql(
+    text_col: str,
+    low: str = "__lang_low",
+    ln: str = "__lang_len",
+    stops: str = "__lang_stops",
+) -> str:
+    """SQL for the array<long> of per-language evidence scores in LANGS
+    order: per-language stopword hits counted over the staged stopword-only
+    token array (one InSet probe per stopword token per language), plus the
+    per-language diacritic translate / CJK regexp columns over the staged
+    lowercased text. ONE tokenize pass total — replaces the per-language
+    stopword fan-out that re-split the whole text once per language (round-4
+    verdict: ~11 full-string scans per row)."""
+    parts: list[str] = []
+    for lang in LANGS:
+        if lang == "zh":
+            parts.append(
+                f"cast(length(`{text_col}`) - length(regexp_replace("
+                f"`{text_col}`, '{CJK_RANGE}', '')) as bigint)"
+            )
+            continue
+        word = (
+            f"size(filter({stops}, "
+            f"t -> t IN ({_sql_in_list(LANG_STOPWORDS[lang])})))"
+        )
+        chars = LANG_CHARS.get(lang, "")
+        if chars:
+            parts.append(
+                f"cast({word} + ({ln} - length(translate({low}, "
+                f"'{chars}', ''))) as bigint)"
+            )
+        else:
+            parts.append(f"cast({word} as bigint)")
+    return "array(" + ", ".join(parts) + ")"
 
 
 def lang_hits_arr_col(text_col: str) -> Column:
-    """array<long> of per-language evidence scores in LANGS order, computed
-    in ONE pass over the text: tokenize once, then a single F.aggregate folds
-    every token through the constant word->multi-hot map (stopword hits for
-    all 10 word-tokenized languages at once), plus the per-language diacritic
-    / CJK character columns. Replaces the per-language stopword_hits_col
-    fan-out that re-split the whole text once per language (round-4 verdict:
-    ~11 full-string scans per row, 4.6x regression)."""
-    zero = F.array(*[F.lit(0).cast("long") for _ in LANGS])
-    mask_map = _word_mask_map()
-    tok_hits = F.aggregate(
-        tokens_col(text_col),
-        zero,
-        lambda acc, t: F.zip_with(
-            acc, F.coalesce(mask_map[t], zero), lambda a, b: a + b
-        ),
+    """array<long> of per-language evidence scores as ONE self-contained
+    Column (no staged inputs) — the reference/composability path: the
+    lowercase/tokenize subexpressions are inlined per reference, so this
+    re-lowers the text once per language. Engine paths (lang_id,
+    corpus_features) stage lang_stage1_col/lang_stage2_cols through named
+    columns first and build the array with lang_hits_arr_sql instead."""
+    low = f"lower(`{text_col}`)"
+    stops = (
+        f"filter(split({low}, '\\\\s+'), "
+        f"t -> t IN ({_sql_in_list(ALL_STOPWORDS)}))"
     )
-    char_hits = F.array(
-        *[
-            (
-                cjk_hits_col(text_col)
-                if lang == "zh"
-                else char_hits_col(text_col, lang)
-            ).cast("long")
-            for lang in LANGS
-        ]
+    return F.expr(
+        lang_hits_arr_sql(text_col, low=low, ln=f"length({low})", stops=stops)
     )
-    return F.zip_with(tok_hits, char_hits, lambda a, b: a + b)
 
 
 def lang_pred_from_hits(hits_arr: Column) -> tuple[Column, Column]:
@@ -210,12 +254,19 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (stopword hits + diacritic hits; CJK codepoints for zh); ties and
     zero-evidence rows resolve to lexicographic order / 'und'.
 
-    Two-stage select: the hits array is materialized under a name first, so
-    the pred/best projections reference a bound column instead of inlining
-    the token aggregate 3x. CollapseProject keeps the stage split because the
-    aggregate is non-cheap (SPARK-36718)."""
-    staged = df.select(
-        F.col(id_col), lang_hits_arr_col(text_col).alias("__lang_hits_arr")
+    Staged selects: lowercased text, then the stopword-only token array,
+    then the hits array, each materialized under a name so later references
+    bind a column instead of re-inlining the tokenize (CollapseProject keeps
+    the stages split because the referenced expressions are non-cheap and
+    multiply referenced, SPARK-36718)."""
+    s1 = df.select(F.col(id_col), F.col(text_col), lang_stage1_col(text_col))
+    s2 = s1.select(
+        F.col(id_col), F.col(text_col), F.col("__lang_low"),
+        *lang_stage2_cols(),
+    )
+    staged = s2.select(
+        F.col(id_col),
+        F.expr(lang_hits_arr_sql(text_col)).alias("__lang_hits_arr"),
     )
     pred, best = lang_pred_from_hits(F.col("__lang_hits_arr"))
     return staged.select(
