@@ -347,26 +347,30 @@ def simhash(
     Plan shape: explode tokens -> one 64-bit hash per token row -> a single
     hash aggregate with 64 conditional-sum columns (all whole-stage codegen;
     higher-order ``aggregate`` folds are interpreted per element and were
-    ~5x slower) -> assemble the sign bits."""
+    ~5x slower) -> assemble the sign bits.
+
+    The 64 sum columns and the 64-term sign assembly are built as TWO
+    ``F.expr`` SQL strings (JVM-side parse), not ~500 Column-DSL py4j
+    round-trips: the DSL construction alone measured 1.55 s per call
+    (1-row-input decomposition, same pathology as the round-5 lang_id fix)
+    vs ~0.4 s execution at sf0.1. Bit-identical to the DSL build:
+    ``shiftleft(1L, 63)`` wraps to the sign bit exactly as the old
+    ``-(1 << 63)`` literal did, and ``_os[b]`` is Spark's 0-based array
+    indexing."""
     toks = df.select(
         F.col(id_col),
         F.explode(tokens_col(text_col)).alias("_t"),
     ).select(F.col(id_col), _hash64(F.col("_t"), hash_fn).alias("_h"))
+    sums = ",".join(f"sum(shiftright(_h,{b}) & 1)" for b in range(64))
     ones = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
-            for b in range(64)
-        ],
+        F.expr("count(1)").alias("_n"),
+        F.expr(f"array({sums})").alias("_os"),
     )
-    sim = F.lit(0).cast("long")
-    for b in range(64):
-        bit = (1 << b) if b < 63 else -(1 << 63)  # avoid int64 overflow at b=63
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"_o{b}") * 2 > F.col("_n"), F.lit(bit).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return ones.select(F.col(id_col), sim.alias("simhash"))
+    sign_terms = " | ".join(
+        f"(case when _os[{b}]*2 > _n then shiftleft(1L,{b}) else 0L end)"
+        for b in range(64)
+    )
+    return ones.select(F.col(id_col), F.expr(sign_terms).alias("simhash"))
 
 
 def _simhash_block_rows(
