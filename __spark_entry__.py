@@ -1300,6 +1300,36 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-wide line-level dedup (C4/MassiveText boilerplate removal,
+    operators/dedup.py dedup_lines): drop every unit occurring more than
+    ``max_occurrences`` times across the corpus, reassemble documents in
+    original order. The synthetic documents table has no newlines, so the
+    driver query runs the operator with ``delimiter=' '`` (word units,
+    min_chars=4 so short function words are immune) — the identical plan
+    a production '\\n' run uses. Returns md5(rebuilt text) per doc (the
+    scrub_pii convention: hash equality proves byte-identical rebuilds).
+    Oracle: DuckDB list_filter over string_split with the same 60-bit
+    md5 key, NOT list_contains(hot set)."""
+    _configure(spark)
+    from streamchange_spark.operators import dedup_lines
+
+    out = dedup_lines(
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        min_chars=4,
+        max_occurrences=900,
+        delimiter=" ",
+        hash_fn="md5",
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_chars_kept"),
+        F.md5(F.col("text").cast("binary")).alias("dedup_md5"),
+    )
+
+
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time (as-of) enrichment: each event joined to its user's
     most recent COMPLETED hourly rollup bucket (bucket close time <= event
@@ -1520,6 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         # --- new round-5: incremental dedup against persisted state ---
         "dedup_incremental": q_dedup_incremental,
+        # --- new round-5: line-level corpus dedup (C4 boilerplate step) ---
+        "dedup_lines": q_dedup_lines,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -2101,6 +2133,39 @@ def _dedup_components_oracle_sql() -> str:
     )
 
 
+def _dedup_lines_oracle_sql(
+    min_chars: int = 4, max_occurrences: int = 900, delim: str = " "
+) -> str:
+    """Pure-SQL twin of q_dedup_lines: the hot set is the 60-bit md5 keys
+    of units occurring > max_occurrences corpus-wide; the rebuilt text is
+    list_filter over the original split (order preserved for free). The
+    same md5-hex-prefix key as Spark's _hash64(md5) makes both engines
+    agree bit-for-bit on membership."""
+    key = "('0x' || substr(md5(trim(l)), 1, 15))::BIGINT"
+    rebuilt = f"""array_to_string(
+      list_filter(string_split(d.text, '{delim}'),
+        l -> length(trim(l)) < {min_chars}
+             OR NOT list_contains(h.ks, {key})),
+      '{delim}')"""
+    return f"""
+WITH alllines AS (
+  SELECT unnest(string_split(text, '{delim}')) AS l FROM documents
+),
+hot AS (
+  SELECT {key} AS k
+  FROM alllines
+  WHERE length(trim(l)) >= {min_chars}
+  GROUP BY 1
+  HAVING count(*) > {max_occurrences}
+),
+hotlist AS (SELECT coalesce(list(k), CAST([] AS BIGINT[])) AS ks FROM hot)
+SELECT d.doc_id,
+       length({rebuilt}) AS n_chars_kept,
+       md5({rebuilt}) AS dedup_md5
+FROM documents d CROSS JOIN hotlist h
+"""
+
+
 def _corpus_verdicts_oracle_sql(split_frac: float | None = None) -> str:
     """Serial pandas/hashlib twin of q_corpus_verdicts: the full corpus
     cleaning decision (lang -> quality -> exact dedup -> minhash-LSH
@@ -2367,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _dedup_components_oracle_sql(),
         "corpus_verdicts": _corpus_verdicts_oracle_sql(),
         "dedup_incremental": _corpus_verdicts_oracle_sql(split_frac=0.6),
+        "dedup_lines": _dedup_lines_oracle_sql(),
         "asof_enrich": """
 WITH tier AS (
   SELECT user_id,

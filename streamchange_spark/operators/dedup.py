@@ -905,3 +905,77 @@ def contamination_flags(
             ),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_chars: int = 30,
+    max_occurrences: int = 2,
+    delimiter: str = "\n",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the C4 / MassiveText / RefinedWeb
+    boilerplate-removal step the doc-level ops don't cover): split each
+    document on ``delimiter``, count every trimmed line's TOTAL occurrences
+    across the corpus (within-doc repeats count), drop lines that occur
+    more than ``max_occurrences`` times, and reassemble each document in
+    original line order. Lines shorter than ``min_chars`` after trimming
+    never participate (neither counted nor dropped) — without the floor,
+    frequent short lines ("Home", "Menu") would gut every page. Documents
+    whose lines are all dropped are returned with empty text, not removed
+    (pair with a quality filter downstream).
+
+    Plan shape (100-TB): posexplode -> per-line 60-bit hash; the frequency
+    aggregation shuffles ONLY the 8-byte key (the scan under it prunes to
+    the text column once); the hot-line set is boilerplate by construction
+    (tiny relative to the corpus) so the left_anti join-back broadcasts
+    under AQE; the single full-text shuffle is the positional reassembly,
+    inherent to producing rewritten documents. Short lines carry a NULL
+    key, which can never match an equi-join key, so they survive the
+    left_anti without a separate union branch. The lineage reads the
+    corpus twice (count side + reassembly side) — persist upstream
+    features if the input is itself expensive.
+
+    ``delimiter`` is a literal (regex-quoted with \\Q..\\E), matching
+    DuckDB ``string_split`` semantics including trailing empty fields, so
+    the driver oracle reconstructs the identical text with ``list_filter``.
+    """
+    delim_pat = "\\Q" + delimiter + "\\E"
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim_pat, -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    trimmed = F.trim(F.col("_line"))
+    keyed = lines.withColumn(
+        "_k",
+        F.when(F.length(trimmed) >= min_chars, _hash64(trimmed, hash_fn)),
+    )
+    hot = (
+        keyed.where(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > max_occurrences)
+        .select("_k")
+    )
+    kept = keyed.join(hot, "_k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            delimiter,
+        ).alias("_rebuilt")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_rebuilt"), F.lit("")).alias(text_col),
+        )
+    )
