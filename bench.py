@@ -60,6 +60,7 @@ HEADLINE = [
     "props_extract",
     "pivot_events",
     "rollup_totals",
+    "dedup_lines",
 ]
 
 
