@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 ALL_STAGES = (
     "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
-    "sessions_sorted", "sketch", "increment",
+    "sessions_sorted", "sketch", "increment", "lines",
 )
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 SORTED_BUCKETS = 64
@@ -374,6 +374,26 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         out["increment_global_sec"] = round(time.time() - t0, 2)
         inc_feats.unpersist()
 
+    if "lines" in stages:
+        # Line-level dedup (dedup_lines, round 5) over the same hash-sampled
+        # ~500k-doc snapshot corpus as the corpus stage, word-delimited like
+        # the driver query. The frequency aggregation shuffles only the
+        # 8-byte line key; the one full-text shuffle is the positional
+        # reassembly. xxhash64 keys (the production path; md5 is the
+        # oracle-reproducibility path). Doc sampling is persisted and
+        # counted OUTSIDE the timed section.
+        from streamchange_spark.operators import dedup_lines
+
+        ldocs = _increment_docs(spark.read.parquet(path)).persist()
+        out["lines_docs"] = ldocs.count()
+        t0 = time.time()
+        dedup_lines(
+            ldocs, "doc_id", "text", min_chars=4,
+            max_occurrences=1_000_000, delimiter=" ", hash_fn="xxhash",
+        ).write.mode("overwrite").format("noop").save()
+        out["lines_sec"] = round(time.time() - t0, 2)
+        ldocs.unpersist()
+
     if "sessions_sorted" in stages:
         # Same sessionization over the sorted one-file-per-bucket layout:
         # the scan reports HashPartitioning(url) AND (url, warc_ts) order,
@@ -434,6 +454,10 @@ def _derive(merged: dict) -> dict:
     if "sketch_build_sec" in merged:
         merged["sketch_rows_per_sec"] = round(
             n_rows / merged["sketch_build_sec"], 1
+        )
+    if "lines_sec" in merged:
+        merged["lines_docs_per_sec"] = round(
+            merged["lines_docs"] / merged["lines_sec"], 1
         )
     if "increment_sec" in merged:
         merged["increment_docs_per_sec"] = round(
@@ -518,6 +542,7 @@ def main():
         "sketch": "sketch_rows_per_sec",
         "sketch_merge": "sketch_merge_sec",
         "increment": "increment_docs_per_sec",
+        "lines": "lines_docs_per_sec",
         "increment_global": "increment_global_sec",
         "pipeline": "pipeline_rows_per_sec",
     }
