@@ -1330,6 +1330,46 @@ def q_dedup_lines(spark, sf_dir):
     )
 
 
+def q_dedup_lines_incremental(spark, sf_dir):
+    """Incremental line-level dedup against a persisted count index
+    (operators/dedup.py dedup_lines_against_counts): first 60% of docs
+    are 'prior' — reduced to a (line_key, n) count index — the rest are
+    the crawl increment, judged against the merged index (prior + the
+    increment's own counts). Counts are associative, so the merged index
+    equals the batch index over the union, making the increment's rebuilt
+    texts equal dedup_lines(all docs) restricted to increment ids — which
+    is exactly what the oracle computes (the dedup_lines SQL with a
+    doc_id >= 60%-cutoff filter). The plan's only file scan is the
+    increment + index (plan-asserted in tests/test_dedup_lines.py)."""
+    _configure(spark)
+    from streamchange_spark.operators import (
+        dedup_lines_against_counts,
+        line_count_index,
+        merge_line_count_indexes,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    split = int(docs.count() * 0.6)  # doc_ids are contiguous 0..n-1
+    kw = dict(min_chars=4, delimiter=" ", hash_fn="md5")
+    state = merge_line_count_indexes(
+        line_count_index(docs.where(F.col("doc_id") < split), "text", **kw),
+        line_count_index(docs.where(F.col("doc_id") >= split), "text", **kw),
+    ).localCheckpoint()
+    out = dedup_lines_against_counts(
+        docs.where(F.col("doc_id") >= split),
+        "doc_id",
+        "text",
+        state,
+        max_occurrences=900,
+        **kw,
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_chars_kept"),
+        F.md5(F.col("text").cast("binary")).alias("dedup_md5"),
+    )
+
+
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time (as-of) enrichment: each event joined to its user's
     most recent COMPLETED hourly rollup bucket (bucket close time <= event
@@ -1552,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         # --- new round-5: line-level corpus dedup (C4 boilerplate step) ---
         "dedup_lines": q_dedup_lines,
+        "dedup_lines_incremental": q_dedup_lines_incremental,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -2134,13 +2175,25 @@ def _dedup_components_oracle_sql() -> str:
 
 
 def _dedup_lines_oracle_sql(
-    min_chars: int = 4, max_occurrences: int = 900, delim: str = " "
+    min_chars: int = 4,
+    max_occurrences: int = 900,
+    delim: str = " ",
+    increment_only: bool = False,
 ) -> str:
     """Pure-SQL twin of q_dedup_lines: the hot set is the 60-bit md5 keys
     of units occurring > max_occurrences corpus-wide; the rebuilt text is
     list_filter over the original split (order preserved for free). The
     same md5-hex-prefix key as Spark's _hash64(md5) makes both engines
-    agree bit-for-bit on membership."""
+    agree bit-for-bit on membership. ``increment_only`` restricts the
+    OUTPUT to the last 40% of doc_ids (counts stay corpus-wide) — the
+    contract of q_dedup_lines_incremental: merged prior+increment counts
+    equal union counts, so the increment's rebuilds match the global
+    batch restricted to increment ids."""
+    where = (
+        "WHERE d.doc_id >= (SELECT (count(*) * 6) // 10 FROM documents)"
+        if increment_only
+        else ""
+    )
     key = "('0x' || substr(md5(trim(l)), 1, 15))::BIGINT"
     rebuilt = f"""array_to_string(
       list_filter(string_split(d.text, '{delim}'),
@@ -2163,6 +2216,7 @@ SELECT d.doc_id,
        length({rebuilt}) AS n_chars_kept,
        md5({rebuilt}) AS dedup_md5
 FROM documents d CROSS JOIN hotlist h
+{where}
 """
 
 
@@ -2433,6 +2487,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_verdicts": _corpus_verdicts_oracle_sql(),
         "dedup_incremental": _corpus_verdicts_oracle_sql(split_frac=0.6),
         "dedup_lines": _dedup_lines_oracle_sql(),
+        "dedup_lines_incremental": _dedup_lines_oracle_sql(
+            increment_only=True),
         "asof_enrich": """
 WITH tier AS (
   SELECT user_id,

@@ -942,6 +942,28 @@ def dedup_lines(
     DuckDB ``string_split`` semantics including trailing empty fields, so
     the driver oracle reconstructs the identical text with ``list_filter``.
     """
+    keyed = _line_keyed(df, id_col, text_col, min_chars, delimiter, hash_fn)
+    hot = (
+        keyed.where(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > max_occurrences)
+        .select("_k")
+    )
+    return _reassemble_kept(df, keyed, hot, id_col, text_col, delimiter)
+
+
+def _line_keyed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_chars: int,
+    delimiter: str,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, _pos, _line, _k) rows: one per line, _k NULL for lines shorter
+    than ``min_chars`` after trimming (NULL keys bypass equi-joins, so
+    short lines survive every anti-join without a union branch)."""
     delim_pat = "\\Q" + delimiter + "\\E"
     lines = df.select(
         F.col(id_col),
@@ -950,17 +972,22 @@ def dedup_lines(
         ),
     )
     trimmed = F.trim(F.col("_line"))
-    keyed = lines.withColumn(
+    return lines.withColumn(
         "_k",
         F.when(F.length(trimmed) >= min_chars, _hash64(trimmed, hash_fn)),
     )
-    hot = (
-        keyed.where(F.col("_k").isNotNull())
-        .groupBy("_k")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .where(F.col("_c") > max_occurrences)
-        .select("_k")
-    )
+
+
+def _reassemble_kept(
+    df: DataFrame,
+    keyed: DataFrame,
+    hot: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str,
+) -> DataFrame:
+    """Drop hot-keyed lines, rejoin survivors in original positional order;
+    docs losing every line come back with empty text, not dropped."""
     kept = keyed.join(hot, "_k", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
@@ -979,3 +1006,71 @@ def dedup_lines(
             F.coalesce(F.col("_rebuilt"), F.lit("")).alias(text_col),
         )
     )
+
+
+def line_count_index(
+    df: DataFrame,
+    text_col: str,
+    min_chars: int = 30,
+    delimiter: str = "\n",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(line_key, n) — total occurrences of every participating (trimmed,
+    >= min_chars) line. This is the PERSISTED STATE of incremental line
+    dedup: counts are associative, so a crawl increment's index merges
+    into the store with one groupBy-sum (``merge_line_count_indexes``) —
+    no re-scan of prior documents, the same shape as the minhash/md5
+    indexes of ``verdicts_for_increment``. The scan under the aggregation
+    prunes to the text column; the shuffle carries (8-byte key, count)."""
+    delim_pat = "\\Q" + delimiter + "\\E"
+    lines = df.select(
+        F.explode(F.split(F.col(text_col), delim_pat, -1)).alias("_line")
+    )
+    trimmed = F.trim(F.col("_line"))
+    return (
+        lines.where(F.length(trimmed) >= min_chars)
+        .select(_hash64(trimmed, hash_fn).alias("line_key"))
+        .groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_line_count_indexes(*indexes: DataFrame) -> DataFrame:
+    """Associative merge of (line_key, n) indexes — groupBy-sum over the
+    union. Partial counts from any sharding/batching merge to the exact
+    global index (the mergeable-sketch property, exact here)."""
+    if not indexes:
+        raise ValueError("merge_line_count_indexes needs at least one index")
+    merged = indexes[0]
+    for idx in indexes[1:]:
+        merged = merged.unionByName(idx)
+    return merged.groupBy("line_key").agg(F.sum("n").alias("n"))
+
+
+def dedup_lines_against_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    counts: DataFrame,
+    min_chars: int = 30,
+    max_occurrences: int = 2,
+    delimiter: str = "\n",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Incremental twin of :func:`dedup_lines`: judge ``df`` (a crawl
+    increment) against a PROVIDED (line_key, n) count index instead of
+    counting in place. Contract (mirrors ``verdicts_for_increment``):
+    after merging the increment's own ``line_count_index`` into the
+    store, the newest increment's output here equals
+    ``dedup_lines(union of everything so far)`` restricted to the
+    increment's ids — counts-so-far ARE the union counts for the latest
+    batch. (Earlier increments' already-emitted texts are NOT retroactively
+    rewritten when later crawls push a line over the threshold; that
+    append-only semantics is the point of the incremental path.) Work is
+    (increment lines × hot-key join) — never a prior-document re-scan."""
+    keyed = _line_keyed(df, id_col, text_col, min_chars, delimiter, hash_fn)
+    hot = (
+        counts.where(F.col("n") > max_occurrences)
+        .select(F.col("line_key").alias("_k"))
+    )
+    return _reassemble_kept(df, keyed, hot, id_col, text_col, delimiter)

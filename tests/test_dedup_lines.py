@@ -90,3 +90,109 @@ def test_partition_invariance(pages):
     a = _result(pages)
     b = _result(pages.repartition(7, "text"))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Incremental line dedup against a persisted count index
+# ---------------------------------------------------------------------------
+def _texts(df):
+    return {r["doc_id"]: r["text"] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def crawl(spark):
+    """Three 'daily' increments; BOILER crosses the >2 threshold only once
+    increment B lands, so the hot set genuinely evolves across merges."""
+    a = [(0, "\n".join([BOILER, RARE[0]])), (1, RARE[1])]
+    b = [(2, "\n".join([RARE[2], BOILER])), (3, BOILER)]
+    c = [(4, "\n".join([BOILER, "short"])),
+         (5, "another unique paragraph long enough to take part in counts")]
+    mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    return mk(a), mk(b), mk(c)
+
+
+def test_increment_equals_batch_on_union_restricted(spark, crawl):
+    from streamchange_spark.operators import (
+        dedup_lines_against_counts,
+        line_count_index,
+        merge_line_count_indexes,
+    )
+
+    a, b, c = crawl
+    kw = dict(min_chars=30, delimiter="\n", hash_fn="md5")
+    state = line_count_index(a, "text", **kw)
+    union = a
+    for inc in (b, c):
+        state = merge_line_count_indexes(
+            state, line_count_index(inc, "text", **kw)
+        ).localCheckpoint()
+        union = union.unionByName(inc)
+        got = _texts(dedup_lines_against_counts(
+            inc, "doc_id", "text", state, max_occurrences=2, **kw))
+        inc_ids = [r["doc_id"] for r in inc.select("doc_id").collect()]
+        want = {k: v for k, v in _texts(
+            dedup_lines(union, "doc_id", "text", max_occurrences=2, **kw)
+        ).items() if k in inc_ids}
+        assert got == want
+
+
+def test_increment_counts_include_own_lines(spark, crawl):
+    # A line that becomes hot ONLY counting the increment itself must be
+    # dropped from the increment (within-batch occurrences count).
+    from streamchange_spark.operators import (
+        dedup_lines_against_counts,
+        line_count_index,
+        merge_line_count_indexes,
+    )
+
+    base = spark.createDataFrame([(0, RARE[0])], ["doc_id", "text"])
+    line = "a line that repeats across three documents of one increment ok"
+    inc = spark.createDataFrame(
+        [(1, line), (2, line), (3, "\n".join([line, RARE[1]]))],
+        ["doc_id", "text"])
+    kw = dict(min_chars=30, delimiter="\n", hash_fn="md5")
+    state = merge_line_count_indexes(
+        line_count_index(base, "text", **kw),
+        line_count_index(inc, "text", **kw))
+    got = _texts(dedup_lines_against_counts(
+        inc, "doc_id", "text", state, max_occurrences=2, **kw))
+    assert got == {1: "", 2: "", 3: RARE[1]}
+
+
+def test_merge_is_associative(spark, crawl):
+    from streamchange_spark.operators import (
+        line_count_index,
+        merge_line_count_indexes,
+    )
+
+    a, b, c = crawl
+    kw = dict(min_chars=30, delimiter="\n", hash_fn="md5")
+    ia, ib, ic = (line_count_index(x, "text", **kw) for x in (a, b, c))
+    left = merge_line_count_indexes(merge_line_count_indexes(ia, ib), ic)
+    right = merge_line_count_indexes(ia, merge_line_count_indexes(ib, ic))
+    assert sorted(map(tuple, left.collect())) == \
+        sorted(map(tuple, right.collect()))
+
+
+def test_increment_plan_never_scans_prior_documents(spark, crawl):
+    # Structural guarantee: the incremental verdict plan reads the
+    # increment and the (line_key, n) index — no scan of the base corpus'
+    # text ever appears in it.
+    from streamchange_spark.operators import (
+        dedup_lines_against_counts,
+        line_count_index,
+    )
+    import tempfile
+
+    a, b, _ = crawl
+    kw = dict(min_chars=30, delimiter="\n", hash_fn="md5")
+    with tempfile.TemporaryDirectory() as d:
+        line_count_index(a, "text", **kw).write.parquet(f"{d}/idx")
+        state = spark.read.parquet(f"{d}/idx")
+        out = dedup_lines_against_counts(
+            b, "doc_id", "text", state, max_occurrences=2, **kw)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "idx" in plan             # reads the persisted index
+        # the ONLY file scan in the plan is the index — the base corpus'
+        # documents are never re-read by the incremental path
+        assert plan.count("FileScan") == 1
