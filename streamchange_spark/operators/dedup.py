@@ -941,6 +941,14 @@ def dedup_lines(
     ``delimiter`` is a literal (regex-quoted with \\Q..\\E), matching
     DuckDB ``string_split`` semantics including trailing empty fields, so
     the driver oracle reconstructs the identical text with ``list_filter``.
+
+    Counting is by hashed key, so two distinct lines colliding merge their
+    counts (a rare line sharing a key with boilerplate gets dropped): with
+    n distinct lines expect ~n^2/2^61 colliding pairs at ``hash_fn='md5'``
+    (60-bit) and ~n^2/2^65 at ``'xxhash'`` — at 10^12 distinct lines
+    that's ~10^5-10^6 merged pairs, each affecting one rare line, i.e. a
+    ~1e-7 false-drop rate. Acceptable for boilerplate removal; if not,
+    group on the trimmed line itself (shuffle then carries line text).
     """
     keyed = _line_keyed(df, id_col, text_col, min_chars, delimiter, hash_fn)
     hot = (
