@@ -41,6 +41,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 ALL_STAGES = (
     "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
     "sessions_sorted", "sketch", "increment", "lines",
+    "lines_increment",
 )
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 SORTED_BUCKETS = 64
@@ -394,6 +395,47 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         out["lines_sec"] = round(time.time() - t0, 2)
         ldocs.unpersist()
 
+    if "lines_increment" in stages:
+        # Incremental line dedup vs stateless global recount, same shape
+        # as the doc-dedup `increment` stage: a hash-10% crawl increment is
+        # judged against (persisted base counts + its own counts) vs
+        # against a fresh count over the full union. Both paths use
+        # dedup_lines_against_counts, so the timed difference is exactly
+        # "merge two indexes" vs "re-scan every prior document's text".
+        from streamchange_spark.operators import (
+            dedup_lines_against_counts,
+            line_count_index,
+            merge_line_count_indexes,
+        )
+
+        kw = dict(min_chars=4, delimiter=" ", hash_fn="xxhash")
+        alldocs = _increment_docs(spark.read.parquet(path))
+        is_inc = F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0
+        linc = alldocs.where(is_inc).persist()
+        lbase = alldocs.where(~is_inc)
+        out["lines_inc_docs"] = linc.count()
+        t0 = time.time()
+        base_idx = line_count_index(lbase, "text", **kw).persist()
+        out["lines_base_keys"] = base_idx.count()
+        out["lines_state_build_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        state = merge_line_count_indexes(
+            base_idx, line_count_index(linc, "text", **kw))
+        dedup_lines_against_counts(
+            linc, "doc_id", "text", state, max_occurrences=1_000_000, **kw
+        ).write.mode("overwrite").format("noop").save()
+        out["lines_inc_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        fresh = line_count_index(alldocs, "text", **kw)
+        dedup_lines_against_counts(
+            linc, "doc_id", "text", fresh, max_occurrences=1_000_000, **kw
+        ).write.mode("overwrite").format("noop").save()
+        out["lines_inc_global_sec"] = round(time.time() - t0, 2)
+        base_idx.unpersist()
+        linc.unpersist()
+
     if "sessions_sorted" in stages:
         # Same sessionization over the sorted one-file-per-bucket layout:
         # the scan reports HashPartitioning(url) AND (url, warc_ts) order,
@@ -458,6 +500,10 @@ def _derive(merged: dict) -> dict:
     if "lines_sec" in merged:
         merged["lines_docs_per_sec"] = round(
             merged["lines_docs"] / merged["lines_sec"], 1
+        )
+    if "lines_inc_sec" in merged:
+        merged["lines_inc_speedup_vs_global"] = round(
+            merged["lines_inc_global_sec"] / merged["lines_inc_sec"], 2
         )
     if "increment_sec" in merged:
         merged["increment_docs_per_sec"] = round(
@@ -543,6 +589,8 @@ def main():
         "sketch_merge": "sketch_merge_sec",
         "increment": "increment_docs_per_sec",
         "lines": "lines_docs_per_sec",
+        "lines_increment": "lines_inc_sec",
+        "lines_increment_global": "lines_inc_global_sec",
         "increment_global": "increment_global_sec",
         "pipeline": "pipeline_rows_per_sec",
     }
