@@ -7,6 +7,7 @@ from .corpus import (
     incremental_verdicts_from_ingest,
     run_streaming_corpus_ingest,
     run_streaming_corpus_ingest_incremental,
+    run_streaming_line_dedup,
     streaming_exact_dedup,
 )
 from .detectors import (
@@ -24,6 +25,7 @@ __all__ = [
     "incremental_verdicts_from_ingest",
     "run_streaming_corpus_ingest",
     "run_streaming_corpus_ingest_incremental",
+    "run_streaming_line_dedup",
     "run_streaming_sketch_ingest",
     "sketch_tier_from_ingest",
     "streaming_capa",

@@ -42,6 +42,7 @@ from ..operators.corpus import (
 
 __all__ = [
     "corpus_verdicts_from_ingest",
+    "run_streaming_line_dedup",
     "incremental_verdicts_from_ingest",
     "run_streaming_corpus_ingest",
     "run_streaming_corpus_ingest_incremental",
@@ -249,3 +250,96 @@ def corpus_verdicts_from_ingest(
     per-document values; see ``operators.corpus`` module docs)."""
     feats = spark.read.parquet(features_path).drop("_batch_id")
     return verdicts_from_features(feats, id_col=id_col, **verdict_kw)
+
+
+def _read_line_counts(
+    spark: SparkSession, state_path: str, before_batch: int
+) -> DataFrame:
+    """Merge-on-read recovery of the (line_key, n) count index from delta
+    partitions with ``_batch_id < before_batch`` — the sum fold is
+    associative, so any prefix of deltas reproduces the sequential index
+    exactly. Missing path means no prior state (first batch)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(state_path)
+            .where(F.col("_batch_id") < before_batch)
+            .groupBy("line_key")
+            .agg(F.sum("n").alias("n"))
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], "line_key bigint, n bigint")
+
+
+def run_streaming_line_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    schema: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 30,
+    max_occurrences: int = 2,
+    delimiter: str = "\n",
+    hash_fn: str = "xxhash",
+    max_files_per_trigger: int | None = None,
+    timeout_sec: int = 600,
+) -> None:
+    """Streaming twin of the incremental line dedup path
+    (``operators.dedup.dedup_lines_against_counts``): each micro-batch
+    pays one ``line_count_index`` pass over ITS OWN text, merges the
+    delta into the counts recovered from prior batches' deltas
+    (groupBy-sum merge-on-read — never a re-scan of prior documents),
+    and writes its line-deduped documents.
+
+    Both outputs are partitioned by ``_batch_id`` with dynamic-partition
+    overwrite: a replayed batch rewrites only its own partitions and its
+    state recovery reads only partitions ``< batch_id`` — effectively-once
+    and replay-deterministic. Verdicts are final at ingest time
+    (append-only): a line crossing the hotness threshold in a later crawl
+    never rewrites earlier batches' emitted texts, exactly the
+    ``dedup_lines_against_counts`` contract — each batch's output equals
+    batch ``dedup_lines`` over everything ingested through that batch,
+    restricted to the batch's ids."""
+    from ..operators.dedup import (
+        dedup_lines_against_counts,
+        line_count_index,
+        merge_line_count_indexes,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    kw = dict(min_chars=min_chars, delimiter=delimiter, hash_fn=hash_fn)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        delta = line_count_index(batch_df, text_col, **kw).localCheckpoint()
+        counts = merge_line_count_indexes(
+            _read_line_counts(spark, state_path, batch_id), delta
+        )
+        deduped = dedup_lines_against_counts(
+            batch_df, id_col, text_col, counts,
+            max_occurrences=max_occurrences, **kw,
+        )
+        for frame, path in ((deduped, output_path), (delta, state_path)):
+            (
+                frame.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -196,3 +196,64 @@ def test_increment_plan_never_scans_prior_documents(spark, crawl):
         # the ONLY file scan in the plan is the index — the base corpus'
         # documents are never re-read by the incremental path
         assert plan.count("FileScan") == 1
+
+
+def test_streaming_line_dedup_matches_batch(spark, tmp_path):
+    """Streaming twin: 3 id-ordered file drops -> 3 micro-batches through
+    run_streaming_line_dedup; each batch's persisted rebuilt texts equal
+    batch dedup_lines over everything ingested through that batch,
+    restricted to that batch's ids (append-only verdicts); re-running with
+    no new files adds nothing (effectively-once)."""
+    import os
+    import time
+
+    from streamchange_spark.streaming import run_streaming_line_dedup
+
+    rows = []
+    for i in range(24):
+        parts = [f"unique paragraph number {i:03d} padded well past the floor"]
+        if i % 2 == 0:
+            parts.append(BOILER)      # hot from batch 1 onward (count > 2)
+        if i % 3 == 0:
+            parts.append("ok")        # short, immune
+        rows.append((i, "\n".join(parts)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    src = tmp_path / "dumps"
+    src.mkdir()
+    now = time.time()
+    for b, (lo, hi) in enumerate([(0, 8), (8, 16), (16, 24)]):
+        p = str(src / f"dump_{b}")
+        spark.createDataFrame(
+            pdf[(pdf["doc_id"] >= lo) & (pdf["doc_id"] < hi)]
+        ).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + b, now + b))
+
+    out_path = str(tmp_path / "out")
+    state_path = str(tmp_path / "state")
+    kw = dict(min_chars=30, max_occurrences=2, delimiter="\n",
+              hash_fn="md5")
+    run_streaming_line_dedup(
+        spark, str(src / "dump_*"), out_path, state_path,
+        str(tmp_path / "ckpt"), "doc_id bigint, text string",
+        max_files_per_trigger=1, **kw)
+
+    got_all = spark.read.parquet(out_path)
+    assert got_all.select("_batch_id").distinct().count() == 3
+    per_batch = got_all.toPandas()
+    for b, (lo, hi) in enumerate([(0, 8), (8, 16), (16, 24)]):
+        want = {k: v for k, v in _texts(dedup_lines(
+            docs.where(f"doc_id < {hi}"), "doc_id", "text", **kw
+        )).items() if lo <= k < hi}
+        got = {r.doc_id: r.text for _, r in
+               per_batch[per_batch["_batch_id"] == b].iterrows()}
+        assert got == want, f"batch {b}"
+
+    # effectively-once: replay with no new files adds nothing
+    run_streaming_line_dedup(
+        spark, str(src / "dump_*"), out_path, state_path,
+        str(tmp_path / "ckpt"), "doc_id bigint, text string", **kw)
+    assert spark.read.parquet(out_path).count() == 24
