@@ -362,6 +362,34 @@ def q_distinct_rollup(spark, sf_dir):
     )
 
 
+def q_distinct_sketch_1d(spark, sf_dir):
+    """Re-aggregable cardinality via the mergeable bottom-k (KMV) sketch:
+    raw -> 1h sketches -> MERGED into 1d -> estimate, never re-scanning raw
+    (operators/kmv.py — the persisted-tier path exact distinct counts can't
+    take, and Spark's native DataSketches HLL can't either without losing
+    determinism). Bottom-k is closed under union, so the merged tier is
+    bit-identical to a direct 1d build, and the 60-bit md5-prefix hash plus
+    the IEEE estimate expression are reproduced verbatim in DuckDB — this
+    oracle is HASH-EXACT on the estimates, not rows-only. k=64 so sf0.01's
+    ~60-distinct-users-per-(type, day) buckets exercise BOTH branches:
+    under-full sketches (exact count) and full ones (the (k-1)/x_k
+    estimator)."""
+    _configure(spark)
+    from streamchange_spark.operators import kmv_distinct, kmv_rollup, kmv_tier
+
+    k = 64
+    t1h = kmv_tier(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", "user_id", tier="1h", k=k
+    )
+    out = kmv_distinct(kmv_rollup(t1h, ["event_type"], "1d", k=k), k=k)
+    return out.select(
+        "event_type",
+        _epoch("bucket_start").alias("bucket"),
+        "n_points",
+        "n_distinct_approx",
+    )
+
+
 def q_props_extract(spark, sf_dir):
     """Semi-structured extraction: pull props.$.k out of the JSON payload
     column and aggregate per event_type — the JSON-path scan every event
@@ -1593,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-5: line-level corpus dedup (C4 boilerplate step) ---
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
+        # --- new round-5: mergeable bottom-k distinct tier (kmv.py) ---
+        "distinct_sketch_1d": q_distinct_sketch_1d,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -2656,6 +2686,42 @@ SELECT event_type,
        (floor(epoch(ts))::BIGINT // 86400) * 86400 AS bucket,
        count(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY 1, 2
+""",
+        # Full KMV twin of operators/kmv.py: identical 60-bit md5-prefix
+        # hash, identical bottom-k set algebra, identical IEEE estimate
+        # expression (2^60 is a power of two, so the normalizing division
+        # is exact in both engines).
+        "distinct_sketch_1d": """
+WITH slim AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+pre AS (
+  SELECT event_type, b, h, count(*) AS c FROM slim GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT event_type, b, h,
+         CAST(sum(c) OVER (PARTITION BY event_type, b) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type, b ORDER BY h) AS rn
+  FROM pre
+),
+t1h AS (
+  SELECT event_type, b, max(n) AS n_points, list_sort(list(h)) AS kmv
+  FROM ranked WHERE rn <= 64 GROUP BY 1, 2
+),
+t1d AS (
+  SELECT event_type, (b // 86400) * 86400 AS bucket,
+         CAST(sum(n_points) AS BIGINT) AS n_points,
+         list_sort(list_distinct(flatten(list(kmv))))[1:64] AS kmv
+  FROM t1h GROUP BY 1, 2
+)
+SELECT event_type, bucket, n_points,
+       CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
+            ELSE 63.0 / (CAST(kmv[64] AS DOUBLE) / 1152921504606846976.0)
+       END AS n_distinct_approx
+FROM t1d
 """,
         "props_extract": """
 SELECT event_type,

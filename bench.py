@@ -61,6 +61,7 @@ HEADLINE = [
     "pivot_events",
     "rollup_totals",
     "dedup_lines",
+    "distinct_sketch_1d",
 ]
 
 
