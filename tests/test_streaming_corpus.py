@@ -200,3 +200,75 @@ def test_streaming_sketch_tier_matches_exact_within_bound(spark, tmp_path):
             lo = int(np.searchsorted(x, est, side="left")) + 1
             hi = int(np.searchsorted(x, est, side="right"))
             assert lo - err <= target <= hi + err
+
+
+def test_streaming_kmv_tier_bit_equals_batch(spark, tmp_path):
+    """Two dumps streamed into partial bottom-k sketches, merged into a
+    queryable 1d tier == kmv_tier run in BATCH over the union, bit for bit
+    (bottom-k is closed under union, so the stream's micro-batch chopping
+    must leave no trace — a stronger contract than the quantile twin's
+    within-bound check)."""
+    from pyspark.sql import functions as F
+
+    from streamchange_spark.operators import kmv_distinct, kmv_tier
+    from streamchange_spark.streaming import (
+        kmv_tier_from_ingest,
+        run_streaming_kmv_ingest,
+    )
+
+    rng = np.random.RandomState(13)
+    src = tmp_path / "kmv_events"
+    src.mkdir()
+    frames = []
+    base = pd.Timestamp("2024-03-01").value // 10**9
+    for dump in range(2):
+        n = 3000
+        pdf = pd.DataFrame(
+            {
+                "key": np.where(rng.rand(n) < 0.5, "a", "b"),
+                "ts": pd.to_datetime(
+                    base + dump * 43200 + rng.randint(0, 86400 * 2, n), unit="s"
+                ),
+                "uid": rng.randint(0, 900, n),
+            }
+        )
+        pdf.to_parquet(src / f"dump{dump}.parquet", coerce_timestamps="us")
+        frames.append(pdf)
+
+    sketch_path = str(tmp_path / "kmv_sketches")
+    ckpt = str(tmp_path / "ckpt_kmv")
+    k = 48
+    run_streaming_kmv_ingest(
+        spark, str(src), sketch_path, ckpt,
+        "key string, ts timestamp, uid bigint",
+        ["key"], "ts", "uid", tier="1h", k=k,
+        max_files_per_trigger=1, timeout_sec=300,
+    )
+    streamed = kmv_tier_from_ingest(spark, sketch_path, ["key"], "1d", k=k)
+
+    union = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    batch = kmv_tier(union, ["key"], "ts", "uid", tier="1d", k=k)
+
+    def snap(df):
+        return sorted(
+            tuple(r)
+            for r in df.select("key", "bucket_start", "n_points", "kmv").collect()
+        )
+
+    assert snap(streamed) == snap(batch)
+
+    # estimates off the streamed tier stay within the KMV RSE band
+    est = {
+        (r.key, r.bucket_start): r.n_distinct_approx
+        for r in kmv_distinct(streamed, k=k).collect()
+    }
+    exact = {
+        (r.key, r.b): r.x
+        for r in union.groupBy(
+            "key", F.date_trunc("day", "ts").alias("b")
+        ).agg(F.countDistinct("uid").alias("x")).collect()
+    }
+    rse = 1.0 / (k - 2) ** 0.5
+    for key, approx in est.items():
+        x = exact[key]
+        assert abs(approx - x) / x < 4 * rse if x >= k else approx == float(x)
