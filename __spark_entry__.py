@@ -390,6 +390,35 @@ def q_distinct_sketch_1d(spark, sf_dir):
     )
 
 
+def q_heavy_hitters_1d(spark, sf_dir):
+    """Re-aggregable frequent items via the mergeable heavy-hitters tier:
+    raw -> 1h top-m summaries -> MERGED into 1d -> top-8 per (type, day)
+    with the carried count-error bound (operators/heavy_hitters.py). m=16
+    leaves sf0.01's ~3-distinct-users-per-(type, hour) buckets untruncated
+    (children exact, err 0) while the ~60-distinct merge truncates, so the
+    1d err column is live (= the merged 17th count). Every stage is plain
+    deterministic relational algebra — counts exact per level, rank ties
+    broken on the item string — reproduced verbatim in DuckDB: hash-exact
+    including est_count, err, and rank."""
+    _configure(spark)
+    from streamchange_spark.operators import hh_rollup, hh_tier, hh_topk
+
+    m = 16
+    t1h = hh_tier(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", "user_id", tier="1h", m=m
+    )
+    out = hh_topk(hh_rollup(t1h, ["event_type"], "1d", m=m), ["event_type"], k=8)
+    return out.select(
+        "event_type",
+        _epoch("bucket_start").alias("bucket"),
+        "n_points",
+        "item",
+        "est_count",
+        "err",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_props_extract(spark, sf_dir):
     """Semi-structured extraction: pull props.$.k out of the JSON payload
     column and aggregate per event_type — the JSON-path scan every event
@@ -1623,6 +1652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_incremental": q_dedup_lines_incremental,
         # --- new round-5: mergeable bottom-k distinct tier (kmv.py) ---
         "distinct_sketch_1d": q_distinct_sketch_1d,
+        # --- new round-5: mergeable heavy-hitters tier (heavy_hitters.py) ---
+        "heavy_hitters_1d": q_heavy_hitters_1d,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -2722,6 +2753,58 @@ SELECT event_type, bucket, n_points,
             ELSE 63.0 / (CAST(kmv[64] AS DOUBLE) / 1152921504606846976.0)
        END AS n_distinct_approx
 FROM t1d
+""",
+        # Full heavy-hitters twin of operators/heavy_hitters.py: exact
+        # counts per level, (count DESC, item ASC) rank ties, truncation at
+        # m=16 with err = children-errs + merged 17th count, top-8 output.
+        "heavy_hitters_1d": """
+WITH slim AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,
+         CAST(user_id AS VARCHAR) AS item
+  FROM events WHERE user_id IS NOT NULL
+),
+c1 AS (
+  SELECT event_type, b, item, count(*) AS c FROM slim GROUP BY 1, 2, 3
+),
+r1 AS (
+  SELECT event_type, b, item, c,
+         CAST(sum(c) OVER (PARTITION BY event_type, b) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type, b ORDER BY c DESC, item) AS rn
+  FROM c1
+),
+t1h_meta AS (
+  SELECT event_type, b, max(n) AS n_points,
+         coalesce(max(CASE WHEN rn = 17 THEN c END), 0) AS err
+  FROM r1 GROUP BY 1, 2
+),
+errs AS (
+  SELECT event_type, (b // 86400) * 86400 AS bucket,
+         CAST(sum(n_points) AS BIGINT) AS n_points,
+         CAST(sum(err) AS BIGINT) AS err_children
+  FROM t1h_meta GROUP BY 1, 2
+),
+m1 AS (
+  SELECT event_type, (b // 86400) * 86400 AS bucket, item,
+         CAST(sum(c) AS BIGINT) AS c
+  FROM r1 WHERE rn <= 16 GROUP BY 1, 2, 3
+),
+r2 AS (
+  SELECT event_type, bucket, item, c,
+         row_number() OVER (PARTITION BY event_type, bucket ORDER BY c DESC, item) AS rn
+  FROM m1
+),
+trunc AS (
+  SELECT event_type, bucket,
+         coalesce(max(CASE WHEN rn = 17 THEN c END), 0) AS t
+  FROM r2 GROUP BY 1, 2
+)
+SELECT k.event_type, k.bucket, e.n_points, k.item, k.c AS est_count,
+       e.err_children + t.t AS err, k.rn AS rank
+FROM r2 k
+JOIN errs e ON k.event_type = e.event_type AND k.bucket = e.bucket
+JOIN trunc t ON k.event_type = t.event_type AND k.bucket = t.bucket
+WHERE k.rn <= 8
 """,
         "props_extract": """
 SELECT event_type,

@@ -62,6 +62,7 @@ HEADLINE = [
     "rollup_totals",
     "dedup_lines",
     "distinct_sketch_1d",
+    "heavy_hitters_1d",
 ]
 
 
