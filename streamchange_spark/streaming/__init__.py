@@ -16,6 +16,7 @@ from .detectors import (
     streaming_sequential_detector,
     streaming_window_segmentor,
 )
+from .heavy_hitters import hh_tier_from_ingest, run_streaming_hh_ingest
 from .kmv import kmv_tier_from_ingest, run_streaming_kmv_ingest
 from .qsketch import run_streaming_sketch_ingest, sketch_tier_from_ingest
 from .rollup import streaming_rollup_raw
@@ -23,10 +24,12 @@ from .sessions import streaming_sessions
 
 __all__ = [
     "corpus_verdicts_from_ingest",
+    "hh_tier_from_ingest",
     "incremental_verdicts_from_ingest",
     "kmv_tier_from_ingest",
     "run_streaming_corpus_ingest",
     "run_streaming_corpus_ingest_incremental",
+    "run_streaming_hh_ingest",
     "run_streaming_kmv_ingest",
     "run_streaming_line_dedup",
     "run_streaming_sketch_ingest",

@@ -272,3 +272,71 @@ def test_streaming_kmv_tier_bit_equals_batch(spark, tmp_path):
     for key, approx in est.items():
         x = exact[key]
         assert abs(approx - x) / x < 4 * rse if x >= k else approx == float(x)
+
+
+def test_streaming_hh_tier_invariant_over_ingest(spark, tmp_path):
+    """Two dumps streamed into partial heavy-hitter summaries, merged into
+    a queryable 1d tier: the carried err reflects the stream's merge tree
+    (per-batch truncation + merge truncation), and est <= true <= est + err
+    plus the presence guarantee hold against exact counts over the full
+    ingested input. Small m so both the per-batch and merge truncations
+    actually fire."""
+    from pyspark.sql import functions as F
+
+    from streamchange_spark.streaming import (
+        hh_tier_from_ingest,
+        run_streaming_hh_ingest,
+    )
+
+    rng = np.random.RandomState(17)
+    src = tmp_path / "hh_events"
+    src.mkdir()
+    frames = []
+    base = pd.Timestamp("2024-03-01").value // 10**9
+    for dump in range(2):
+        n = 3000
+        pdf = pd.DataFrame(
+            {
+                "key": np.where(rng.rand(n) < 0.5, "a", "b"),
+                "ts": pd.to_datetime(
+                    base + dump * 43200 + rng.randint(0, 86400 * 2, n), unit="s"
+                ),
+                # zipf-ish skew so heavy hitters exist
+                "item": np.floor(np.sqrt(rng.randint(0, 3600, n))).astype(np.int64),
+            }
+        )
+        pdf.to_parquet(src / f"dump{dump}.parquet", coerce_timestamps="us")
+        frames.append(pdf)
+
+    summary_path = str(tmp_path / "hh_summaries")
+    ckpt = str(tmp_path / "ckpt_hh")
+    m = 6
+    run_streaming_hh_ingest(
+        spark, str(src), summary_path, ckpt,
+        "key string, ts timestamp, item bigint",
+        ["key"], "ts", "item", tier="1h", m=m,
+        max_files_per_trigger=1, timeout_sec=300,
+    )
+    tier = hh_tier_from_ingest(spark, summary_path, ["key"], "1d", m=m)
+
+    union = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    true = {
+        (r.key, r.b, r.item): r.c
+        for r in union.groupBy(
+            "key",
+            F.date_trunc("day", "ts").alias("b"),
+            F.col("item").cast("string").alias("item"),
+        ).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    summaries = {
+        (r.key, r.bucket_start): ({kv.item: kv.cnt for kv in r.items}, r.err)
+        for r in tier.collect()
+    }
+    assert summaries and any(err > 0 for _, err in summaries.values())
+    for (key, bucket), (est_map, err) in summaries.items():
+        for item, est in est_map.items():
+            t = true[(key, bucket, item)]
+            assert est <= t <= est + err, (key, bucket, item)
+        for (k2, b2, item), t in true.items():
+            if k2 == key and b2 == bucket and t > err:
+                assert item in est_map, (key, bucket, item, t, err)
