@@ -133,3 +133,14 @@ def test_validation(spark):
         hh_tier(ev, ["site"], "ts", "item", m=0)
     with pytest.raises(ValueError, match="k must be"):
         hh_topk(hh_tier(ev, ["site"], "ts", "item"), ["site"], k=0)
+
+
+def test_plan_shape(spark):
+    """Same plan contract as the kmv tier: WindowGroupLimit caps the rank
+    window at m+1, the final per-bucket groupBy reuses the window's
+    partitioning, and the merge level costs exactly one exchange of
+    summary rows (plus one bucket-level join branch for the carried err)."""
+    ev = _events(spark, n_rows=500)
+    out = hh_rollup(hh_tier(ev, ["site"], "ts", "item", tier="1h", m=M), ["site"], "1d", m=M)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

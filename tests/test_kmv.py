@@ -134,3 +134,16 @@ def test_nulls_excluded(spark):
     t = kmv_tier(ev, ["site"], "ts", "uid", tier="30d", k=K)
     n_points = sum(r.n_points for r in t.collect())
     assert n_points == ev.where(F.col("uid").isNotNull()).count()
+
+
+def test_plan_shape(spark):
+    """The tier plan the docstring promises: column-pruned scan, map-side
+    partial dedupe, a WindowGroupLimit cap on the rank window, and NO
+    exchange between the window and the final per-bucket groupBy (they
+    share the (keys, bucket) partitioning); the 1h->1d merge adds exactly
+    one more exchange of array rows."""
+    ev = _events(spark, n_rows=500)
+    out = kmv_rollup(kmv_tier(ev, ["site"], "ts", "uid", tier="1h", k=K), ["site"], "1d", k=K)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 3  # dedupe, rank, merge — nothing else

@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 ALL_STAGES = (
     "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
-    "sessions_sorted", "sketch", "increment", "lines",
+    "sessions_sorted", "sketch", "freq", "increment", "lines",
     "lines_increment",
 )
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
@@ -325,6 +325,44 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         ).format("noop").save()
         out["sketch_merge_sec"] = round(time.time() - t0, 2)
         t1h.unpersist()
+
+    if "freq" in stages:
+        # The other two mergeable tier families over the same table:
+        # bottom-k cardinality (distinct urls per hour -> 1d merged from
+        # the persisted hour arrays) and heavy hitters (top urls per hour
+        # -> 1d). Build pays the raw scan + per-bucket dedupe/count
+        # shuffles; the merges shuffle k longs / m (item, cnt) pairs per
+        # child bucket — the shapes that stay flat at 100x.
+        from streamchange_spark.operators import (
+            hh_rollup,
+            hh_tier,
+            hh_topk,
+            kmv_distinct,
+            kmv_rollup,
+            kmv_tier,
+        )
+
+        t0 = time.time()
+        kmv1h = kmv_tier(metrics, [], "warc_ts", "url", "1h", k=1024).persist()
+        out["kmv_buckets"] = kmv1h.count()
+        out["kmv_build_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        kmv_distinct(kmv_rollup(kmv1h, [], "1d", k=1024), k=1024).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        out["kmv_merge_sec"] = round(time.time() - t0, 2)
+        kmv1h.unpersist()
+
+        t0 = time.time()
+        hh1h = hh_tier(metrics, [], "warc_ts", "url", "1h", m=256).persist()
+        out["hh_buckets"] = hh1h.count()
+        out["hh_build_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        hh_topk(hh_rollup(hh1h, [], "1d", m=256), [], k=64).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        out["hh_merge_sec"] = round(time.time() - t0, 2)
+        hh1h.unpersist()
 
     if "increment" in stages:
         # Incremental dedup vs global re-dedup, same increment (~10% of the
