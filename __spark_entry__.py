@@ -419,6 +419,34 @@ def q_heavy_hitters_1d(spark, sf_dir):
     )
 
 
+def q_hopping_distinct(spark, sf_dir):
+    """Sliding-window cardinality OFF THE TIER: trailing-24h distinct users
+    every 6h per event_type, computed by merging the 1h bottom-k sketches
+    each window covers (operators/kmv.kmv_hopping) — the DAU-style query
+    exact distinct counts cannot answer from a tier at all (overlapping
+    windows share ids; counts don't union), and whose exact form re-scans
+    raw width/slide times over. The oracle replays the replication
+    relationally (each 1h bucket joins every aligned window start in
+    (b - 24h, b]) over the same KMV CTEs — hash-exact on estimates."""
+    _configure(spark)
+    from streamchange_spark.operators import kmv_distinct, kmv_hopping, kmv_tier
+
+    k = 64
+    t1h = kmv_tier(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", "user_id", tier="1h", k=k
+    )
+    out = kmv_distinct(
+        kmv_hopping(t1h, ["event_type"], width="24 hours", slide="6 hours", k=k),
+        k=k,
+    )
+    return out.select(
+        "event_type",
+        _epoch("window_start").alias("wstart"),
+        "n_points",
+        "n_distinct_approx",
+    )
+
+
 def q_props_extract(spark, sf_dir):
     """Semi-structured extraction: pull props.$.k out of the JSON payload
     column and aggregate per event_type — the JSON-path scan every event
@@ -1654,6 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_1d": q_distinct_sketch_1d,
         # --- new round-5: mergeable heavy-hitters tier (heavy_hitters.py) ---
         "heavy_hitters_1d": q_heavy_hitters_1d,
+        # --- new round-5: sliding distinct windows off the kmv tier ---
+        "hopping_distinct": q_hopping_distinct,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -2753,6 +2783,46 @@ SELECT event_type, bucket, n_points,
             ELSE 63.0 / (CAST(kmv[64] AS DOUBLE) / 1152921504606846976.0)
        END AS n_distinct_approx
 FROM t1d
+""",
+        # kmv_hopping twin: same 1h KMV CTEs, then each bucket replicated
+        # to its aligned covering 24h/6h window starts (the hopping_rollup
+        # replay idiom) and the bottom-k sets merged per window.
+        "hopping_distinct": """
+WITH slim AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+pre AS (
+  SELECT event_type, b, h, count(*) AS c FROM slim GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT event_type, b, h,
+         CAST(sum(c) OVER (PARTITION BY event_type, b) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type, b ORDER BY h) AS rn
+  FROM pre
+),
+t1h AS (
+  SELECT event_type, b, max(n) AS n_points, list_sort(list(h)) AS kmv
+  FROM ranked WHERE rn <= 64 GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, n_points, kmv,
+         unnest(generate_series(((b - 86400) // 21600 + 1) * 21600,
+                                (b // 21600) * 21600, 21600)) AS wstart
+  FROM t1h
+),
+m AS (
+  SELECT event_type, wstart, CAST(sum(n_points) AS BIGINT) AS n_points,
+         list_sort(list_distinct(flatten(list(kmv))))[1:64] AS kmv
+  FROM w GROUP BY 1, 2
+)
+SELECT event_type, wstart, n_points,
+       CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
+            ELSE 63.0 / (CAST(kmv[64] AS DOUBLE) / 1152921504606846976.0)
+       END AS n_distinct_approx
+FROM m
 """,
         # Full heavy-hitters twin of operators/heavy_hitters.py: exact
         # counts per level, (count DESC, item ASC) rank ties, truncation at

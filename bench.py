@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_lines",
     "distinct_sketch_1d",
     "heavy_hitters_1d",
+    "hopping_distinct",
 ]
 
 

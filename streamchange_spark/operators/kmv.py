@@ -59,12 +59,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .rollup import TIER_SECONDS, bucket_col
+from .rollup import TIER_SECONDS, bucket_col, check_hop, interval_seconds
 
 __all__ = [
     "kmv_hash_col",
     "kmv_tier",
     "kmv_rollup",
+    "kmv_hopping",
     "kmv_distinct",
     "KMV_HASH_SPACE",
 ]
@@ -158,6 +159,56 @@ def kmv_rollup(
         )
         .groupBy(*key_cols, "bucket_start")
         .agg(F.sum("n_points").alias("n_points"), merged.alias("kmv"))
+    )
+
+
+def kmv_hopping(
+    tier_df: DataFrame,
+    key_cols: Sequence[str],
+    width: str = "24 hours",
+    slide: str = "1 hour",
+    k: int = 256,
+    tier: str = "1h",
+) -> DataFrame:
+    """Sliding-window cardinality from a fixed tier — "distinct users over
+    the trailing 24 h, every hour" (the DAU-style query). THIS is the
+    capability that justifies persisting sketches over counts: exact
+    distinct counts cannot slide from a tier at all (overlapping windows
+    share raw ids, and counts don't union), so the exact path must re-scan
+    raw width/slide times over; bottom-k sets union exactly, so each
+    window's sketch is just the merge of the ≤ width/tier bucket sketches
+    it covers — the identical (k-1)/x_k estimate a direct build over the
+    window's raw rows would give (asserted in tests/test_kmv.py).
+
+    Implemented as the native ``window(bucket_start, width, slide)`` group
+    key (the rollup_hopping shape): Catalyst expands each bucket row into
+    its width/slide covering-window replicas as a PROJECTION and partially
+    merges map-side, so the exchange carries k-long arrays per (key,
+    window) per task — never raw ids. ``width`` and ``slide`` must be
+    multiples of the input tier or buckets would straddle window edges
+    (validated loudly). Input: output of :func:`kmv_tier` (or
+    :func:`kmv_rollup`) at ``tier`` with the same ``k``."""
+    _check(tier, k)
+    check_hop(width, slide)
+    step = TIER_SECONDS[tier]
+    for name, iv in (("width", width), ("slide", slide)):
+        sec = interval_seconds(iv)
+        if sec % step:
+            raise ValueError(
+                f"{name} ({iv!r} = {sec:g}s) is not a multiple of the input "
+                f"tier {tier!r} ({step}s): buckets would straddle window "
+                "edges; rebuild the tier at a finer granularity instead"
+            )
+    key_cols = list(key_cols)
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))), 1, k
+    )
+    return (
+        tier_df.groupBy(*key_cols, F.window("bucket_start", width, slide).alias("_w"))
+        .agg(F.sum("n_points").alias("n_points"), merged.alias("kmv"))
+        .select(
+            *key_cols, F.col("_w.start").alias("window_start"), "n_points", "kmv"
+        )
     )
 
 

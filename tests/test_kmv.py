@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from streamchange_spark.operators import (
     kmv_distinct,
     kmv_hash_col,
+    kmv_hopping,
     kmv_rollup,
     kmv_tier,
 )
@@ -147,3 +148,46 @@ def test_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange") == 3  # dedupe, rank, merge — nothing else
+
+
+def test_hopping_equals_direct_window_build(spark):
+    """Sliding-window sketches merged from the 1h tier equal a bottom-k
+    computed directly from each window's raw rows (the property that lets
+    DAU-style trailing windows run off the tier without re-scanning raw),
+    and n_points sums the window's raw rows."""
+    ev = _events(spark)
+    width_s, slide_s = 6 * 3600, 2 * 3600
+    t1h = kmv_tier(ev, ["site"], "ts", "uid", tier="1h", k=K)
+    got = {
+        (r.site, r.window_start): (r.n_points, tuple(r.kmv))
+        for r in kmv_hopping(
+            t1h, ["site"], width="6 hours", slide="2 hours", k=K
+        ).collect()
+    }
+
+    # expected: per (site, aligned window start), bottom-K of the distinct
+    # hashes of raw rows with ws <= ts < ws + width
+    raw = ev.select(
+        "site", F.unix_timestamp("ts").alias("es"), kmv_hash_col("uid").alias("h")
+    ).collect()
+    exp: dict = {}
+    for r in raw:
+        first = ((r.es - width_s) // slide_s + 1) * slide_s
+        last = (r.es // slide_s) * slide_s
+        for ws in range(first, last + 1, slide_s):
+            n, hs = exp.setdefault((r.site, ws), [0, set()])
+            exp[(r.site, ws)][0] += 1
+            hs.add(r.h)
+    import datetime as dt
+
+    expected = {
+        (site, dt.datetime.utcfromtimestamp(ws)): (n, tuple(sorted(hs)[:K]))
+        for (site, ws), (n, hs) in exp.items()
+    }
+    got_naive = {
+        (site, t.replace(tzinfo=None)): v for (site, t), v in got.items()
+    }
+    assert got_naive == expected
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        kmv_hopping(t1h, ["site"], width="90 minutes", slide="1 hour", k=K)
