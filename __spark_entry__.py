@@ -447,6 +447,34 @@ def q_hopping_distinct(spark, sf_dir):
     )
 
 
+def q_hopping_topk(spark, sf_dir):
+    """Trending items OFF THE TIER: top-5 users over the trailing 24h,
+    every 6h, per event_type — 1h heavy-hitter summaries replicated to
+    their covering windows and merged with the standard error accounting
+    (operators/heavy_hitters.hh_hopping). Same determinism as
+    heavy_hitters_1d (exact counts per level, rank ties on the item
+    string), so the oracle — the bucket-replication replay over the same
+    summary CTEs — is hash-exact including est_count, err, and rank."""
+    _configure(spark)
+    from streamchange_spark.operators import hh_hopping, hh_tier, hh_topk
+
+    m = 16
+    t1h = hh_tier(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", "user_id", tier="1h", m=m
+    )
+    hop = hh_hopping(t1h, ["event_type"], width="24 hours", slide="6 hours", m=m)
+    out = hh_topk(hop, ["event_type"], k=5, bucket="window_start")
+    return out.select(
+        "event_type",
+        _epoch("window_start").alias("wstart"),
+        "n_points",
+        "item",
+        "est_count",
+        "err",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_props_extract(spark, sf_dir):
     """Semi-structured extraction: pull props.$.k out of the JSON payload
     column and aggregate per event_type — the JSON-path scan every event
@@ -1684,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_1d": q_heavy_hitters_1d,
         # --- new round-5: sliding distinct windows off the kmv tier ---
         "hopping_distinct": q_hopping_distinct,
+        # --- new round-5: trending top-k off the heavy-hitters tier ---
+        "hopping_topk": q_hopping_topk,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -2823,6 +2853,66 @@ SELECT event_type, wstart, n_points,
             ELSE 63.0 / (CAST(kmv[64] AS DOUBLE) / 1152921504606846976.0)
        END AS n_distinct_approx
 FROM m
+""",
+        # hh_hopping twin: the 1h summary CTEs replicated to their aligned
+        # covering 24h/6h windows, merged with err = sum(children errs) +
+        # merged 17th count, top-5 by (count DESC, item ASC).
+        "hopping_topk": """
+WITH slim AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,
+         CAST(user_id AS VARCHAR) AS item
+  FROM events WHERE user_id IS NOT NULL
+),
+c1 AS (
+  SELECT event_type, b, item, count(*) AS c FROM slim GROUP BY 1, 2, 3
+),
+r1 AS (
+  SELECT event_type, b, item, c,
+         CAST(sum(c) OVER (PARTITION BY event_type, b) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type, b ORDER BY c DESC, item) AS rn
+  FROM c1
+),
+t1h_meta AS (
+  SELECT event_type, b, max(n) AS n_points,
+         coalesce(max(CASE WHEN rn = 17 THEN c END), 0) AS err
+  FROM r1 GROUP BY 1, 2
+),
+wins AS (
+  SELECT event_type, b,
+         unnest(generate_series(((b - 86400) // 21600 + 1) * 21600,
+                                (b // 21600) * 21600, 21600)) AS wstart
+  FROM t1h_meta
+),
+errs AS (
+  SELECT w.event_type, w.wstart,
+         CAST(sum(tm.n_points) AS BIGINT) AS n_points,
+         CAST(sum(tm.err) AS BIGINT) AS err_children
+  FROM wins w JOIN t1h_meta tm ON w.event_type = tm.event_type AND w.b = tm.b
+  GROUP BY 1, 2
+),
+m1 AS (
+  SELECT w.event_type, w.wstart, r.item, CAST(sum(r.c) AS BIGINT) AS c
+  FROM wins w JOIN r1 r ON w.event_type = r.event_type AND w.b = r.b
+  WHERE r.rn <= 16
+  GROUP BY 1, 2, 3
+),
+r2 AS (
+  SELECT event_type, wstart, item, c,
+         row_number() OVER (PARTITION BY event_type, wstart ORDER BY c DESC, item) AS rn
+  FROM m1
+),
+trunc AS (
+  SELECT event_type, wstart,
+         coalesce(max(CASE WHEN rn = 17 THEN c END), 0) AS t
+  FROM r2 GROUP BY 1, 2
+)
+SELECT k.event_type, k.wstart, e.n_points, k.item, k.c AS est_count,
+       e.err_children + t.t AS err, k.rn AS rank
+FROM r2 k
+JOIN errs e ON k.event_type = e.event_type AND k.wstart = e.wstart
+JOIN trunc t ON k.event_type = t.event_type AND k.wstart = t.wstart
+WHERE k.rn <= 5
 """,
         # Full heavy-hitters twin of operators/heavy_hitters.py: exact
         # counts per level, (count DESC, item ASC) rank ties, truncation at

@@ -64,6 +64,7 @@ HEADLINE = [
     "distinct_sketch_1d",
     "heavy_hitters_1d",
     "hopping_distinct",
+    "hopping_topk",
 ]
 
 

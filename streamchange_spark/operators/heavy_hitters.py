@@ -44,9 +44,9 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .rollup import TIER_SECONDS, bucket_col
+from .rollup import TIER_SECONDS, bucket_col, check_hop, interval_seconds
 
-__all__ = ["hh_tier", "hh_rollup", "hh_topk"]
+__all__ = ["hh_tier", "hh_rollup", "hh_hopping", "hh_topk"]
 
 
 def _check(tier: str, m: int) -> None:
@@ -154,13 +154,75 @@ def hh_rollup(
     )
 
 
-def hh_topk(df: DataFrame, key_cols: Sequence[str], k: int | None = None) -> DataFrame:
+def hh_hopping(
+    tier_df: DataFrame,
+    key_cols: Sequence[str],
+    width: str = "24 hours",
+    slide: str = "1 hour",
+    m: int = 64,
+    tier: str = "1h",
+) -> DataFrame:
+    """Sliding-window frequent items from a fixed tier — "top URLs over
+    the trailing 24 h, every hour" (the trending query). Each bucket row
+    is replicated to its aligned covering windows via the native
+    ``window(bucket_start, width, slide)`` group key and the summaries
+    merge per window with the same error accounting as :func:`hh_rollup`
+    (children's errs add + the merged (m+1)-th count), so
+    est <= true <= est + err holds per window against the window's raw
+    counts (asserted in tests/test_heavy_hitters.py). The exchange carries
+    m (item, cnt) pairs per (bucket, window) replica — never raw rows,
+    which is what lets a trailing-24h trending feed run off the 1h tier.
+    ``width``/``slide`` must be multiples of the input tier (buckets must
+    not straddle window edges). Same output shape as :func:`hh_rollup`
+    with ``window_start`` in place of ``bucket_start``."""
+    _check(tier, m)
+    check_hop(width, slide)
+    step = TIER_SECONDS[tier]
+    for name, iv in (("width", width), ("slide", slide)):
+        sec = interval_seconds(iv)
+        if sec % step:
+            raise ValueError(
+                f"{name} ({iv!r} = {sec:g}s) is not a multiple of the input "
+                f"tier {tier!r} ({step}s): buckets would straddle window "
+                "edges; rebuild the tier at a finer granularity instead"
+            )
+    key_cols = list(key_cols)
+    win = F.window("bucket_start", width, slide)
+    base = tier_df.select(
+        *key_cols, win.start.alias("window_start"), "n_points", "items", "err"
+    )
+    group = [*key_cols, "window_start"]
+    meta = base.groupBy(*group).agg(
+        F.sum("n_points").alias("n_points"), F.sum("err").alias("_err_children")
+    )
+    counts = (
+        base.select(*group, F.explode("items").alias("kv"))
+        .select(*group, F.col("kv.item").alias("item"), F.col("kv.cnt").alias("c"))
+        .groupBy(*group, "item")
+        .agg(F.sum("c").alias("c"))
+    )
+    merged = _summarize(counts, group, m).drop("n_points")
+    return (
+        meta.join(merged, group)
+        .withColumn("err", F.col("_err_children") + F.col("_trunc"))
+        .drop("_err_children", "_trunc")
+        .select(*group, "n_points", "items", "err")
+    )
+
+
+def hh_topk(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int | None = None,
+    bucket: str = "bucket_start",
+) -> DataFrame:
     """Project ranked rows out of a summary tier: (keys..., bucket_start,
     n_points, item, est_count, err, rank) — rank by (est_count DESC, item),
     optionally cut to the top ``k``. The bucket's err column rides along so
-    consumers can read the per-item guarantee [est, est + err] directly."""
+    consumers can read the per-item guarantee [est, est + err] directly.
+    Pass ``bucket="window_start"`` for :func:`hh_hopping` output."""
     key_cols = list(key_cols)
-    group = [*key_cols, "bucket_start"]
+    group = [*key_cols, bucket]
     rows = df.select(
         *group, "n_points", "err", F.explode("items").alias("kv")
     ).select(

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from streamchange_spark.operators import hh_rollup, hh_tier, hh_topk
+from streamchange_spark.operators import hh_hopping, hh_rollup, hh_tier, hh_topk
 
 M = 8
 
@@ -144,3 +144,43 @@ def test_plan_shape(spark):
     out = hh_rollup(hh_tier(ev, ["site"], "ts", "item", tier="1h", m=M), ["site"], "1d", m=M)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_hopping_invariant_vs_raw_windows(spark):
+    """Sliding-window summaries merged from the 1h tier satisfy
+    est <= true <= est + err and the presence guarantee against each
+    window's RAW counts (windows replicated per the aligned
+    window(bucket_start, width, slide) semantics)."""
+    ev = _events(spark)
+    width_s, slide_s = 6 * 3600, 2 * 3600
+    t1h = hh_tier(ev, ["site"], "ts", "item", tier="1h", m=M)
+    hop = hh_hopping(t1h, ["site"], width="6 hours", slide="2 hours", m=M)
+
+    true: dict = {}
+    for r in ev.select(
+        "site", F.unix_timestamp("ts").alias("es"),
+        F.col("item").cast("string").alias("item"),
+    ).collect():
+        first = ((r.es - width_s) // slide_s + 1) * slide_s
+        last = (r.es // slide_s) * slide_s
+        for ws in range(first, last + 1, slide_s):
+            true[(r.site, ws, r.item)] = true.get((r.site, ws, r.item), 0) + 1
+
+    rows = hop.collect()
+    assert rows and any(r.err > 0 for r in rows)
+    for r in rows:
+        ws = int(r.window_start.timestamp())
+        est = {kv.item: kv.cnt for kv in r.items}
+        for item, e in est.items():
+            t = true[(r.site, ws, item)]
+            assert e <= t <= e + r.err, (r.site, ws, item)
+        for (s2, w2, item), t in true.items():
+            if s2 == r.site and w2 == ws and t > r.err and item not in est:
+                raise AssertionError((r.site, ws, item, t, r.err))
+        # n_points sums the window's raw rows
+        assert r.n_points == sum(
+            t for (s2, w2, _), t in true.items() if s2 == r.site and w2 == ws
+        )
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        hh_hopping(t1h, ["site"], width="90 minutes", slide="1 hour", m=M)
