@@ -447,6 +447,41 @@ def q_hopping_distinct(spark, sf_dir):
     )
 
 
+def q_hopping_percentiles(spark, sf_dir):
+    """Sliding-window percentiles OFF THE TIER: p50/p99 of value over the
+    trailing 24h, every 6h, per event_type — 1h rank sketches replicated
+    to their covering windows and merged (operators/qsketch.sketch_hopping;
+    the observability staple exact percentiles can't compute from a tier).
+    At eps=1e-4 every sf0.01 window is below the prune threshold, so the
+    sketch path is EXACT and hash-checkable against the replicated
+    rank-ceil oracle; the approximation regime (carried error bound) is
+    certified by tests/test_rollup_gapfill.py::test_qsketch_hopping_spark."""
+    _configure(spark)
+    from streamchange_spark.operators import (
+        sketch_hopping,
+        sketch_percentiles,
+        sketch_tier,
+    )
+
+    eps = 1e-4
+    t1h = sketch_tier(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", "value", tier="1h", eps=eps
+    )
+    hop = sketch_hopping(
+        t1h, ["event_type"], width="24 hours", slide="6 hours", eps=eps
+    )
+    out = sketch_percentiles(
+        hop, ["event_type"], quantiles=(0.5, 0.99), bucket="window_start"
+    )
+    return out.select(
+        "event_type",
+        _epoch("window_start").alias("wstart"),
+        "n_points",
+        F.round("p50", 6).alias("p50"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
 def q_hopping_topk(spark, sf_dir):
     """Trending items OFF THE TIER: top-5 users over the trailing 24h,
     every 6h, per event_type — 1h heavy-hitter summaries replicated to
@@ -1714,6 +1749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_distinct": q_hopping_distinct,
         # --- new round-5: trending top-k off the heavy-hitters tier ---
         "hopping_topk": q_hopping_topk,
+        # --- new round-5: sliding percentiles off the rank-sketch tier ---
+        "hopping_percentiles": q_hopping_percentiles,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -2853,6 +2890,31 @@ SELECT event_type, wstart, n_points,
             ELSE 63.0 / (CAST(kmv[64] AS DOUBLE) / 1152921504606846976.0)
        END AS n_distinct_approx
 FROM m
+""",
+        # sketch_hopping twin: events replicated to their aligned covering
+        # 24h/6h windows, then the same rank-ceil discrete-quantile oracle
+        # as sketch_percentiles_1d per (event_type, window).
+        "hopping_percentiles": """
+WITH ev AS (
+  SELECT event_type, floor(epoch(ts))::BIGINT AS es, value
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT event_type, value,
+         unnest(generate_series(((es - 86400) // 21600 + 1) * 21600,
+                                (es // 21600) * 21600, 21600)) AS wstart
+  FROM ev
+),
+r AS (
+  SELECT event_type, wstart, value,
+         row_number() OVER (PARTITION BY event_type, wstart ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type, wstart) AS n
+  FROM w
+)
+SELECT event_type, wstart, max(n)::BIGINT AS n_points,
+       round(max(CASE WHEN rn = greatest(ceil(0.5 * n), 1) THEN value END), 6) AS p50,
+       round(max(CASE WHEN rn = greatest(ceil(0.99 * n), 1) THEN value END), 6) AS p99
+FROM r GROUP BY 1, 2
 """,
         # hh_hopping twin: the 1h summary CTEs replicated to their aligned
         # covering 24h/6h windows, merged with err = sum(children errs) +

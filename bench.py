@@ -65,6 +65,7 @@ HEADLINE = [
     "heavy_hitters_1d",
     "hopping_distinct",
     "hopping_topk",
+    "hopping_percentiles",
 ]
 
 

@@ -61,6 +61,7 @@ from .rollup import TIER_SECONDS, bucket_col
 __all__ = [
     "sketch_tier",
     "sketch_rollup",
+    "sketch_hopping",
     "sketch_percentiles",
     "sketch_build",
     "sketch_merge",
@@ -204,28 +205,14 @@ def sketch_tier(
     return slim.repartition(n, *group).mapInPandas(run, schema)
 
 
-def sketch_rollup(
-    tier_df: DataFrame,
-    key_cols: Sequence[str],
-    to_tier: str,
-    eps: float = 0.005,
+def _merge_blob_groups(
+    slim: DataFrame, key_cols: list, eps: float, out_bucket: str
 ) -> DataFrame:
-    """Tier-from-tier: merge a finer tier's sketches into ``to_tier``
-    buckets — shuffles one (keys, bucket, ~3 KB blob) row per input bucket,
-    never the raw values. Input: output of :func:`sketch_tier` (or a prior
-    :func:`sketch_rollup`)."""
-    if to_tier not in TIER_SECONDS:
-        raise ValueError(f"unknown tier {to_tier!r}: {sorted(TIER_SECONDS)}")
-    key_cols = list(key_cols)
-    from pyspark.sql import functions as F
-
-    slim = tier_df.select(
-        *key_cols,
-        bucket_col("bucket_start", TIER_SECONDS[to_tier]).alias("_bucket"),
-        "n_points",
-        "qsketch",
-    )
+    """Shared merge body for tier-from-tier and hopping merges: one Arrow
+    crossing per partition, blobs merged per (keys, _bucket) group; the
+    ``_bucket`` column is emitted under ``out_bucket``."""
     schema = _out_schema(slim, key_cols)
+    schema.fields[len(key_cols)].name = out_bucket
     colnames = [f.name for f in schema.fields]
     group = [*key_cols, "_bucket"]
 
@@ -247,20 +234,95 @@ def sketch_rollup(
             row["qsketch"] = sketch_merge([blobs[i] for i in idx], eps)
             rows.append(row)
         out = pd.DataFrame(rows, columns=group + ["n_points", "qsketch"])
-        yield out.rename(columns={"_bucket": "bucket_start"})[colnames]
+        yield out.rename(columns={"_bucket": out_bucket})[colnames]
 
-    n = tier_df.sparkSession.sparkContext.defaultParallelism
+    n = slim.sparkSession.sparkContext.defaultParallelism
     return slim.repartition(n, *group).mapInPandas(run, schema)
+
+
+def sketch_rollup(
+    tier_df: DataFrame,
+    key_cols: Sequence[str],
+    to_tier: str,
+    eps: float = 0.005,
+) -> DataFrame:
+    """Tier-from-tier: merge a finer tier's sketches into ``to_tier``
+    buckets — shuffles one (keys, bucket, ~3 KB blob) row per input bucket,
+    never the raw values. Input: output of :func:`sketch_tier` (or a prior
+    :func:`sketch_rollup`)."""
+    if to_tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {to_tier!r}: {sorted(TIER_SECONDS)}")
+    key_cols = list(key_cols)
+
+    slim = tier_df.select(
+        *key_cols,
+        bucket_col("bucket_start", TIER_SECONDS[to_tier]).alias("_bucket"),
+        "n_points",
+        "qsketch",
+    )
+    return _merge_blob_groups(slim, key_cols, eps, "bucket_start")
+
+
+def sketch_hopping(
+    tier_df: DataFrame,
+    key_cols: Sequence[str],
+    width: str = "24 hours",
+    slide: str = "1 hour",
+    eps: float = 0.005,
+    tier: str = "1h",
+) -> DataFrame:
+    """Sliding-window percentiles from a fixed tier — "p99 over the
+    trailing 24 h, every hour", the observability staple. Same shape as
+    ``kmv_hopping``/``hh_hopping``: each bucket row is replicated to its
+    aligned covering windows via the native ``window(bucket_start, width,
+    slide)`` projection and the ≤ width/tier blobs merge per window
+    (errors add + one prune, the ``sketch_merge`` accounting, carried in
+    the output blob headers); the exchange carries ~3 KB blobs per
+    (bucket, window) replica, never raw values — exact percentiles cannot
+    slide from a tier at all (overlapping windows share raw points; rank
+    state doesn't union), so the exact path re-scans raw width/slide
+    times over. ``width``/``slide`` must be multiples of the input tier
+    (validated loudly). Output: (keys..., window_start, n_points,
+    qsketch); feed to :func:`sketch_percentiles` with
+    ``bucket="window_start"``."""
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}: {sorted(TIER_SECONDS)}")
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1): {eps}")
+    from pyspark.sql import functions as F
+
+    from .rollup import check_hop, interval_seconds
+
+    check_hop(width, slide)
+    step = TIER_SECONDS[tier]
+    for name, iv in (("width", width), ("slide", slide)):
+        sec = interval_seconds(iv)
+        if sec % step:
+            raise ValueError(
+                f"{name} ({iv!r} = {sec:g}s) is not a multiple of the input "
+                f"tier {tier!r} ({step}s): buckets would straddle window "
+                "edges; rebuild the tier at a finer granularity instead"
+            )
+    key_cols = list(key_cols)
+    slim = tier_df.select(
+        *key_cols,
+        F.window("bucket_start", width, slide).start.alias("_bucket"),
+        "n_points",
+        "qsketch",
+    )
+    return _merge_blob_groups(slim, key_cols, eps, "window_start")
 
 
 def sketch_percentiles(
     df: DataFrame,
     key_cols: Sequence[str],
     quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    bucket: str = "bucket_start",
 ) -> DataFrame:
     """Project percentile columns out of a sketch tier — same output shape
     as ``rollup_percentiles`` (keys..., bucket_start, n_points, p50, ...),
-    so consumers can swap exact for sketch without schema changes."""
+    so consumers can swap exact for sketch without schema changes. Pass
+    ``bucket="window_start"`` for :func:`sketch_hopping` output."""
     for q in quantiles:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile must be in [0, 1]: {q}")
@@ -272,7 +334,7 @@ def sketch_percentiles(
     schema = StructType(
         [StructField(c, by_name[c].dataType, True) for c in key_cols]
         + [
-            StructField("bucket_start", by_name["bucket_start"].dataType, True),
+            StructField(bucket, by_name[bucket].dataType, True),
             StructField("n_points", LongType(), True),
         ]
         + [StructField(nm, DoubleType(), True) for nm in names]
@@ -285,7 +347,7 @@ def sketch_percentiles(
             if pdf.empty:
                 continue
             qvals = [sketch_query(b, qs) for b in pdf["qsketch"]]
-            out = pdf[[*key_cols, "bucket_start", "n_points"]].copy()
+            out = pdf[[*key_cols, bucket, "n_points"]].copy()
             for j, nm in enumerate(names):
                 out[nm] = [qv[j] for qv in qvals]
             yield out[colnames]

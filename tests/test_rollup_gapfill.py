@@ -370,3 +370,55 @@ def test_qsketch_tiers_spark(spark, points_df):
             target = min(max(int(np.ceil(q * n)), 1), n)
             lo, hi = _rank_span(x, row[col])
             assert lo - err <= target <= hi + err, (row["key"], q, target, lo, hi, err)
+
+
+def test_qsketch_hopping_spark(spark, points_df):
+    """sketch_hopping: trailing-6h windows every 2h merged from the 1h
+    tier — n_points matches each window's raw rows, every percentile
+    stays within the blob's carried rank-error bound against exact ranks
+    over the window's raw values, and tier-multiple validation raises."""
+    from streamchange_spark.operators import (
+        sketch_hopping,
+        sketch_percentiles,
+        sketch_tier,
+    )
+    from streamchange_spark.operators.qsketch import _decode
+
+    eps = 0.02
+    width_s, slide_s = 6 * 3600, 2 * 3600
+    t1h = sketch_tier(points_df, ["key"], "ts", "value", tier="1h", eps=eps)
+    hop = sketch_hopping(
+        t1h, ["key"], width="6 hours", slide="2 hours", eps=eps
+    )
+
+    raw = points_df.toPandas()
+    raw["es"] = raw["ts"].astype("int64") // 10**9
+    wins: dict = {}
+    for _, r in raw.iterrows():
+        first = ((int(r["es"]) - width_s) // slide_s + 1) * slide_s
+        last = (int(r["es"]) // slide_s) * slide_s
+        for ws in range(first, last + 1, slide_s):
+            wins.setdefault((r["key"], ws), []).append(r["value"])
+
+    blobs = hop.toPandas().set_index(["key", "window_start"])
+    pcts = sketch_percentiles(
+        hop, ["key"], quantiles=(0.5, 0.99), bucket="window_start"
+    ).toPandas()
+    assert len(pcts) == len(wins)
+    for _, row in pcts.iterrows():
+        ws = int(pd.Timestamp(row["window_start"]).value // 10**9)
+        x = np.sort(np.asarray(wins[(row["key"], ws)]))
+        n = len(x)
+        assert n == row["n_points"]
+        _, err, _, _ = _decode(
+            blobs.loc[(row["key"], row["window_start"]), "qsketch"]
+        )
+        for q, col in [(0.5, "p50"), (0.99, "p99")]:
+            target = min(max(int(np.ceil(q * n)), 1), n)
+            lo, hi = _rank_span(x, row[col])
+            assert lo - err <= target <= hi + err, (row["key"], q)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a multiple"):
+        sketch_hopping(t1h, ["key"], width="90 minutes", slide="1 hour")
