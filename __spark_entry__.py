@@ -1767,6 +1767,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_prefilter": q_decontaminate_prefilter,
         "ann_lsh": q_ann_lsh,
+        # similarity.py and qsketch.py changed this round — every query on
+        # those files stays inside the checked window:
+        "sketch_percentiles_1d": q_sketch_percentiles_1d,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+        "ann_topk_gemm": q_ann_topk_gemm,
+        "ann_topk": q_ann_topk,
+        # pq.py imports similarity helpers, so its queries ride along:
+        "pq_topk_rerank": q_pq_topk_rerank,
+        "ivf_pq_topk": q_ivf_pq_topk,
         # --- flagships / kernels filling the checked window ---
         "asof_enrich": q_asof_enrich,
         "tuning_grid": q_tuning_grid,
@@ -1780,16 +1790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequential_alarms": q_sequential_alarms,
         "offline_pelt": q_offline_pelt,
         "segmentation_stats": q_segmentation_stats,
-        "sketch_percentiles_1d": q_sketch_percentiles_1d,
         "sequence_packing": q_sequence_packing,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         # --- tail: hash-exact in r4, operator files untouched this round ---
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
-        "pq_topk_rerank": q_pq_topk_rerank,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "ann_topk_gemm": q_ann_topk_gemm,
-        "ann_topk": q_ann_topk,
         "compression_ratio": q_compression_ratio,
         "mosum_scores_sql": q_mosum_scores_sql,
         "cusum_transform_sql": q_cusum_transform_sql,
