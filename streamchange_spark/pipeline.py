@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 from .kernels import BIC, CUSUM, WindowSegmentor
 from .operators import (
     compress_series,
+    kmv_distinct,
+    kmv_rollup,
+    kmv_tier,
     rollup_all_tiers,
     sketch_percentiles,
     sketch_rollup,
@@ -93,6 +96,13 @@ def run_pipeline(
             partitions[f"qsketch1h/{day}"] = sketch_tier(
                 day_metrics, ["url"], "warc_ts", "text_len", tier="1h"
             )
+            # Crawl breadth rides along too: unique urls per hour as a
+            # bottom-k (KMV) sketch — the day's 1d/30d distinct-url tiers
+            # merge FROM these persisted arrays bit-exactly (bottom-k is
+            # closed under union), never re-scanning the day's pages.
+            partitions[f"kmv1h/{day}"] = kmv_tier(
+                day_metrics, [], "warc_ts", "url", tier="1h"
+            )
         committed = store.commit_partitions(
             partitions, watermark=max(todo), properties={"stage": "tiers"}
         )
@@ -122,6 +132,10 @@ def run_pipeline(
     pctl_1d_rows = sketch_percentiles(
         sketch_rollup(sketch1h, ["url"], "1d"), ["url"]
     ).count()
+    # ... and daily crawl breadth (unique urls) merged from the committed
+    # hourly KMV arrays the same way.
+    kmv1h = store.read(spark, prefix="kmv1h/")
+    uniq_urls_1d_rows = kmv_distinct(kmv_rollup(kmv1h, [], "1d")).count()
     sketch_sec = time.time() - t0
 
     return {
@@ -131,6 +145,7 @@ def run_pipeline(
         "rolled_rows": tier1h.count(),
         "changepoints": n_cpts,
         "pctl_1d_rows": pctl_1d_rows,
+        "uniq_urls_1d_rows": uniq_urls_1d_rows,
         "tiers_sec": round(tiers_sec, 2),
         "detect_sec": round(detect_sec, 2),
         "sketch_sec": round(sketch_sec, 2),

@@ -28,11 +28,13 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path, pages):
     assert r2["changepoints"] == r1["changepoints"]
 
     # Lineage: one row per committed partition (tier + gorilla + qsketch
-    # per day).
+    # + kmv per day).
     store = SnapshotStore(store_dir)
     lineage = store.lineage(spark).toPandas()
-    assert len(lineage) == 3 * r1["days_total"]
+    assert len(lineage) == 4 * r1["days_total"]
     assert r1["pctl_1d_rows"] > 0 and r2["pctl_1d_rows"] == r1["pctl_1d_rows"]
+    assert r1["uniq_urls_1d_rows"] > 0
+    assert r2["uniq_urls_1d_rows"] == r1["uniq_urls_1d_rows"]
     assert (lineage["bytes"] > 0).all()
 
 
