@@ -82,6 +82,49 @@ def _summarize(counts: DataFrame, group: list[str], m: int) -> DataFrame:
     )
 
 
+def _merge_level(base: DataFrame, group: list[str], m: int) -> DataFrame:
+    """Merge child summaries (group..., n_points, items, err) into one
+    summary per group with err = sum(children errs) + merged (m+1)-th
+    count — in ONE grouping chain, no separate metadata branch or join:
+    ``posexplode`` pins each child's n_points/err onto its FIRST item row
+    (children always hold >= 1 item — a bucket exists only if something
+    was counted), so the child-level sums ride the same (group, item)
+    aggregation and (group) window the item counts already need."""
+    rows = base.select(
+        *group, F.posexplode("items").alias("_pos", "kv"), "n_points", "err"
+    ).select(
+        *group,
+        F.col("kv.item").alias("item"),
+        F.col("kv.cnt").alias("c"),
+        F.when(F.col("_pos") == 0, F.col("n_points")).otherwise(F.lit(0)).alias("_np"),
+        F.when(F.col("_pos") == 0, F.col("err")).otherwise(F.lit(0)).alias("_ec"),
+    )
+    counts = rows.groupBy(*group, "item").agg(
+        F.sum("c").alias("c"), F.sum("_np").alias("_np"), F.sum("_ec").alias("_ec")
+    )
+    w_part = Window.partitionBy(*group)
+    ranked = (
+        counts.withColumn("_n", F.sum("_np").over(w_part))
+        .withColumn("_e", F.sum("_ec").over(w_part))
+        .withColumn(
+            "_rn",
+            F.row_number().over(w_part.orderBy(F.col("c").desc(), F.col("item"))),
+        )
+        .where(F.col("_rn") <= m + 1)
+    )
+    kept = F.when(
+        F.col("_rn") <= m, F.struct(F.col("item"), F.col("c").alias("cnt"))
+    )
+    return ranked.groupBy(*group).agg(
+        F.max("_n").alias("n_points"),
+        F.sort_array(F.collect_list(kept)).alias("items"),
+        (
+            F.max("_e")
+            + F.coalesce(F.max(F.when(F.col("_rn") == m + 1, F.col("c"))), F.lit(0))
+        ).alias("err"),
+    ).select(*group, "n_points", "items", "err")
+
+
 def hh_tier(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -124,8 +167,10 @@ def hh_rollup(
 
         err_out = sum(children err) + c_(m+1)(merged)
 
-    preserving est <= true <= est + err at every depth. Input: output of
-    :func:`hh_tier` (or a prior :func:`hh_rollup`) with the same ``m``."""
+    preserving est <= true <= est + err at every depth. One grouping chain
+    (see :func:`_merge_level`) — no metadata side-branch or join. Input:
+    output of :func:`hh_tier` (or a prior :func:`hh_rollup`) with the same
+    ``m``."""
     _check(to_tier, m)
     key_cols = list(key_cols)
     base = tier_df.select(
@@ -135,23 +180,7 @@ def hh_rollup(
         "items",
         "err",
     )
-    group = [*key_cols, "bucket_start"]
-    meta = base.groupBy(*group).agg(
-        F.sum("n_points").alias("n_points"), F.sum("err").alias("_err_children")
-    )
-    counts = (
-        base.select(*group, F.explode("items").alias("kv"))
-        .select(*group, F.col("kv.item").alias("item"), F.col("kv.cnt").alias("c"))
-        .groupBy(*group, "item")
-        .agg(F.sum("c").alias("c"))
-    )
-    merged = _summarize(counts, group, m).drop("n_points")
-    return (
-        meta.join(merged, group)
-        .withColumn("err", F.col("_err_children") + F.col("_trunc"))
-        .drop("_err_children", "_trunc")
-        .select(*group, "n_points", "items", "err")
-    )
+    return _merge_level(base, [*key_cols, "bucket_start"], m)
 
 
 def hh_hopping(
@@ -191,23 +220,7 @@ def hh_hopping(
     base = tier_df.select(
         *key_cols, win.start.alias("window_start"), "n_points", "items", "err"
     )
-    group = [*key_cols, "window_start"]
-    meta = base.groupBy(*group).agg(
-        F.sum("n_points").alias("n_points"), F.sum("err").alias("_err_children")
-    )
-    counts = (
-        base.select(*group, F.explode("items").alias("kv"))
-        .select(*group, F.col("kv.item").alias("item"), F.col("kv.cnt").alias("c"))
-        .groupBy(*group, "item")
-        .agg(F.sum("c").alias("c"))
-    )
-    merged = _summarize(counts, group, m).drop("n_points")
-    return (
-        meta.join(merged, group)
-        .withColumn("err", F.col("_err_children") + F.col("_trunc"))
-        .drop("_err_children", "_trunc")
-        .select(*group, "n_points", "items", "err")
-    )
+    return _merge_level(base, [*key_cols, "window_start"], m)
 
 
 def hh_topk(
