@@ -447,6 +447,29 @@ def q_hopping_distinct(spark, sf_dir):
     )
 
 
+def q_change_scores(spark, sf_dir):
+    """The north star's third page-metric series: per-key inter-snapshot
+    change scores (operators/changescore.py) — byte-identity break (md5)
+    plus a minhash-agreement Jaccard estimate against the previous
+    snapshot, here over documents with source as the series key and
+    doc_id as the snapshot order. Every hash is md5-based, so the oracle
+    reproduces signatures, match fractions, and score assembly exactly —
+    hash-exact including the estimates."""
+    _configure(spark)
+    from streamchange_spark.operators import snapshot_change_scores
+
+    out = snapshot_change_scores(
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        url_col="source",
+        ts_col="doc_id",
+        text_col="text",
+        num_hashes=8,
+    )
+    return out.select(
+        "source", "doc_id", "text_len", "changed", "jaccard_est", "change_score"
+    )
+
+
 def q_hopping_percentiles(spark, sf_dir):
     """Sliding-window percentiles OFF THE TIER: p50/p99 of value over the
     trailing 24h, every 6h, per event_type — 1h rank sketches replicated
@@ -1751,6 +1774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_topk": q_hopping_topk,
         # --- new round-5: sliding percentiles off the rank-sketch tier ---
         "hopping_percentiles": q_hopping_percentiles,
+        # --- new round-5: inter-snapshot change-score series ---
+        "change_scores": q_change_scores,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -1837,6 +1862,51 @@ sh AS (
                                       i -> array_to_string(tk[i:i+2], ' '))) AS sh
   FROM toks
 )
+"""
+
+
+def _changescore_oracle(k: int = 8) -> str:
+    """Full DuckDB twin of operators/changescore.py over documents (source
+    = series key, doc_id = snapshot order): md5 identity + per-permutation
+    md5 min-hash lag comparison, all engine-reproducible."""
+    mh = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5(s || '#{i}'), 1, 15))::BIGINT)) AS mh_{i}"
+        for i in range(k)
+    )
+    lags = ",\n         ".join(
+        f"lag(mh_{i}) OVER w AS p_{i}" for i in range(k)
+    )
+    mh_names = ", ".join(f"mh_{i}" for i in range(k))
+    hits = " + ".join(f"(mh_{i} = p_{i})::INT" for i in range(k))
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {mh}
+  FROM sh WHERE len(sh) > 0
+),
+base AS (
+  SELECT d.source, d.doc_id, length(d.text) AS text_len, md5(d.text) AS m,
+         s.* EXCLUDE (doc_id)
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+),
+lagd AS (
+  SELECT source, doc_id, text_len, m, {mh_names},
+         lag(m) OVER w AS pm,
+         {lags}
+  FROM base
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+)
+SELECT source, doc_id, text_len,
+       CASE WHEN pm IS NULL THEN NULL ELSE m <> pm END AS changed,
+       CASE WHEN mh_0 IS NOT NULL AND p_0 IS NOT NULL
+            THEN CAST({hits} AS DOUBLE) / {k}.0 END AS jaccard_est,
+       CASE WHEN pm IS NULL THEN NULL
+            WHEN m = pm THEN 0.0
+            ELSE CASE WHEN mh_0 IS NOT NULL AND p_0 IS NOT NULL
+                      THEN 1.0 - CAST({hits} AS DOUBLE) / {k}.0 END
+       END AS change_score
+FROM lagd
 """
 
 
@@ -3205,6 +3275,7 @@ SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY 1
 """,
         "minhash_signatures": _minhash_oracle(),
+        "change_scores": _changescore_oracle(),
         "gapfill_linear": """
 WITH tier AS (
   SELECT user_id, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,

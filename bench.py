@@ -66,6 +66,7 @@ HEADLINE = [
     "hopping_distinct",
     "hopping_topk",
     "hopping_percentiles",
+    "change_scores",
 ]
 
 
