@@ -48,11 +48,88 @@ from pyspark.sql import functions as F
 
 from .dedup import minhash_signatures
 
-__all__ = ["snapshot_change_scores"]
+__all__ = [
+    "snapshot_change_scores",
+    "snapshot_signatures",
+    "change_scores_from_signatures",
+]
 
 #: Row-id separator for the composite (url, ts) surrogate — \x01 cannot
 #: appear in a url and keeps the concat injective.
 _SEP = "\x01"
+
+
+def snapshot_signatures(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    hash_fn: str = "md5",
+    shingler: str = "local",
+) -> DataFrame:
+    """The expensive text pass, split out so pipelines can materialize it
+    incrementally (e.g. one partition per crawl day — pipeline.py commits
+    ``sig/{day}``): (url, ts, text_len, text_md5, mh_0..mh_{k-1}) per
+    snapshot. Signatures depend only on the row's own text, so per-day
+    partials concatenate into the same table a global pass would produce;
+    :func:`change_scores_from_signatures` then scores the FULL series from
+    k+2 small columns per snapshot without ever re-reading text."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
+    rid = F.concat_ws(
+        _SEP, F.col(url_col).cast("string"), F.col(ts_col).cast("string")
+    )
+    src = pages.select(
+        F.col(url_col),
+        F.col(ts_col),
+        rid.alias("_rid"),
+        F.col(text_col).alias("_text"),
+        F.md5(F.col(text_col).cast("binary")).alias("text_md5"),
+        F.length(text_col).cast("long").alias("text_len"),
+    )
+    sig = minhash_signatures(
+        src, "_rid", "_text", num_hashes, shingle_size, hash_fn, shingler
+    )
+    return src.drop("_text").join(sig, "_rid", "left").drop("_rid")
+
+
+def change_scores_from_signatures(
+    sig_df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Score assembly over a (possibly incrementally materialized)
+    signature table: one (url)-partitioned window computes every lag —
+    the same single exchange the per-url detector scan needs anyway."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    prev_md5 = F.lag("text_md5").over(w)
+    changed = F.when(prev_md5.isNotNull(), F.col("text_md5") != prev_md5)
+    matches = None
+    for i in range(num_hashes):
+        hit = F.when(F.col(f"mh_{i}") == F.lag(f"mh_{i}").over(w), 1).otherwise(0)
+        matches = hit if matches is None else matches + hit
+    both_sigs = F.col("mh_0").isNotNull() & F.lag("mh_0").over(w).isNotNull()
+    jaccard_est = F.when(
+        both_sigs, matches.cast("double") / F.lit(float(num_hashes))
+    )
+    change_score = (
+        F.when(changed.isNull(), F.lit(None).cast("double"))
+        .when(~changed, F.lit(0.0))
+        .otherwise(F.lit(1.0) - jaccard_est)
+    )
+    return sig_df.select(
+        url_col,
+        ts_col,
+        "text_len",
+        changed.alias("changed"),
+        jaccard_est.alias("jaccard_est"),
+        change_score.alias("change_score"),
+    )
 
 
 def snapshot_change_scores(
@@ -69,46 +146,10 @@ def snapshot_change_scores(
     snapshot — see module docstring for the semantics of each column.
     ``ts_col`` only needs to be orderable (timestamp, long, ...); rows are
     compared to the previous snapshot of the same ``url_col`` in
-    ``ts_col`` order."""
-    if num_hashes < 1:
-        raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
-    rid = F.concat_ws(
-        _SEP, F.col(url_col).cast("string"), F.col(ts_col).cast("string")
+    ``ts_col`` order. Composition of :func:`snapshot_signatures` (the
+    text pass) and :func:`change_scores_from_signatures` (the window)."""
+    sig = snapshot_signatures(
+        pages, url_col, ts_col, text_col, num_hashes, shingle_size,
+        hash_fn, shingler,
     )
-    src = pages.select(
-        F.col(url_col),
-        F.col(ts_col),
-        rid.alias("_rid"),
-        F.col(text_col).alias("_text"),
-        F.md5(F.col(text_col).cast("binary")).alias("_md5"),
-        F.length(text_col).cast("long").alias("text_len"),
-    )
-    sig = minhash_signatures(
-        src, "_rid", "_text", num_hashes, shingle_size, hash_fn, shingler
-    )
-    joined = src.drop("_text").join(sig, "_rid", "left").drop("_rid")
-
-    w = Window.partitionBy(url_col).orderBy(ts_col)
-    prev_md5 = F.lag("_md5").over(w)
-    changed = F.when(prev_md5.isNotNull(), F.col("_md5") != prev_md5)
-    matches = None
-    for i in range(num_hashes):
-        hit = F.when(F.col(f"mh_{i}") == F.lag(f"mh_{i}").over(w), 1).otherwise(0)
-        matches = hit if matches is None else matches + hit
-    both_sigs = F.col("mh_0").isNotNull() & F.lag("mh_0").over(w).isNotNull()
-    jaccard_est = F.when(
-        both_sigs, matches.cast("double") / F.lit(float(num_hashes))
-    )
-    change_score = (
-        F.when(changed.isNull(), F.lit(None).cast("double"))
-        .when(~changed, F.lit(0.0))
-        .otherwise(F.lit(1.0) - jaccard_est)
-    )
-    return joined.select(
-        url_col,
-        ts_col,
-        "text_len",
-        changed.alias("changed"),
-        jaccard_est.alias("jaccard_est"),
-        change_score.alias("change_score"),
-    )
+    return change_scores_from_signatures(sig, url_col, ts_col, num_hashes)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .kernels import BIC, CUSUM, WindowSegmentor
 from .operators import (
+    change_scores_from_signatures,
     compress_series,
     kmv_distinct,
     kmv_rollup,
@@ -33,6 +34,7 @@ from .operators import (
     sketch_percentiles,
     sketch_rollup,
     sketch_tier,
+    snapshot_signatures,
     window_segmentor_changepoints,
 )
 from .sources.snapshots import SnapshotStore
@@ -48,6 +50,11 @@ def extract_metrics(pages: DataFrame) -> DataFrame:
 
 def default_detector_factory():
     return WindowSegmentor(CUSUM(penalty=BIC(scale=2.0)), 4, 100)
+
+
+#: Minhash components per snapshot signature (RSE of the Jaccard estimate
+#: ~ 1/sqrt(k)); the sig/{day} tier stores k+2 small columns per snapshot.
+SIG_HASHES = 16
 
 
 def run_pipeline(
@@ -103,6 +110,15 @@ def run_pipeline(
             partitions[f"kmv1h/{day}"] = kmv_tier(
                 day_metrics, [], "warc_ts", "url", tier="1h"
             )
+            # The change-score TEXT PASS is also per-day incremental:
+            # signatures depend only on each snapshot's own text, so the
+            # per-day partials concatenate into the same table a global
+            # pass would give; the cross-day score window later reads k+2
+            # small columns per snapshot, never text again.
+            day_pages = pages.where(F.to_date("warc_ts") == F.lit(day))
+            partitions[f"sig/{day}"] = snapshot_signatures(
+                day_pages, "url", "warc_ts", "text", num_hashes=SIG_HASHES
+            )
         committed = store.commit_partitions(
             partitions, watermark=max(todo), properties={"stage": "tiers"}
         )
@@ -138,6 +154,25 @@ def run_pipeline(
     uniq_urls_1d_rows = kmv_distinct(kmv_rollup(kmv1h, [], "1d")).count()
     sketch_sec = time.time() - t0
 
+    # Change-score series + churn change points from the committed per-day
+    # signature partitions: the window crosses day boundaries because the
+    # store read IS the full table — no text re-scan. NULL scores (first
+    # snapshots, sub-shingle texts) ride the detectors' NaN semantics
+    # (dropna, same as the reference).
+    t0 = time.time()
+    sigs = store.read(spark, prefix="sig/")
+    churn = change_scores_from_signatures(
+        sigs, "url", "warc_ts", num_hashes=SIG_HASHES
+    )
+    churn_cpts = window_segmentor_changepoints(
+        churn.where(F.col("change_score").isNotNull()),
+        detector_factory,
+        key_cols=["url"],
+        ts_col="warc_ts",
+        value_cols=["change_score"],
+    ).count()
+    churn_sec = time.time() - t0
+
     return {
         "snapshot_id": committed,
         "days_total": len(days),
@@ -146,6 +181,8 @@ def run_pipeline(
         "changepoints": n_cpts,
         "pctl_1d_rows": pctl_1d_rows,
         "uniq_urls_1d_rows": uniq_urls_1d_rows,
+        "churn_changepoints": churn_cpts,
+        "churn_sec": round(churn_sec, 2),
         "tiers_sec": round(tiers_sec, 2),
         "detect_sec": round(detect_sec, 2),
         "sketch_sec": round(sketch_sec, 2),

@@ -28,13 +28,16 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path, pages):
     assert r2["changepoints"] == r1["changepoints"]
 
     # Lineage: one row per committed partition (tier + gorilla + qsketch
-    # + kmv per day).
+    # + kmv + sig per day).
     store = SnapshotStore(store_dir)
     lineage = store.lineage(spark).toPandas()
-    assert len(lineage) == 4 * r1["days_total"]
+    assert len(lineage) == 5 * r1["days_total"]
     assert r1["pctl_1d_rows"] > 0 and r2["pctl_1d_rows"] == r1["pctl_1d_rows"]
     assert r1["uniq_urls_1d_rows"] > 0
     assert r2["uniq_urls_1d_rows"] == r1["uniq_urls_1d_rows"]
+    # churn series detected from the committed per-day signatures; the
+    # resume run scores the identical persisted table
+    assert r2["churn_changepoints"] == r1["churn_changepoints"]
     assert (lineage["bytes"] > 0).all()
 
 
