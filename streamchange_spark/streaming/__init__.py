@@ -16,6 +16,7 @@ from .detectors import (
     streaming_sequential_detector,
     streaming_window_segmentor,
 )
+from .changescore import change_scores_from_ingest, run_streaming_signature_ingest
 from .heavy_hitters import hh_tier_from_ingest, run_streaming_hh_ingest
 from .kmv import kmv_tier_from_ingest, run_streaming_kmv_ingest
 from .qsketch import run_streaming_sketch_ingest, sketch_tier_from_ingest
@@ -23,6 +24,7 @@ from .rollup import streaming_rollup_raw
 from .sessions import streaming_sessions
 
 __all__ = [
+    "change_scores_from_ingest",
     "corpus_verdicts_from_ingest",
     "hh_tier_from_ingest",
     "incremental_verdicts_from_ingest",
@@ -32,6 +34,7 @@ __all__ = [
     "run_streaming_hh_ingest",
     "run_streaming_kmv_ingest",
     "run_streaming_line_dedup",
+    "run_streaming_signature_ingest",
     "run_streaming_sketch_ingest",
     "sketch_tier_from_ingest",
     "streaming_capa",

@@ -340,3 +340,69 @@ def test_streaming_hh_tier_invariant_over_ingest(spark, tmp_path):
         for (k2, b2, item), t in true.items():
             if k2 == key and b2 == bucket and t > err:
                 assert item in est_map, (key, bucket, item, t, err)
+
+
+def test_streaming_signature_ingest_scores_bit_equal_batch(spark, tmp_path):
+    """Crawl dumps streamed into per-micro-batch snapshot signatures; the
+    scored series over the accumulated table bit-equals a batch
+    snapshot_change_scores over the union — lags cross micro-batch
+    boundaries because the score window reads the whole ingested table.
+    The fixture interleaves urls across dumps so consecutive snapshots of
+    one url genuinely land in different micro-batches."""
+    from pyspark.sql import functions as F
+
+    from streamchange_spark.operators import snapshot_change_scores
+    from streamchange_spark.streaming import (
+        change_scores_from_ingest,
+        run_streaming_signature_ingest,
+    )
+
+    rng = np.random.RandomState(19)
+    base = pd.Timestamp("2024-03-01").value // 10**9
+    texts = [
+        "the quick brown fox jumps over the lazy dog once more today",
+        "the quick brown fox jumps over the sleepy cat once more today",
+        "entirely new content appears on this page after the big rewrite",
+        "tiny",
+    ]
+    rows = []
+    for snap in range(6):
+        for u in range(8):
+            rows.append(
+                {
+                    "url": f"https://site{u}.test/page",
+                    "warc_ts": pd.Timestamp(
+                        base + snap * 86400 + u * 60, unit="s"
+                    ),
+                    "text": texts[rng.randint(0, len(texts))],
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    src = tmp_path / "crawl"
+    src.mkdir()
+    # chop by snapshot round: url series span every dump
+    for snap in range(6):
+        pdf.iloc[snap * 8 : (snap + 1) * 8].to_parquet(
+            src / f"dump{snap}.parquet", coerce_timestamps="us"
+        )
+
+    sig_path = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt_sig")
+    k = 8
+    run_streaming_signature_ingest(
+        spark, str(src), sig_path, ckpt,
+        "url string, warc_ts timestamp, text string",
+        num_hashes=k, max_files_per_trigger=2, timeout_sec=300,
+    )
+    streamed = change_scores_from_ingest(spark, sig_path, num_hashes=k)
+    batch = snapshot_change_scores(
+        spark.createDataFrame(pdf), num_hashes=k
+    )
+    key = ["url", "warc_ts"]
+    pd.testing.assert_frame_equal(
+        streamed.orderBy(*key).toPandas(), batch.orderBy(*key).toPandas()
+    )
+    # sanity: the fixture produced real transitions
+    got = streamed.toPandas()
+    assert (got["change_score"].dropna() > 0).any()
+    assert (got["change_score"].dropna() == 0).any()
