@@ -470,6 +470,28 @@ def q_change_scores(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """Canonical text normalization (textstats.normalize_text): strip
+    control bytes -> NFC (the one Arrow pandas step; Spark has no unicode-
+    normalize builtin) -> lowercase -> collapse ASCII whitespace — the
+    pre-dedup canonicalization step. DuckDB twin: nfc_normalize +
+    regexp_replace, byte-identical (incl. ligature/fullwidth/combining
+    cases, covered by the unit mirror test)."""
+    _configure(spark)
+    from streamchange_spark.operators import normalize_text
+
+    out = normalize_text(
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        "text",
+        nfc=True,
+        lowercase=True,
+        collapse_whitespace=True,
+        strip_controls=True,
+    )
+    return out.select("doc_id", F.md5("text_norm").alias("norm_md5"),
+                      F.length("text_norm").cast("long").alias("norm_len"))
+
+
 def q_hopping_percentiles(spark, sf_dir):
     """Sliding-window percentiles OFF THE TIER: p50/p99 of value over the
     trailing 24h, every 6h, per event_type — 1h rank sketches replicated
@@ -1776,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_percentiles": q_hopping_percentiles,
         # --- new round-5: inter-snapshot change-score series ---
         "change_scores": q_change_scores,
+        # --- new round-5: canonical text normalization ---
+        "normalize_text": q_normalize_text,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -3276,6 +3300,18 @@ FROM documents GROUP BY 1
 """,
         "minhash_signatures": _minhash_oracle(),
         "change_scores": _changescore_oracle(),
+        "normalize_text": """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           lower(nfc_normalize(
+             regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')
+           )),
+           '\\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id, md5(t) AS norm_md5, length(t) AS norm_len FROM n
+""",
         "gapfill_linear": """
 WITH tier AS (
   SELECT user_id, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,

@@ -67,6 +67,7 @@ HEADLINE = [
     "hopping_topk",
     "hopping_percentiles",
     "change_scores",
+    "normalize_text",
 ]
 
 

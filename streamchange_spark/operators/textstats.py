@@ -679,3 +679,47 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias(chunk_col),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    nfc: bool = True,
+    lowercase: bool = False,
+    collapse_whitespace: bool = False,
+    strip_controls: bool = False,
+) -> DataFrame:
+    """Canonical text normalization — the step that runs BEFORE hashing/
+    dedup so that byte-different-but-equivalent texts (decomposed accents,
+    stray control bytes, whitespace runs) collapse to one form. Applied in
+    a fixed order: strip control chars -> NFC -> lowercase -> collapse
+    whitespace (each opt-in).
+
+    Everything except NFC is a JVM regexp/lower projection. Unicode
+    normalization has no Spark builtin, so the NFC step is the one
+    Arrow-batched pandas piece (``Series.str.normalize`` — skipped
+    entirely when ``nfc=False``, keeping the all-JVM fast path); it is
+    byte-identical to DuckDB's ``nfc_normalize`` (verified incl.
+    ligatures / fullwidth / combining marks), which keeps the driver
+    oracle hash-exact. NULL text stays NULL. Whitespace collapse uses
+    ASCII ``\\s`` semantics — Java regex and DuckDB's RE2 agree; NBSP and
+    other unicode spaces are PRESERVED (and NFC keeps them), matching the
+    tokenizer convention used across this package."""
+    col = F.col(text_col)
+    if strip_controls:
+        col = F.regexp_replace(col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if nfc:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        @pandas_udf(StringType())
+        def _nfc(s):
+            return s.str.normalize("NFC")
+
+        col = _nfc(col)
+    if lowercase:
+        col = F.lower(col)
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return df.withColumn(out_col, col)

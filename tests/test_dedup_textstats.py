@@ -905,3 +905,68 @@ def test_ivf_pq_index_serving(spark, embs, tmp_path):
     got = pruned.toPandas().groupby("query_id")["vec_id"].apply(set)
     recall = np.mean([len(exact[q] & got.get(q, set())) / 5 for q in exact.index])
     assert recall >= 0.5, recall
+
+
+def test_normalize_text_matches_python_mirror(spark):
+    """NFC + cleanup normalization agrees exactly with a unicodedata
+    mirror on adversarial unicode (decomposed accents, ligatures,
+    fullwidth digits, control bytes, whitespace runs), NULLs pass
+    through, and the all-JVM path (nfc=False) plans no Python stage."""
+    import unicodedata
+
+    from streamchange_spark.operators import normalize_text
+
+    texts = [
+        "café du   monde",          # decomposed accent + ws run
+        "ﬁle  with\tligature",        # fi ligature
+        "１２３ fullwidth",    # fullwidth digits (NFC keeps)
+        "ctrl\x00\x07bytes\x7fhere",       # control chars
+        "  MiXeD Case NBSP  ",        # NBSP: not ASCII \s, preserved
+        None,
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: r.text_norm
+        for r in normalize_text(
+            df, nfc=True, lowercase=True, collapse_whitespace=True,
+            strip_controls=True,
+        ).collect()
+    }
+
+    import re
+    def mirror(t):
+        if t is None:
+            return None
+        t = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", t)
+        t = unicodedata.normalize("NFC", t)
+        t = t.lower()
+        # ASCII \s: Java regex and DuckDB's RE2 both treat \s as ASCII
+        # whitespace (NBSP preserved); Python needs the explicit flag.
+        t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
+        return t
+
+    for i, t in enumerate(texts):
+        want = mirror(t)
+        assert got[i] == want, (i, repr(got[i]), repr(want))
+
+    # idempotence: normalizing the output is a no-op
+    ndf = normalize_text(
+        df, nfc=True, lowercase=True, collapse_whitespace=True,
+        strip_controls=True,
+    ).select("i", F.col("text_norm").alias("text"))
+    again = {
+        r.i: r.text_norm
+        for r in normalize_text(
+            ndf, nfc=True, lowercase=True, collapse_whitespace=True,
+            strip_controls=True,
+        ).collect()
+    }
+    assert again == got
+
+    # all-JVM path: no Python evaluation node when nfc is off
+    plan = (
+        normalize_text(df, nfc=False, lowercase=True, collapse_whitespace=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "MapInPandas" not in plan
