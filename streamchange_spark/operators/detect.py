@@ -55,6 +55,39 @@ def _values(pdf: pd.DataFrame, value_cols: Sequence[str]) -> np.ndarray:
     return pdf[list(value_cols)].to_numpy(dtype=np.float64)
 
 
+def zscore_per_key(x: np.ndarray, ddof: int = 1) -> np.ndarray:
+    """Per-column z-score of one key's (already ts-sorted) value array.
+
+    The reference's detector convention assumes ~unit-variance input: its
+    examples feed `simulate()` unit-variance Gaussians straight into
+    CUSUM+BIC (reference interactive/example_cusum.py:7-9), and the squared
+    CUSUM score is in data-variance units while the BIC penalty is in
+    unit-variance units. A raw series in [0,1] (e.g. change scores) can
+    therefore NEVER clear the default penalty at max_window=100
+    (max score k(n-k)/n * 1^2 = 25 < 2*2*log(10000) = 36.8), while a raw
+    series in the hundreds alarms on pure noise. Standardizing per key is
+    the documented preprocessing step, done HERE — inside the grouped UDF
+    after the ts sort — so it is bit-deterministic (no partition-order-
+    dependent float merges) and adds no exchange beyond the one the
+    detector scan already performs.
+
+    Zero-variance columns map to NaN: the detectors' reference NaN
+    semantics (dropna) then skip them — a constant series has no change
+    points by definition.
+    """
+    x2 = x.astype(np.float64, copy=True)
+    cols = x2.reshape(len(x2), -1) if x2.ndim == 1 else x2
+    with np.errstate(invalid="ignore"):
+        mean = np.nanmean(cols, axis=0)
+        n_eff = np.sum(~np.isnan(cols), axis=0)
+        sd = np.where(
+            n_eff > ddof, np.nanstd(cols, axis=0, ddof=ddof), np.nan
+        )
+        sd = np.where(sd > 0.0, sd, np.nan)
+        out = (cols - mean) / sd
+    return out[:, 0] if x2.ndim == 1 else out
+
+
 def window_segmentor_changepoints(
     df: DataFrame,
     detector_factory: Callable,
@@ -63,8 +96,14 @@ def window_segmentor_changepoints(
     value_cols: Sequence[str] = ("value",),
     num_partitions: int | None = None,
     assume_partitioned: bool = False,
+    standardize: bool = False,
 ) -> DataFrame:
-    """(keys..., detection_ts, changepoint_ts) — one row per detected change."""
+    """(keys..., detection_ts, changepoint_ts) — one row per detected change.
+
+    ``standardize=True`` z-scores each key's series (per column) before the
+    detector runs — see :func:`zscore_per_key`; default False preserves
+    reference-exact raw semantics.
+    """
     key_cols = list(key_cols)
     schema = StructType(
         _key_fields(df, key_cols)
@@ -74,7 +113,10 @@ def window_segmentor_changepoints(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         detector = detector_factory()
-        detector.fit(_values(pdf, value_cols), times=pdf[ts_col].to_numpy())
+        vals = _values(pdf, value_cols)
+        if standardize:
+            vals = zscore_per_key(vals)
+        detector.fit(vals, times=pdf[ts_col].to_numpy())
         keys = {c: pdf[c].iloc[0] for c in key_cols}
         rows = [
             {**keys, "detection_ts": d, "changepoint_ts": c}

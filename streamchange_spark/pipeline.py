@@ -132,12 +132,18 @@ def run_pipeline(
     hourly_mean = tier1h.select(
         "url", "bucket_start", (F.col("sum_v") / F.col("n_points")).alias("v")
     )
+    # standardize=True: the detectors' score/penalty calibration assumes
+    # ~unit-variance input (the reference's own examples feed unit-variance
+    # simulate() data); raw hourly text_len means are in the hundreds, which
+    # would alarm on pure noise. Per-key z-scoring happens inside the
+    # grouped UDF after the ts sort — deterministic, no extra exchange.
     cpts = window_segmentor_changepoints(
         hourly_mean,
         detector_factory,
         key_cols=["url"],
         ts_col="bucket_start",
         value_cols=["v"],
+        standardize=True,
     )
     n_cpts = cpts.count()
     detect_sec = time.time() - t0
@@ -164,12 +170,19 @@ def run_pipeline(
     churn = change_scores_from_signatures(
         sigs, "url", "warc_ts", num_hashes=SIG_HASHES
     )
+    # standardize=True for the same reason as the text_len stage above —
+    # and more acutely: a raw [0,1] change-score series can NEVER clear the
+    # default BIC penalty at max_window=100 (max squared-CUSUM 25 < 36.8),
+    # so without it this stage is structurally unable to fire. Constant
+    # (all-zero churn) urls z-score to NaN and are dropped by the
+    # detectors' reference NaN semantics.
     churn_cpts = window_segmentor_changepoints(
         churn.where(F.col("change_score").isNotNull()),
         detector_factory,
         key_cols=["url"],
         ts_col="warc_ts",
         value_cols=["change_score"],
+        standardize=True,
     ).count()
     churn_sec = time.time() - t0
 

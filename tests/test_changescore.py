@@ -117,3 +117,100 @@ def test_partition_invariance_and_detector_composition(spark, snapshots):
 
     with pytest.raises(ValueError, match="num_hashes"):
         snapshot_change_scores(df, num_hashes=0)
+
+
+def test_churn_detector_fires_on_regime_shift(spark):
+    """Positive control for the pipeline's churn stage (pipeline.py:163-173):
+    a url whose change-score regime shifts (stable -> rewritten on every
+    crawl) must be flagged by the exact detector composition run_pipeline
+    uses, and a url with a stationary all-zero churn series must not be.
+    Guards against the failure mode where churn_changepoints == 0 in the
+    pipeline metrics silently means "series was all NULL/zero by bug"
+    rather than "no regime shifts in the data"."""
+    from streamchange_spark.operators import (
+        change_scores_from_signatures,
+        snapshot_signatures,
+        window_segmentor_changepoints,
+    )
+    from streamchange_spark.pipeline import default_detector_factory
+
+    stable_text = " ".join(f"word{i}" for i in range(30))
+    rows = [("stable", t, stable_text) for t in range(1, 61)]
+    rows += [("shifting", t, stable_text) for t in range(1, 31)]
+    rows += [
+        # disjoint shingle set per snapshot -> change_score exactly 1.0
+        ("shifting", t, " ".join(f"w{t}x{i}" for i in range(30)))
+        for t in range(31, 61)
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long, text string")
+
+    sigs = snapshot_signatures(df, "url", "ts", "text", num_hashes=K)
+    churn = change_scores_from_signatures(sigs, "url", "ts", num_hashes=K)
+
+    # sanity on the series itself: zeros before the shift, ones after
+    vals = {
+        (r.url, r.ts): r.change_score
+        for r in churn.where(F.col("change_score").isNotNull()).collect()
+    }
+    assert vals[("shifting", 30)] == 0.0
+    assert vals[("shifting", 31)] == 1.0 and vals[("shifting", 60)] == 1.0
+    assert all(vals[("stable", t)] == 0.0 for t in range(2, 61))
+
+    scored = churn.where(F.col("change_score").isNotNull())
+
+    # Raw [0,1] scores structurally cannot clear the default BIC penalty
+    # at max_window=100 (max squared-CUSUM k(n-k)/n * 1^2 = 25 < 36.8) —
+    # this is WHY the pipeline standardizes (pipeline.py churn stage).
+    raw = window_segmentor_changepoints(
+        scored,
+        default_detector_factory,
+        key_cols=["url"],
+        ts_col="ts",
+        value_cols=["change_score"],
+    ).count()
+    assert raw == 0
+
+    cpts = window_segmentor_changepoints(
+        scored,
+        default_detector_factory,
+        key_cols=["url"],
+        ts_col="ts",
+        value_cols=["change_score"],
+        standardize=True,
+    ).collect()
+    by_url: dict = {}
+    for r in cpts:
+        by_url.setdefault(r.url, []).append(r.changepoint_ts)
+    # all-zero series z-scores to NaN -> dropna -> no alarms
+    assert "stable" not in by_url
+    assert by_url.get("shifting")  # the regime shift is detected...
+    # ...and the earliest detected changepoint localizes near ts=31
+    assert 28 <= min(by_url["shifting"]) <= 34
+
+
+def test_zscore_per_key_unit():
+    import numpy as np
+
+    from streamchange_spark.operators.detect import zscore_per_key
+
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    z = zscore_per_key(x)
+    assert np.allclose(z.mean(), 0.0) and np.allclose(z.std(ddof=1), 1.0)
+    assert z[0] < z[1] < z[2] < z[3]  # order-preserving
+
+    # constant column -> NaN (dropped downstream by detector dropna)
+    assert np.isnan(zscore_per_key(np.full(5, 7.0))).all()
+    # too-short series (n <= ddof) -> NaN, not a divide-by-zero
+    assert np.isnan(zscore_per_key(np.array([3.0]))).all()
+
+    # 2-d: per-column, one constant column does not poison the other
+    m = np.column_stack([np.arange(6.0), np.full(6, 2.0)])
+    zm = zscore_per_key(m)
+    assert np.allclose(zm[:, 0].mean(), 0.0)
+    assert np.isnan(zm[:, 1]).all()
+
+    # NaN rows pass through as NaN and are excluded from the moments
+    xn = np.array([1.0, np.nan, 2.0, 3.0, 4.0])
+    zn = zscore_per_key(xn)
+    assert np.isnan(zn[1])
+    assert np.allclose(zn[[0, 2, 3, 4]], zscore_per_key(x))
