@@ -117,7 +117,15 @@ def run_pipeline(
             # small columns per snapshot, never text again.
             day_pages = pages.where(F.to_date("warc_ts") == F.lit(day))
             partitions[f"sig/{day}"] = snapshot_signatures(
-                day_pages, "url", "warc_ts", "text", num_hashes=SIG_HASHES
+                day_pages, "url", "warc_ts", "text", num_hashes=SIG_HASHES,
+                # xxhash = the scale default (same convention as the corpus
+                # stage): the md5 default exists for cross-engine oracle
+                # reproducibility, but its 16 JVM digests per shingle made
+                # the signature pass 3.4-4.5x slower than xxhash64 at every
+                # parallelism level (BASELINE.md churn rows). Change-score
+                # semantics only compare signature equality, so the hash
+                # choice is statistically neutral.
+                hash_fn="xxhash",
             )
         committed = store.commit_partitions(
             partitions, watermark=max(todo), properties={"stage": "tiers"}

@@ -38,6 +38,7 @@ def run_streaming_signature_ingest(
     num_hashes: int = 16,
     max_files_per_trigger: int | None = None,
     timeout_sec: int = 600,
+    hash_fn: str = "xxhash",
 ) -> None:
     """Signature every unprocessed crawl file under ``input_path``
     (availableNow) into per-micro-batch rows at ``sig_path``. Resume-safe:
@@ -49,8 +50,11 @@ def run_streaming_signature_ingest(
     stream = reader.parquet(input_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # hash_fn defaults to xxhash — the batch pipeline's production
+        # default (pipeline.py sig stage); md5 remains available for
+        # cross-engine oracle replay.
         part = snapshot_signatures(
-            batch_df, url_col, ts_col, text_col, num_hashes
+            batch_df, url_col, ts_col, text_col, num_hashes, hash_fn=hash_fn
         )
         (
             part.withColumn("_batch_id", F.lit(batch_id))

@@ -395,8 +395,10 @@ def test_streaming_signature_ingest_scores_bit_equal_batch(spark, tmp_path):
         num_hashes=k, max_files_per_trigger=2, timeout_sec=300,
     )
     streamed = change_scores_from_ingest(spark, sig_path, num_hashes=k)
+    # both sides on the production hash default (streaming ingest defaults
+    # to xxhash, matching pipeline.py's sig stage)
     batch = snapshot_change_scores(
-        spark.createDataFrame(pdf), num_hashes=k
+        spark.createDataFrame(pdf), num_hashes=k, hash_fn="xxhash"
     )
     key = ["url", "warc_ts"]
     pd.testing.assert_frame_equal(

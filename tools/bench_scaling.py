@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 ALL_STAGES = (
     "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
     "sessions_sorted", "sketch", "freq", "increment", "lines",
-    "lines_increment",
+    "lines_increment", "churn",
 )
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 SORTED_BUCKETS = 64
@@ -289,6 +289,50 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         ).format("noop").save()
         out["corpus_sec"] = round(time.time() - t0, 2)
         feats.unpersist()
+
+    if "churn" in stages:
+        # The pipeline's third page-metric series (run_pipeline's sig/churn
+        # stages): per-snapshot minhash signatures (the one text pass —
+        # shuffle carries k+2 small columns per snapshot, never text),
+        # inter-snapshot Jaccard change scores (lag window per url), then
+        # the standardized churn change-point scan. Hash-sampled to a third
+        # of the urls so the signature pass dominates the per-job fixed
+        # costs (~10-15 s: Python-worker spin-up, stage scheduling) while
+        # 2-core repeats stay bounded.
+        from streamchange_spark.operators import (
+            change_scores_from_signatures,
+            snapshot_signatures,
+        )
+        from streamchange_spark.pipeline import SIG_HASHES, default_detector_factory
+
+        t0 = time.time()
+        churn_pages = pages.where(
+            F.pmod(F.xxhash64("url"), F.lit(3)) == 0
+        ).select("url", "warc_ts", "text")
+        sigs = snapshot_signatures(
+            churn_pages, "url", "warc_ts", "text", num_hashes=SIG_HASHES,
+            # xxhash = the pipeline's production hash (md5 is the oracle-
+            # reproducibility default; its 16 JVM digests per shingle made
+            # this stage 3.4-4.5x slower — BASELINE.md churn rows)
+            hash_fn="xxhash",
+        ).persist()
+        out["churn_snapshots"] = sigs.count()
+        out["churn_sig_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        churn = change_scores_from_signatures(
+            sigs, "url", "warc_ts", num_hashes=SIG_HASHES
+        )
+        out["churn_changepoints"] = window_segmentor_changepoints(
+            churn.where(F.col("change_score").isNotNull()),
+            default_detector_factory,
+            key_cols=["url"],
+            ts_col="warc_ts",
+            value_cols=["change_score"],
+            standardize=True,
+        ).count()
+        out["churn_detect_sec"] = round(time.time() - t0, 2)
+        sigs.unpersist()
 
     if "sessions" in stages:
         # Crawl-activity sessionization over the full pages table: per-url
@@ -550,6 +594,10 @@ def _derive(merged: dict) -> dict:
         merged["increment_speedup_vs_global"] = round(
             merged["increment_global_sec"] / merged["increment_sec"], 2
         )
+    if "churn_sig_sec" in merged:
+        merged["churn_snapshots_per_sec"] = round(
+            merged["churn_snapshots"] / merged["churn_sig_sec"], 1
+        )
     if all(f"{s}_sec" in merged for s in PIPELINE_STAGES):
         merged["pipeline_sec"] = round(
             sum(merged[f"{s}_sec"] for s in PIPELINE_STAGES), 2
@@ -631,6 +679,8 @@ def main():
         "lines_increment_global": "lines_inc_global_sec",
         "increment_global": "increment_global_sec",
         "pipeline": "pipeline_rows_per_sec",
+        "churn_sig": "churn_snapshots_per_sec",
+        "churn_detect": "churn_detect_sec",
     }
 
     def thr(r, key):
