@@ -137,9 +137,13 @@ def sequential_scores(
     value_cols: Sequence[str] = ("value",),
     alarms_only: bool = False,
     num_partitions: int | None = None,
+    standardize: bool = False,
 ) -> DataFrame:
     """(keys..., ts, penalised_score, is_alarm) — the full per-point score
-    path of a SequentialChangeDetector (or only the alarm rows)."""
+    path of a SequentialChangeDetector (or only the alarm rows).
+    ``standardize=True`` z-scores each key's series per column first (see
+    :func:`zscore_per_key` — the reference assumes ~unit-variance input);
+    default False is reference-exact raw semantics."""
     key_cols = list(key_cols)
     schema = StructType(
         _key_fields(df, key_cols)
@@ -153,7 +157,10 @@ def sequential_scores(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         detector = detector_factory()
-        detector.fit(_values(pdf, value_cols), times=pdf[ts_col].to_numpy())
+        vals = _values(pdf, value_cols)
+        if standardize:
+            vals = zscore_per_key(vals)
+        detector.fit(vals, times=pdf[ts_col].to_numpy())
         out = pd.DataFrame(
             {
                 "ts": detector.times_,
@@ -179,11 +186,14 @@ def pelt_segments(
     ts_col: str = "ts",
     value_col: str = "value",
     num_partitions: int | None = None,
+    standardize: bool = False,
 ) -> DataFrame:
     """(keys..., start_ts, end_ts, size) — optimal-partitioning segments from
     the online Pelt detector; segments are emitted in ascending start order
     (the reference's descending changepoints_ quirk is a list-order artifact,
-    preserved in the kernel, normalized here for relational consumption)."""
+    preserved in the kernel, normalized here for relational consumption).
+    ``standardize=True`` z-scores each key's series first — the reference's
+    Pelt docs assume standardized input (reference pelt/pelt.py:12)."""
     key_cols = list(key_cols)
     schema = StructType(
         _key_fields(df, key_cols)
@@ -197,9 +207,10 @@ def pelt_segments(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         detector = detector_factory()
-        detector.fit(
-            pdf[value_col].to_numpy(dtype=np.float64), times=pdf[ts_col].to_numpy()
-        )
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        if standardize:
+            vals = zscore_per_key(vals)
+        detector.fit(vals, times=pdf[ts_col].to_numpy())
         keys = {c: pdf[c].iloc[0] for c in key_cols}
         rows = [
             {**keys, "start_ts": s["start"], "end_ts": s["end"], "size": s["size"]}
@@ -218,9 +229,12 @@ def capa_anomalies(
     ts_col: str = "ts",
     value_col: str = "value",
     num_partitions: int | None = None,
+    standardize: bool = False,
 ) -> DataFrame:
     """(keys..., start_ts, end_ts, size, kind) with kind in
-    {'collective', 'point'}."""
+    {'collective', 'point'}. ``standardize=True`` z-scores each key's
+    series first — the reference's Capa docs assume standardized input
+    (reference capa/capa.py:12)."""
     key_cols = list(key_cols)
     schema = StructType(
         _key_fields(df, key_cols)
@@ -235,9 +249,10 @@ def capa_anomalies(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         detector = detector_factory()
-        detector.fit(
-            pdf[value_col].to_numpy(dtype=np.float64), times=pdf[ts_col].to_numpy()
-        )
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        if standardize:
+            vals = zscore_per_key(vals)
+        detector.fit(vals, times=pdf[ts_col].to_numpy())
         keys = {c: pdf[c].iloc[0] for c in key_cols}
         rows = [
             {**keys, "start_ts": a["start"], "end_ts": a["end"], "size": a["size"], "kind": "collective"}
@@ -260,10 +275,12 @@ def offline_pelt_segments(
     ts_col: str = "ts",
     value_cols: Sequence[str] = ("value",),
     num_partitions: int | None = None,
+    standardize: bool = False,
 ) -> DataFrame:
     """(keys..., start_ts, end_ts, size) from the pruned offline PELT; the
     whole per-key series is segmented at once (positions map back to the
-    sorted time index)."""
+    sorted time index). ``standardize=True`` z-scores each key's series
+    per column first (see :func:`zscore_per_key`)."""
     key_cols = list(key_cols)
     schema = StructType(
         _key_fields(df, key_cols)
@@ -278,7 +295,10 @@ def offline_pelt_segments(
         pdf = pdf.sort_values(ts_col)
         times = pdf[ts_col].to_numpy()
         detector = detector_factory()
-        detector.fit(_values(pdf, value_cols))
+        vals = _values(pdf, value_cols)
+        if standardize:
+            vals = zscore_per_key(vals)
+        detector.fit(vals)
         keys = {c: pdf[c].iloc[0] for c in key_cols}
         rows = [
             {

@@ -442,3 +442,95 @@ def test_figure_frames_max_frames_subsamples(spark):
     last = capped[capped.frame_id == capped["frame_id"].max()]
     assert last["frame_ts"].iloc[0] == pdf["ts"].iloc[-1]
     assert len(last) == len(pdf)
+
+
+def test_standardize_equals_prestandardized_input(spark):
+    """standardize=True on every grouped detector operator == running the
+    same operator (standardize=False) over a table whose values were
+    z-scored per key up front. The fixture scales/offsets each key's series
+    (x*50+300) so raw and standardized runs genuinely differ — the raw run
+    over scaled data must NOT match the oracle segmentation, proving the
+    flag changes behaviour, while the standardized run must exactly."""
+    from streamchange_spark.operators.detect import zscore_per_key
+
+    frames = []
+    for key, kw in FIXTURES.items():
+        x = simulate(**kw)[:, 0] * 50.0 + 300.0
+        frames.append(
+            pd.DataFrame(
+                {
+                    "key": key,
+                    "t": np.arange(x.size),
+                    "value": x,
+                    "value_z": zscore_per_key(x),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=1)
+    df = spark.createDataFrame(pdf)
+    raw = df.select("key", "t", "value")
+    pre = df.select("key", "t", df.value_z.alias("value"))
+
+    cases = [
+        (
+            window_segmentor_changepoints,
+            dict(key_cols=["key"], ts_col="t", value_cols=["value"]),
+            lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=10)), 4, 100),
+            ["key", "detection_ts", "changepoint_ts"],
+        ),
+        (
+            sequential_scores,
+            dict(key_cols=["key"], ts_col="t", value_cols=["value"]),
+            lambda: SequentialChangeDetector(
+                LordenPollakScore(rho=1.0).penalise(20.0),
+                reset_on_change=True,
+                restart_delay=5,
+            ),
+            ["key", "ts", "penalised_score", "is_alarm"],
+        ),
+        (
+            pelt_segments,
+            dict(key_cols=["key"], ts_col="t", value_col="value"),
+            lambda: Pelt(L2Cost(), minsl=2, maxsl=10000),
+            ["key", "start_ts", "end_ts", "size"],
+        ),
+        (
+            capa_anomalies,
+            dict(key_cols=["key"], ts_col="t", value_col="value"),
+            lambda: Capa(
+                ConstMeanL2(), minsl=2, maxsl=1000, predict_point_anomalies=True
+            ),
+            ["key", "start_ts", "end_ts", "size", "kind"],
+        ),
+        (
+            offline_pelt_segments,
+            dict(key_cols=["key"], ts_col="t", value_cols=["value"]),
+            lambda: OfflinePelt(minsl=2),
+            ["key", "start_ts", "end_ts", "size"],
+        ),
+    ]
+    for op, kw, factory, sort_cols in cases:
+        std = (
+            op(raw, factory, standardize=True, **kw)
+            .toPandas()
+            .sort_values(sort_cols)
+            .reset_index(drop=True)
+        )
+        manual = (
+            op(pre, factory, **kw)
+            .toPandas()
+            .sort_values(sort_cols)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(std, manual), op.__name__
+
+    # the flag has teeth: raw scaled input segments differently under Pelt
+    raw_out = pelt_segments(
+        raw, lambda: Pelt(L2Cost(), minsl=2, maxsl=10000),
+        key_cols=["key"], ts_col="t", value_col="value",
+    ).toPandas()
+    std_out = pelt_segments(
+        raw, lambda: Pelt(L2Cost(), minsl=2, maxsl=10000),
+        key_cols=["key"], ts_col="t", value_col="value", standardize=True,
+    ).toPandas()
+    assert len(raw_out) != len(std_out)
