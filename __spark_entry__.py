@@ -729,6 +729,23 @@ def q_rolling_zscore(spark, sf_dir):
     )
 
 
+def q_standardize(spark, sf_dir):
+    """Per-key z-score of the full series (detect.standardize_per_key):
+    the all-JVM window-aggregate twin of the detectors' in-UDF
+    ``standardize=True`` preprocessing — one hash exchange on the key,
+    whole plan in codegen, constant/1-point keys -> NULL. Rounded at 6 dp
+    on both sides."""
+    _configure(spark)
+    from streamchange_spark.operators import standardize_per_key
+
+    out = standardize_per_key(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "value"),
+        ["user_id"],
+        ["value"],
+    )
+    return out.select("event_id", F.round("value", 6).alias("value_z"))
+
+
 # ---------------------------------------------------------------------------
 # Dedup / similarity / text analysis (documents + embeddings)
 # ---------------------------------------------------------------------------
@@ -1770,6 +1787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are covered by the four ann_* queries in-window) and
     # segmentation_stats (segmentation_with_stats closure NOT edited;
     # kernel-exact pytest + reference_parity green this round).
+    # multivariate_alarms sits right at the window edge (position 51): its
+    # edited closure is sequential_scores — driver-checked in-window via
+    # sequential_alarms — and the AggregatedScore multi-column path it
+    # uniquely exercises has kernel-exact pytest parity.
     return {
         # --- r4-dark queries on files changed since their last green row ---
         "token_count": q_token_count,
@@ -1803,6 +1824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_scores": q_change_scores,
         # --- new round-5: canonical text normalization ---
         "normalize_text": q_normalize_text,
+        # --- new round-5: all-JVM per-key standardization (the detectors'
+        # documented preprocessing, SQL-checkable) ---
+        "standardize": q_standardize,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -3274,6 +3298,13 @@ SELECT user_id, session_id,
        round((epoch_ms(max(ts)) - epoch_ms(min(ts))) / 1000.0, 3) AS duration_sec,
        round(sum(value), 4) AS sum_value
 FROM sess GROUP BY 1, 2
+""",
+        "standardize": """
+SELECT event_id,
+       round((value - avg(value) OVER (PARTITION BY user_id))
+             / nullif(stddev_samp(value) OVER (PARTITION BY user_id), 0),
+             6) AS value_z
+FROM events
 """,
         "rolling_zscore": """
 WITH z AS (

@@ -68,6 +68,7 @@ HEADLINE = [
     "hopping_percentiles",
     "change_scores",
     "normalize_text",
+    "standardize",
 ]
 
 

@@ -88,6 +88,44 @@ def zscore_per_key(x: np.ndarray, ddof: int = 1) -> np.ndarray:
     return out[:, 0] if x2.ndim == 1 else out
 
 
+def standardize_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    ddof: int = 1,
+) -> DataFrame:
+    """All-JVM twin of :func:`zscore_per_key`: replace each value column
+    with its per-key z-score via window aggregates — no Python crossing,
+    whole plan in codegen, SQL-expressible (driver oracle ``standardize``).
+
+    Use this to pre-standardize a series table once and feed MANY detector
+    scans (standardize=False), or when the standardized series itself is
+    the product; the in-UDF ``standardize=True`` flag is the zero-extra-
+    cost path when a single detector scan is the only consumer. Both
+    compute (x - mean) / sample-stddev per key; constant or too-short
+    series map to NULL here (NaN in the UDF twin — same dropna downstream).
+
+    Scale shape: one hash exchange on ``key_cols`` — the SAME partitioning
+    the grouped detector scan repartitions to, so a following
+    ``*_changepoints(assume_partitioned=True)`` reuses it; only
+    ``ddof=1``'s two extra aggregate columns ride the window, never text.
+    """
+    if ddof not in (0, 1):
+        raise ValueError(f"ddof must be 0 or 1: {ddof}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    sd = F.stddev_samp if ddof == 1 else F.stddev_pop
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            c,
+            (F.col(c) - F.avg(c).over(w))
+            / F.nullif(sd(c).over(w), F.lit(0.0)),
+        )
+    return out
+
+
 def window_segmentor_changepoints(
     df: DataFrame,
     detector_factory: Callable,

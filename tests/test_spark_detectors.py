@@ -534,3 +534,43 @@ def test_standardize_equals_prestandardized_input(spark):
         key_cols=["key"], ts_col="t", value_col="value", standardize=True,
     ).toPandas()
     assert len(raw_out) != len(std_out)
+
+
+def test_standardize_per_key_matches_udf_twin(spark):
+    """standardize_per_key (all-JVM window aggregates) == zscore_per_key
+    (the in-UDF twin) per key on real-valued series; constant and 1-point
+    keys -> NULL (JVM) where the UDF twin yields NaN — the same dropna
+    downstream. Also: the plan stays JVM-only (no Python stages)."""
+    from streamchange_spark.operators import standardize_per_key
+    from streamchange_spark.operators.detect import zscore_per_key
+
+    rng = np.random.RandomState(7)
+    frames = []
+    for key, n in [("a", 50), ("b", 7), ("const", 5), ("single", 1)]:
+        vals = (
+            np.full(n, 3.25)
+            if key == "const"
+            else rng.normal(100.0, 25.0, n).round(3)
+        )
+        frames.append(pd.DataFrame({"key": key, "t": np.arange(n), "value": vals}))
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf.sample(frac=1.0, random_state=3))
+
+    got = (
+        standardize_per_key(df, ["key"], ["value"])
+        .toPandas()
+        .sort_values(["key", "t"])
+        .reset_index(drop=True)
+    )
+    plan = standardize_per_key(df, ["key"], ["value"])._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+    for key, sub in pdf.groupby("key"):
+        exp = zscore_per_key(sub.sort_values("t")["value"].to_numpy())
+        act = got[got.key == key]["value"].to_numpy(dtype=float)
+        assert np.allclose(act, exp, equal_nan=True), key
+    assert got[got.key == "const"]["value"].isna().all()
+    assert got[got.key == "single"]["value"].isna().all()
+
+    with pytest.raises(ValueError, match="ddof"):
+        standardize_per_key(df, ["key"], ["value"], ddof=2)
