@@ -225,17 +225,20 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
 
     if "detect" in stages:
         # Detectors assume standardized series (reference: pelt/pelt.py:12,
-        # capa/capa.py:12); standardize each url's hourly mean JVM-side.
-        from pyspark.sql import Window
+        # capa/capa.py:12); standardize each url's hourly mean JVM-side via
+        # the standardize_per_key operator (constant series -> NULL ->
+        # filtered, matching the historical coalesce-to-0 rows only in that
+        # both produce no change points for constant urls).
+        from streamchange_spark.operators import standardize_per_key
 
-        w = Window.partitionBy("url")
         hourly_mean = (
-            tier1h.withColumn("_m", F.col("sum_v") / F.col("n_points"))
-            .withColumn("v", (F.col("_m") - F.avg("_m").over(w)) /
-                        # nullif: constant series (stddev 0, short-snapshot
-                        # inputs) standardize to 0, not ANSI div-by-zero
-                        F.coalesce(F.nullif(F.stddev("_m").over(w), F.lit(0.0)),
-                                   F.lit(1.0)))
+            standardize_per_key(
+                tier1h.select(
+                    "url", "bucket_start",
+                    (F.col("sum_v") / F.col("n_points")).alias("v"),
+                ),
+                ["url"], ["v"],
+            )
             .where(F.col("v").isNotNull())
             .select("url", "bucket_start", "v")
         )
