@@ -1074,6 +1074,40 @@ def q_window_segmentor(spark, sf_dir):
     )
 
 
+def q_freq_changepoints(spark, sf_dir):
+    """The north star's crawl-FREQUENCY series, end to end through three
+    engine operators: 1h rollup (crawls/hour = n_points) -> gapfill
+    (method='null', absent hours are 0 crawls — a frequency drop is
+    missing rows, not smaller counts) -> WindowSegmentor with
+    ``standardize=True``. This is the only driver row that executes the
+    in-UDF per-key z-score path (zscore_per_key inside the grouped scan);
+    the oracle replays the identical grid/zero-fill/zscore/kernel chain
+    serially, so the match is hash-exact on the detected epochs."""
+    _configure(spark)
+    hourly_freq = gapfill(
+        _hourly_tier(spark, sf_dir).select("user_id", "bucket_start", "n_points"),
+        ["user_id"], "bucket_start", "n_points", step_seconds=3600,
+        method="null",
+    ).select(
+        "user_id",
+        "bucket_start",
+        F.coalesce(F.col("n_points"), F.lit(0)).cast("double").alias("v"),
+    )
+    cpts = window_segmentor_changepoints(
+        hourly_freq,
+        lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=2.0)), 4, 100),
+        key_cols=["user_id"],
+        ts_col="bucket_start",
+        value_cols=["v"],
+        standardize=True,
+    )
+    return cpts.select(
+        "user_id",
+        _epoch("detection_ts").alias("detection_epoch"),
+        _epoch("changepoint_ts").alias("changepoint_epoch"),
+    )
+
+
 def q_pelt_segments(spark, sf_dir):
     _configure(spark)
     segs = pelt_segments(
@@ -1849,9 +1883,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         "ann_topk_gemm": q_ann_topk_gemm,
-        "ann_topk": q_ann_topk,
         # --- detect.py changed this round (standardize flag): every query
         # executing an edited grouped-UDF closure stays in the window ---
+        # freq_changepoints is the ONLY driver row exercising the in-UDF
+        # standardize=True path (plus gapfill zero-fill composition); it
+        # takes ann_topk's in-window slot — the brute-force cosine scoring
+        # it shares with ann_topk_gemm stays covered by the gemm row.
+        "freq_changepoints": q_freq_changepoints,
         "window_segmentor": q_window_segmentor,
         "pelt_segments": q_pelt_segments,
         "pelt_segments_pruned": q_pelt_segments_pruned,
@@ -1863,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: hash-exact in r4 (or r3 with files untouched since),
         # operator files untouched this round — their evidence stands ---
         "segmentation_stats": q_segmentation_stats,
+        "ann_topk": q_ann_topk,
         "pq_topk_rerank": q_pq_topk_rerank,
         "ivf_pq_topk": q_ivf_pq_topk,
         "asof_enrich": q_asof_enrich,
@@ -2301,10 +2340,33 @@ def _detector_fixture_oracles() -> dict[str, str]:
         mvws.fit(mvals, times=times)
         mvws_rows += [(uid, int(d), int(c)) for d, c in mvws.detections_]
 
+    # Crawl-frequency replay (q_freq_changepoints): the same chain the
+    # Spark query runs — dense hourly grid per key, absent hours = 0
+    # crawls, per-key z-score (the in-UDF standardize=True path calls the
+    # SAME zscore_per_key on the same float64 counts in the same ts order,
+    # so the z-scores are bit-identical), WindowSegmentor on top.
+    from streamchange_spark.operators.detect import zscore_per_key as _zs
+
+    freq_rows = []
+    for uid, g in tier.groupby("user_id", sort=True):
+        uid = int(uid)
+        grid = np.arange(g["b"].min(), g["b"].max() + 1, 3600, dtype=np.int64)
+        n = np.zeros(len(grid), dtype=np.float64)
+        n[((g["b"].to_numpy() - grid[0]) // 3600).astype(np.int64)] = (
+            g["n"].to_numpy(dtype=np.float64)
+        )
+        ws = _WS(_CUSUM(penalty=_BIC(scale=2.0)), 4, 100)
+        ws.fit(_zs(n), times=grid)
+        freq_rows += [(uid, int(d), int(c)) for d, c in ws.detections_]
+
     B, D, S = "BIGINT", "DOUBLE", "VARCHAR"
     return {
         "window_segmentor": _values_fixture_sql(
             ws_rows,
+            [("user_id", B), ("detection_epoch", B), ("changepoint_epoch", B)],
+        ),
+        "freq_changepoints": _values_fixture_sql(
+            freq_rows,
             [("user_id", B), ("detection_epoch", B), ("changepoint_epoch", B)],
         ),
         "pelt_segments": _values_fixture_sql(

@@ -69,6 +69,7 @@ HEADLINE = [
     "change_scores",
     "normalize_text",
     "standardize",
+    "freq_changepoints",
 ]
 
 

@@ -27,6 +27,7 @@ from .kernels import BIC, CUSUM, WindowSegmentor
 from .operators import (
     change_scores_from_signatures,
     compress_series,
+    gapfill,
     kmv_distinct,
     kmv_rollup,
     kmv_tier,
@@ -156,6 +157,35 @@ def run_pipeline(
     n_cpts = cpts.count()
     detect_sec = time.time() - t0
 
+    # Crawl-FREQUENCY change points — the north star's remaining per-URL
+    # page-metric series (crawl frequency, text length, change scores).
+    # Crawls/hour is the committed tier's n_points column, so the series
+    # is free once tier1h exists — but a frequency DROP shows up as
+    # MISSING hours, not smaller counts, so the series must be densified
+    # first: gapfill(method="null") builds the per-url hourly grid and
+    # absent hours coalesce to 0 crawls. standardize=True for the same
+    # penalty-calibration reason as the stages above (counts are small
+    # integers; constant-rate urls z-score to NaN and drop).
+    t0 = time.time()
+    hourly_freq = gapfill(
+        tier1h.select("url", "bucket_start", "n_points"),
+        ["url"], "bucket_start", "n_points", step_seconds=3600,
+        method="null",
+    ).select(
+        "url",
+        "bucket_start",
+        F.coalesce(F.col("n_points"), F.lit(0)).cast("double").alias("v"),
+    )
+    freq_cpts = window_segmentor_changepoints(
+        hourly_freq,
+        detector_factory,
+        key_cols=["url"],
+        ts_col="bucket_start",
+        value_cols=["v"],
+        standardize=True,
+    ).count()
+    freq_sec = time.time() - t0
+
     # 1d percentiles merged from the committed 1h sketches — no raw re-scan
     t0 = time.time()
     sketch1h = store.read(spark, prefix="qsketch1h/")
@@ -200,6 +230,8 @@ def run_pipeline(
         "days_built": len(todo),
         "rolled_rows": tier1h.count(),
         "changepoints": n_cpts,
+        "freq_changepoints": freq_cpts,
+        "freq_sec": round(freq_sec, 2),
         "pctl_1d_rows": pctl_1d_rows,
         "uniq_urls_1d_rows": uniq_urls_1d_rows,
         "churn_changepoints": churn_cpts,

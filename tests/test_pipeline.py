@@ -38,6 +38,8 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path, pages):
     # churn series detected from the committed per-day signatures; the
     # resume run scores the identical persisted table
     assert r2["churn_changepoints"] == r1["churn_changepoints"]
+    # crawl-frequency series detected from the committed 1h tier
+    assert r2["freq_changepoints"] == r1["freq_changepoints"]
     assert (lineage["bytes"] > 0).all()
 
 
@@ -199,3 +201,67 @@ def test_latest_pages_matches_window_plan_and_combines_map_side(spark):
         latest_pages(pages)._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_max" in plan
+
+
+def test_freq_detector_fires_on_crawl_rate_shift(spark):
+    """Positive control for the pipeline's crawl-frequency stage: a url
+    whose crawl rate regime-shifts (hourly -> every 6 hours) must be
+    flagged by the exact composition run_pipeline uses (1h rollup ->
+    gapfill(null)/zero-fill -> WindowSegmentor standardize=True), and a
+    url crawled at a constant rate must not be. The zero-fill is the
+    load-bearing part: a frequency DROP is missing tier rows, so without
+    densification the detector would see a constant n_points=1 series on
+    both urls. Guards against freq_changepoints == 0 silently meaning
+    "series was constant by bug" rather than "no rate shifts"."""
+    import pandas as pd
+
+    from streamchange_spark.operators import (
+        gapfill,
+        rollup_raw,
+        window_segmentor_changepoints,
+    )
+    from streamchange_spark.pipeline import default_detector_factory
+
+    hours = [("steady", h) for h in range(600)]
+    hours += [("slowing", h) for h in range(300)]
+    hours += [("slowing", h) for h in range(300, 600, 6)]
+    pdf = pd.DataFrame(
+        {
+            "url": [u for u, _ in hours],
+            "warc_ts": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h, seconds=120)
+                for _, h in hours
+            ],
+            "text_len": 100.0,
+        }
+    )
+    metrics = spark.createDataFrame(pdf).repartition(8)
+
+    tier1h = rollup_raw(metrics, ["url"], "warc_ts", "text_len", "1h")
+    hourly_freq = gapfill(
+        tier1h.select("url", "bucket_start", "n_points"),
+        ["url"], "bucket_start", "n_points", step_seconds=3600,
+        method="null",
+    ).select(
+        "url",
+        "bucket_start",
+        F.coalesce(F.col("n_points"), F.lit(0)).cast("double").alias("v"),
+    )
+    cpts = window_segmentor_changepoints(
+        hourly_freq,
+        default_detector_factory,
+        key_cols=["url"],
+        ts_col="bucket_start",
+        value_cols=["v"],
+        standardize=True,
+    ).collect()
+
+    by_url: dict = {}
+    for r in cpts:
+        by_url.setdefault(r.url, []).append(r.changepoint_ts)
+    # constant 1/hour z-scores to NaN -> dropna -> silent
+    assert "steady" not in by_url
+    # the rate shift is detected and localizes at the shift hour (h=300)
+    assert "slowing" in by_url
+    shift = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=300)
+    assert min(by_url["slowing"]) == shift

@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 ALL_STAGES = (
     "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
     "sessions_sorted", "sketch", "freq", "increment", "lines",
-    "lines_increment", "churn",
+    "lines_increment", "churn", "crawlfreq",
 )
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 SORTED_BUCKETS = 64
@@ -190,7 +190,7 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         out["ingest_sec"] = round(time.time() - t0, 2)
 
     tier1h = None
-    if stages & {"rollup", "gorilla", "detect"}:
+    if stages & {"rollup", "gorilla", "detect", "crawlfreq"}:
         from streamchange_spark.operators import rollup_raw, rollup_tier
 
         # Materialize the 1h tier once; coarser tiers re-aggregate the
@@ -252,6 +252,46 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         )
         out["changepoints"] = cpts.count()
         out["detect_sec"] = round(time.time() - t0, 2)
+
+    if "crawlfreq" in stages:
+        # Crawl-frequency stage (pipeline.py freq stage): densify the 1h
+        # tier per url with gapfill(method="null") — a frequency drop is
+        # MISSING hours — zero-fill, then the grouped detector scan with
+        # in-UDF per-key standardization. Cost shape = `detect` plus one
+        # per-key window'd grid build, over the DENSE grid (>= hourly
+        # points). Grid size for throughput normalization comes from a
+        # cheap per-key min/max aggregate, not a second pass.
+        from streamchange_spark.operators import gapfill
+
+        spans = tier1h.groupBy("url").agg(
+            (
+                (F.unix_timestamp(F.max("bucket_start"))
+                 - F.unix_timestamp(F.min("bucket_start"))) / 3600 + 1
+            ).alias("_g")
+        )
+        out["crawlfreq_grid_rows"] = int(
+            spans.agg(F.sum("_g")).collect()[0][0]
+        )
+        t0 = time.time()
+        hourly_freq = gapfill(
+            tier1h.select("url", "bucket_start", "n_points"),
+            ["url"], "bucket_start", "n_points", step_seconds=3600,
+            method="null",
+        ).select(
+            "url",
+            "bucket_start",
+            F.coalesce(F.col("n_points"), F.lit(0)).cast("double").alias("v"),
+        )
+        fcpts = window_segmentor_changepoints(
+            hourly_freq,
+            lambda: WindowSegmentor(CUSUM(penalty=BIC(scale=1.0)), 4, 100),
+            key_cols=["url"],
+            ts_col="bucket_start",
+            value_cols=["v"],
+            standardize=True,
+        )
+        out["crawlfreq_changepoints"] = fcpts.count()
+        out["crawlfreq_sec"] = round(time.time() - t0, 2)
     if tier1h is not None:
         tier1h.unpersist()
 
@@ -566,6 +606,10 @@ def _derive(merged: dict) -> dict:
         merged["detect_points_per_sec"] = round(
             merged["hourly_points"] / merged["detect_sec"], 1
         )
+    if "crawlfreq_sec" in merged:
+        merged["crawlfreq_points_per_sec"] = round(
+            merged["crawlfreq_grid_rows"] / merged["crawlfreq_sec"], 1
+        )
     if "corpus_sec" in merged:
         merged["corpus_docs_per_sec"] = round(
             merged["corpus_docs"] / merged["corpus_sec"], 1
@@ -671,6 +715,7 @@ def main():
         "gorilla": "gorilla_sec",
         "gorilla_decompress": "gorilla_decompress_sec",
         "detect": "detect_points_per_sec",
+        "crawlfreq": "crawlfreq_points_per_sec",
         "corpus": "corpus_docs_per_sec",
         "sessions": "sessions_rows_per_sec",
         "sessions_sorted": "sessions_sorted_rows_per_sec",
