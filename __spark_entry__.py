@@ -41,6 +41,7 @@ from streamchange_spark.operators import (
     exact_dedup,
     gapfill,
     lang_id,
+    merge_tier,
     minhash_signatures,
     ngram_jaccard_pairs,
     pelt_segments,
@@ -121,6 +122,38 @@ def q_rollup_1h(spark, sf_dir):
     _configure(spark)
     t = _hourly_tier(spark, sf_dir)
     return t.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        "n_points",
+        F.round("sum_v", 4).alias("sum_v"),
+        "min_v",
+        "max_v",
+        "first_v",
+        "last_v",
+    )
+
+
+def q_refresh_1h(spark, sf_dir):
+    """Late-data incremental refresh (`operators/rollup.py:merge_tier`,
+    `pipeline.py:refresh_pipeline`): split events deterministically into a
+    base batch and a ~10% "late" batch, roll each up SEPARATELY, and merge
+    the two 1h tiers. The oracle aggregates the whole table directly —
+    equality proves merge(tier(base), tier(late)) == tier(base ∪ late),
+    the continuous-aggregate invalidation/refresh contract (late data folds
+    into a committed tier without re-scanning the base corpus)."""
+    _configure(spark)
+    events = _t(spark, sf_dir, "events")
+    late_flag = F.pmod(F.xxhash64("user_id", "ts"), F.lit(10)) == 0
+    base = events.where(~late_flag)
+    late = events.where(late_flag)
+    merged = merge_tier(
+        [
+            rollup_raw(base, ["user_id"], "ts", "value", "1h"),
+            rollup_raw(late, ["user_id"], "ts", "value", "1h"),
+        ],
+        ["user_id"],
+    )
+    return merged.select(
         "user_id",
         _epoch("bucket_start").alias("bucket"),
         "n_points",
@@ -1861,6 +1894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-5: all-JVM per-key standardization (the detectors'
         # documented preprocessing, SQL-checkable) ---
         "standardize": q_standardize,
+        # --- new round-5: late-data invalidation + incremental refresh ---
+        "refresh_1h": q_refresh_1h,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -2899,6 +2934,8 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
 """,
         **_detector_fixture_oracles(),
         "rollup_1h": _ROLLUP_ORACLE.format(sec=3600),
+        # merge(tier(base), tier(late)) must equal the direct full-table tier
+        "refresh_1h": _ROLLUP_ORACLE.format(sec=3600),
         "rollup_1d_from_1h": _ROLLUP_ORACLE.format(sec=86400),
         "rollup_30d_from_1d": _ROLLUP_ORACLE.format(sec=2592000),
         "gapfill_locf": """

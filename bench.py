@@ -70,6 +70,7 @@ HEADLINE = [
     "normalize_text",
     "standardize",
     "freq_changepoints",
+    "refresh_1h",
 ]
 
 

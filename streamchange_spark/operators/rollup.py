@@ -140,6 +140,43 @@ def rollup_tier(
     )
 
 
+def merge_tier(
+    tier_dfs: Sequence[DataFrame],
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Merge SAME-granularity tier tables into one — the continuous-aggregate
+    increment operator (TimescaleDB calls this the refresh step): because
+    every tier column is associative state, ``merge_tier([tier(base),
+    tier(late)])`` equals ``tier(base UNION late)`` exactly, so late-arriving
+    raw data is folded into a committed tier by aggregating ONLY the late
+    rows and merging — never re-scanning the base corpus.
+
+    At 100 TB the shuffle carries one tier row per (key, bucket) per input —
+    the merge cost is O(affected-partition tier rows + late rows), independent
+    of corpus size. Overlapping buckets combine (sum counts/sums, min/max of
+    extremes, earliest/latest endpoint by their timestamps); disjoint buckets
+    pass through untouched.
+    """
+    if not tier_dfs:
+        raise ValueError("merge_tier needs at least one tier DataFrame")
+    merged = tier_dfs[0]
+    for t in tier_dfs[1:]:
+        merged = merged.unionByName(t)
+    return (
+        merged.groupBy(*key_cols, "bucket_start")
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.min("first_ts").alias("first_ts"),
+            F.min_by("first_v", F.col("first_ts")).alias("first_v"),
+            F.max("last_ts").alias("last_ts"),
+            F.max_by("last_v", F.col("last_ts")).alias("last_v"),
+        )
+    )
+
+
 def rollup_all_tiers(
     df: DataFrame,
     key_cols: Sequence[str],

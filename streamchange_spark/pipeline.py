@@ -31,7 +31,9 @@ from .operators import (
     kmv_distinct,
     kmv_rollup,
     kmv_tier,
+    merge_tier,
     rollup_all_tiers,
+    rollup_raw,
     sketch_percentiles,
     sketch_rollup,
     sketch_tier,
@@ -227,6 +229,7 @@ def run_pipeline(
     return {
         "snapshot_id": committed,
         "days_total": len(days),
+        "refresh": False,
         "days_built": len(todo),
         "rolled_rows": tier1h.count(),
         "changepoints": n_cpts,
@@ -239,4 +242,152 @@ def run_pipeline(
         "tiers_sec": round(tiers_sec, 2),
         "detect_sec": round(detect_sec, 2),
         "sketch_sec": round(sketch_sec, 2),
+    }
+
+
+def refresh_pipeline(
+    spark: SparkSession,
+    late_pages: DataFrame,
+    store_dir: str,
+    detector_factory=default_detector_factory,
+    chunk_points: int | None = 65536,
+) -> dict:
+    """Late-data invalidation + incremental refresh — the continuous-aggregate
+    property ``run_pipeline`` alone doesn't give: its resume skips COMPLETED
+    day partitions, so raw rows that arrive *after* their day was committed
+    (re-crawls, delayed WARC shards) would otherwise be invisible forever.
+
+    Semantics (TimescaleDB continuous-aggregate invalidation, Iceberg
+    overwrite granularity):
+
+    - the late batch *invalidates* exactly the day partitions it touches;
+      every tier family of an invalidated day is rewritten in ONE new
+      snapshot, all other partitions are carried by manifest file reuse
+      (zero data rewrite — ``SnapshotStore.commit_partitions``),
+    - the additive 1h tier is refreshed by aggregating ONLY the late rows
+      and merging into the committed partition (``merge_tier``: associative
+      state, so merge(tier(base), tier(late)) == tier(base ∪ late) exactly
+      — asserted against a from-scratch rebuild in tests/test_refresh.py),
+    - the percentile / distinct tiers merge the same way (GK sketch and
+      bottom-k are mergeable; KMV merge is bit-identical to a direct build,
+      the GK merge keeps its carried error bound),
+    - per-snapshot minhash signatures depend only on each row's own text,
+      so the sig partition is the union of committed + late signatures,
+    - the Gorilla blobs of an invalidated day are re-compressed from the
+      merged tier (blobs are day-local by layout),
+    - change points are re-detected only for *invalidated urls* — but over
+      each url's FULL committed series (a url's series spans days, so value
+      invalidation is per-day while detector invalidation is per-url): the
+      tier read is semi-joined against the late batch's distinct urls.
+
+    Cost at 100 TB: O(late rows) + O(invalidated-partition tier rows) +
+    O(invalidated urls' series); never a raw re-scan of the base corpus,
+    never a rewrite of untouched partitions. A refresh into an empty store
+    degenerates to the initial build.
+
+    Lineage: the new manifest's properties record the invalidated days and
+    late row count; ``store.lineage()`` shows refreshed partitions under the
+    new snapshot id while untouched partitions keep their original one.
+    """
+    store = SnapshotStore(store_dir)
+    if store.head() is None:
+        return run_pipeline(
+            spark, late_pages, store_dir, detector_factory, chunk_points
+        )
+    done = store.completed_partitions()
+    late_metrics = extract_metrics(late_pages)
+    days = sorted(
+        str(r["day"])
+        for r in late_metrics.select(F.to_date("warc_ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+
+    t0 = time.time()
+    partitions: dict[str, DataFrame] = {}
+    merged_days = []
+    for day in days:
+        day_metrics = late_metrics.where(F.to_date("warc_ts") == F.lit(day))
+        day_pages = late_pages.where(F.to_date("warc_ts") == F.lit(day))
+        tier_1h = rollup_raw(day_metrics, ["url"], "warc_ts", "text_len", "1h")
+        sketch_1h = sketch_tier(
+            day_metrics, ["url"], "warc_ts", "text_len", tier="1h"
+        )
+        kmv_1h = kmv_tier(day_metrics, [], "warc_ts", "url", tier="1h")
+        sig = snapshot_signatures(
+            day_pages, "url", "warc_ts", "text",
+            num_hashes=SIG_HASHES, hash_fn="xxhash",
+        )
+        if f"tier1h/{day}" in done:
+            merged_days.append(day)
+            tier_1h = merge_tier(
+                [store.read(spark, prefix=f"tier1h/{day}"), tier_1h], ["url"]
+            )
+            sketch_1h = sketch_rollup(
+                store.read(spark, prefix=f"qsketch1h/{day}").unionByName(
+                    sketch_1h
+                ),
+                ["url"],
+                "1h",
+            )
+            kmv_1h = kmv_rollup(
+                store.read(spark, prefix=f"kmv1h/{day}").unionByName(kmv_1h),
+                [],
+                "1h",
+            )
+            sig = store.read(spark, prefix=f"sig/{day}").unionByName(sig)
+        partitions[f"tier1h/{day}"] = tier_1h
+        partitions[f"gorilla1h/{day}"] = compress_series(
+            tier_1h, ["url"], "bucket_start", "sum_v", chunk_points=chunk_points
+        )
+        partitions[f"qsketch1h/{day}"] = sketch_1h
+        partitions[f"kmv1h/{day}"] = kmv_1h
+        partitions[f"sig/{day}"] = sig
+
+    prior_watermark = store.manifest().get("watermark")
+    watermark = max([*days, prior_watermark] if prior_watermark else days)
+    n_late = late_metrics.count()
+    committed = store.commit_partitions(
+        partitions,
+        watermark=watermark,
+        properties={
+            "stage": "late-refresh",
+            "invalidated_days": days,
+            "merged_days": merged_days,
+            "late_rows": n_late,
+        },
+    )
+    refresh_sec = time.time() - t0
+
+    # Re-detect ONLY the invalidated urls, over their full committed series.
+    t0 = time.time()
+    tier1h = store.read(spark, prefix="tier1h/")
+    late_urls = late_metrics.select("url").distinct()
+    hourly_mean = (
+        tier1h.join(late_urls, "url", "left_semi")
+        .select(
+            "url",
+            "bucket_start",
+            (F.col("sum_v") / F.col("n_points")).alias("v"),
+        )
+    )
+    n_cpts = window_segmentor_changepoints(
+        hourly_mean,
+        detector_factory,
+        key_cols=["url"],
+        ts_col="bucket_start",
+        value_cols=["v"],
+        standardize=True,
+    ).count()
+    detect_sec = time.time() - t0
+
+    return {
+        "snapshot_id": committed,
+        "refresh": True,
+        "invalidated_days": days,
+        "merged_days": merged_days,
+        "late_rows": n_late,
+        "changepoints_invalidated_urls": n_cpts,
+        "refresh_sec": round(refresh_sec, 2),
+        "detect_sec": round(detect_sec, 2),
     }

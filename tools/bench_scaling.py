@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 ALL_STAGES = (
     "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
     "sessions_sorted", "sketch", "freq", "increment", "lines",
-    "lines_increment", "churn", "crawlfreq",
+    "lines_increment", "churn", "crawlfreq", "refresh",
 )
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 SORTED_BUCKETS = 64
@@ -561,6 +561,42 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         base_idx.unpersist()
         linc.unpersist()
 
+    if "refresh" in stages:
+        # Late-data refresh vs full rebuild, same ~5% late slice (one
+        # delayed WARC shard against a committed 95% base). The base 1h
+        # tier is materialized to parquet OUTSIDE the timed section — it
+        # stands in for the committed store partition a real refresh reads.
+        # Timed refresh = read base tier + aggregate ONLY the late raw rows
+        # + merge_tier; timed rebuild = re-aggregate ALL raw rows. At 100 TB
+        # the gap is the whole game: refresh cost is O(late raw + affected
+        # tier rows), independent of base-corpus size.
+        from streamchange_spark.operators import merge_tier, rollup_raw
+
+        late_flag = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(20)) == 0
+        base_tier_path = path + f"_basetier_{cpus}"
+        rollup_raw(
+            metrics.where(~late_flag), ["url"], "warc_ts", "text_len", "1h"
+        ).write.mode("overwrite").parquet(base_tier_path)
+        late = metrics.where(late_flag)
+        out["refresh_late_rows"] = late.count()
+
+        t0 = time.time()
+        merge_tier(
+            [
+                spark.read.parquet(base_tier_path),
+                rollup_raw(late, ["url"], "warc_ts", "text_len", "1h"),
+            ],
+            ["url"],
+        ).write.mode("overwrite").format("noop").save()
+        out["refresh_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        rollup_raw(
+            metrics, ["url"], "warc_ts", "text_len", "1h"
+        ).write.mode("overwrite").format("noop").save()
+        out["refresh_rebuild_sec"] = round(time.time() - t0, 2)
+        shutil.rmtree(base_tier_path, ignore_errors=True)
+
     if "sessions_sorted" in stages:
         # Same sessionization over the sorted one-file-per-bucket layout:
         # the scan reports HashPartitioning(url) AND (url, warc_ts) order,
@@ -640,6 +676,10 @@ def _derive(merged: dict) -> dict:
         )
         merged["increment_speedup_vs_global"] = round(
             merged["increment_global_sec"] / merged["increment_sec"], 2
+        )
+    if "refresh_sec" in merged:
+        merged["refresh_speedup_vs_rebuild"] = round(
+            merged["refresh_rebuild_sec"] / merged["refresh_sec"], 2
         )
     if "churn_sig_sec" in merged:
         merged["churn_snapshots_per_sec"] = round(
