@@ -41,6 +41,9 @@ from streamchange_spark.operators import (
     exact_dedup,
     gapfill,
     lang_id,
+    counter_rate,
+    lttb,
+    lttb_select,
     merge_tier,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -53,6 +56,7 @@ from streamchange_spark.operators import (
     session_stats,
     sequential_scores,
     simhash,
+    time_weighted_avg,
     window_segmentor_changepoints,
 )
 from streamchange_spark.operators.dedup import embedding_neardup_pairs
@@ -162,6 +166,59 @@ def q_refresh_1h(spark, sf_dir):
         "max_v",
         "first_v",
         "last_v",
+    )
+
+
+def q_twa_1h(spark, sf_dir):
+    """Time-weighted hourly average (`operators/hyper.py:time_weighted_avg`,
+    the TimescaleDB `time_weight` hyperfunction): LOCF weighting over exact
+    integer-microsecond held spans, truncated at bucket boundaries. Both
+    sides shift by -1e-9 before round(4) (HALF_UP tie guard, same convention
+    as the detector fixtures)."""
+    _configure(spark)
+    events = _t(spark, sf_dir, "events")
+    t = time_weighted_avg(events, ["user_id"], "ts", "value", "1h")
+    return t.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        "n_points",
+        F.round(F.col("held_seconds") - 1e-9, 4).alias("held_seconds"),
+        F.round(F.col("twa") - 1e-9, 4).alias("twa"),
+    )
+
+
+def q_counter_rate(spark, sf_dir):
+    """Counter-reset-aware hourly increase/rate
+    (`operators/hyper.py:counter_rate`, the Prometheus increase/rate pair):
+    negative deltas are resets whose post-reset value IS the increase; each
+    key's first sample contributes nothing."""
+    _configure(spark)
+    events = _t(spark, sf_dir, "events")
+    t = counter_rate(events, ["user_id"], "ts", "value", "1h")
+    return t.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        "n_samples",
+        F.round(F.col("increase") - 1e-9, 4).alias("increase"),
+        F.round(F.col("rate_per_sec") - 1e-9, 6).alias("rate_per_sec"),
+        "n_resets",
+    )
+
+
+def q_lttb(spark, sf_dir):
+    """LTTB downsample (`operators/hyper.py:lttb`, Steinarsson 2013): each
+    user's event series reduced to 24 visually-representative points via a
+    batched Arrow grouped scan. The oracle replays the identical selection
+    serially in pandas/NumPy (an execution path independent of the
+    distributed run) and pins it as a VALUES fixture."""
+    _configure(spark)
+    events = _t(spark, sf_dir, "events")
+    t = lttb(events, ["user_id"], "ts", "value", n_out=24)
+    return t.select(
+        "user_id",
+        _epoch("ts").alias("ts_epoch"),
+        F.round(F.col("value") - 1e-9, 4).alias("value"),
+        "rank",
     )
 
 
@@ -1896,6 +1953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,
         # --- new round-5: late-data invalidation + incremental refresh ---
         "refresh_1h": q_refresh_1h,
+        # --- new round-5: hyperfunctions (time_weight / counter_agg / lttb) ---
+        "twa_1h": q_twa_1h,
+        "counter_rate": q_counter_rate,
+        "lttb": q_lttb,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -2279,6 +2340,80 @@ def _values_fixture_sql(rows, cols: list[tuple[str, str]]) -> str:
     names = ", ".join(n for n, _ in cols)
     casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
     return f"SELECT {casts} FROM (VALUES {body}) AS t({names})"
+
+
+def _lttb_fixture_sql() -> str:
+    """Serial pandas/NumPy replay of q_lttb (same lttb_select kernel, an
+    execution path independent of the distributed grouped scan), pinned as
+    a VALUES fixture. Same -1e-9 round(4) tie guard as the other fixtures."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{_ORACLE_SF_DIR}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    ev = ev[ev["value"].notna()]
+    rows = []
+    for uid, g in ev.groupby("user_id", sort=True):
+        g = g.sort_values("ts").reset_index(drop=True)
+        ts_ns = g["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+        vs = g["value"].to_numpy(dtype=np.float64)
+        idx = lttb_select(ts_ns.astype(np.float64), vs, 24)
+        rows += [
+            (
+                int(uid),
+                int(ts_ns[j] // 10**9),
+                round(float(vs[j]) - 1e-9, 4),
+                rank,
+            )
+            for rank, j in enumerate(idx)
+        ]
+    B, D = "BIGINT", "DOUBLE"
+    return _values_fixture_sql(
+        rows,
+        [("user_id", B), ("ts_epoch", B), ("value", D), ("rank", B)],
+    )
+
+
+_TWA_ORACLE = """
+WITH staged AS (
+  SELECT user_id,
+         (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+         value,
+         least(coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts),
+                        (epoch_us(ts) // 3600000000 + 1) * 3600000000),
+               (epoch_us(ts) // 3600000000 + 1) * 3600000000)
+           - epoch_us(ts) AS held_us
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       bucket,
+       count(*) AS n_points,
+       round(sum(held_us)::DOUBLE / 1e6 - 1e-9, 4) AS held_seconds,
+       round(sum(value * held_us::DOUBLE) / sum(held_us)::DOUBLE - 1e-9, 4) AS twa
+FROM staged GROUP BY 1, 2
+"""
+
+_COUNTER_RATE_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT user_id,
+         (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+         CASE WHEN delta < 0 THEN value ELSE delta END AS inc,
+         CASE WHEN delta < 0 THEN 1 ELSE 0 END AS reset
+  FROM d WHERE delta IS NOT NULL
+)
+SELECT user_id,
+       bucket,
+       count(*) AS n_samples,
+       round(sum(inc) - 1e-9, 4) AS increase,
+       round(sum(inc) / 3600.0 - 1e-9, 6) AS rate_per_sec,
+       CAST(sum(reset) AS BIGINT) AS n_resets
+FROM c GROUP BY 1, 2
+"""
 
 
 def _detector_fixture_oracles() -> dict[str, str]:
@@ -2936,6 +3071,9 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
         "rollup_1h": _ROLLUP_ORACLE.format(sec=3600),
         # merge(tier(base), tier(late)) must equal the direct full-table tier
         "refresh_1h": _ROLLUP_ORACLE.format(sec=3600),
+        "twa_1h": _TWA_ORACLE,
+        "counter_rate": _COUNTER_RATE_ORACLE,
+        "lttb": _lttb_fixture_sql(),
         "rollup_1d_from_1h": _ROLLUP_ORACLE.format(sec=86400),
         "rollup_30d_from_1d": _ROLLUP_ORACLE.format(sec=2592000),
         "gapfill_locf": """

@@ -71,6 +71,9 @@ HEADLINE = [
     "standardize",
     "freq_changepoints",
     "refresh_1h",
+    "twa_1h",
+    "counter_rate",
+    "lttb",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Time-series hyperfunctions: time-weighted average, counter-reset-aware
+rate, LTTB downsampling (operators/hyper.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streamchange_spark.operators import (
+    counter_rate,
+    lttb,
+    lttb_select,
+    time_weighted_avg,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(k, float(s), float(v)) for k, s, v in rows], ["k", "sec", "v"]
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "v")
+
+
+def test_twa_locf_weighting(spark):
+    """1.0 held for 59 minutes then 100.0 for the last minute: the
+    time-weighted average is 2.65, not the plain avg 50.5."""
+    df = _events(spark, [("a", 0, 1.0), ("a", 3540, 100.0)])
+    row = time_weighted_avg(df, ["k"], "ts", "v", "1h").collect()[0]
+    assert row["n_points"] == 2
+    assert row["held_seconds"] == pytest.approx(3600.0)
+    assert row["twa"] == pytest.approx((1.0 * 3540 + 100.0 * 60) / 3600)
+
+
+def test_twa_truncates_at_bucket_boundary(spark):
+    """A point held across a bucket boundary contributes only up to its own
+    bucket's end; the next bucket starts fresh from its first point."""
+    df = _events(spark, [("a", 3000, 10.0), ("a", 4000, 20.0), ("a", 5000, 40.0)])
+    out = {
+        r["bucket_start"].minute * 60 + r["bucket_start"].hour * 3600: r
+        for r in time_weighted_avg(df, ["k"], "ts", "v", "1h").collect()
+    }
+    b0, b1 = out[0], out[3600]
+    assert b0["held_seconds"] == pytest.approx(600.0)  # 3000 -> 3600 only
+    assert b0["twa"] == pytest.approx(10.0)
+    # bucket 1: 4000 holds 1000s (to 5000), 5000 holds to bucket end 7200
+    assert b1["held_seconds"] == pytest.approx(1000.0 + 2200.0)
+    assert b1["twa"] == pytest.approx((20.0 * 1000 + 40.0 * 2200) / 3200)
+
+
+def test_counter_rate_reset_correction(spark):
+    """0 -> 10 -> 25 -> 5 (reset) -> 20: increase = 10+15+5+15 = 45 with one
+    reset; the first sample contributes nothing."""
+    df = _events(
+        spark,
+        [("a", 10, 0.0), ("a", 20, 10.0), ("a", 30, 25.0),
+         ("a", 40, 5.0), ("a", 50, 20.0)],
+    )
+    row = counter_rate(df, ["k"], "ts", "v", "1h").collect()[0]
+    assert row["n_samples"] == 4  # first observation excluded
+    assert row["increase"] == pytest.approx(45.0)
+    assert row["n_resets"] == 1
+    assert row["rate_per_sec"] == pytest.approx(45.0 / 3600)
+
+
+def test_counter_rate_multi_key_isolation(spark):
+    """lag() never crosses keys: each key's first sample is excluded
+    independently."""
+    df = _events(
+        spark,
+        [("a", 10, 100.0), ("a", 20, 110.0), ("b", 15, 5.0), ("b", 25, 9.0)],
+    )
+    out = {r["k"]: r for r in counter_rate(df, ["k"], "ts", "v", "1h").collect()}
+    assert out["a"]["increase"] == pytest.approx(10.0)
+    assert out["b"]["increase"] == pytest.approx(4.0)
+    assert out["a"]["n_resets"] == out["b"]["n_resets"] == 0
+
+
+def test_lttb_select_pins_endpoints_and_extremes():
+    ts = np.arange(1000, dtype=np.float64)
+    vs = np.sin(ts / 40.0)
+    vs[500] = 25.0  # a spike LTTB must keep
+    idx = lttb_select(ts, vs, 50)
+    assert len(idx) == 50
+    assert idx[0] == 0 and idx[-1] == 999
+    assert (np.diff(idx) > 0).all()
+    assert 500 in idx  # the spike forms the largest triangle of its bucket
+
+
+def test_lttb_select_passthrough_when_small():
+    ts = np.arange(5, dtype=np.float64)
+    assert list(lttb_select(ts, ts, 10)) == [0, 1, 2, 3, 4]
+
+
+def test_lttb_operator_matches_serial_and_is_partition_invariant(spark):
+    rows = []
+    rng = np.random.default_rng(7)
+    for k in ("a", "b"):
+        base = rng.normal(0, 1, 400).cumsum()
+        rows += [(k, 100 * i, float(v)) for i, v in enumerate(base)]
+    df = _events(spark, rows)
+
+    out = lttb(df, ["k"], "ts", "v", n_out=30)
+    got = {
+        k: g.sort_values("rank")
+        for k, g in out.toPandas().groupby("k")
+    }
+    pdf = df.toPandas()
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values("ts").reset_index(drop=True)
+        ts_ns = g["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+        idx = lttb_select(ts_ns.astype(np.float64), g["v"].to_numpy(), 30)
+        assert list(got[k]["value"]) == list(g["v"].to_numpy()[idx])
+        assert len(got[k]) == 30
+
+    # Partitioning must not change the selection (groupBy re-collects keys).
+    out2 = lttb(df.repartition(7, "ts"), ["k"], "ts", "v", n_out=30).toPandas()
+    a = out.toPandas().sort_values(["k", "rank"]).reset_index(drop=True)
+    b = out2.sort_values(["k", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_lttb_validates_n_out(spark):
+    df = _events(spark, [("a", 0, 1.0)])
+    with pytest.raises(ValueError):
+        lttb(df, ["k"], "ts", "v", n_out=2)

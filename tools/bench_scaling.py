@@ -562,28 +562,48 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         linc.unpersist()
 
     if "refresh" in stages:
-        # Late-data refresh vs full rebuild, same ~5% late slice (one
-        # delayed WARC shard against a committed 95% base). The base 1h
-        # tier is materialized to parquet OUTSIDE the timed section — it
-        # stands in for the committed store partition a real refresh reads.
-        # Timed refresh = read base tier + aggregate ONLY the late raw rows
-        # + merge_tier; timed rebuild = re-aggregate ALL raw rows. At 100 TB
-        # the gap is the whole game: refresh cost is O(late raw + affected
-        # tier rows), independent of base-corpus size.
+        # Late-data refresh vs full rebuild: a delayed shard of ONE crawl
+        # day (~20% of that day's rows) lands after the day committed —
+        # refresh_pipeline's exact shape. The base 1h tier is materialized
+        # day-partitioned OUTSIDE the timed section (it stands in for the
+        # committed store). Timed refresh = partition-pruned read of the hot
+        # day's tier + aggregate ONLY the late raw rows + merge_tier; timed
+        # rebuild = re-aggregate ALL raw rows. At 100 TB the gap is the
+        # whole game: refresh cost is O(late rows + the ONE invalidated
+        # partition), independent of base-corpus size (the speedup here
+        # grows linearly with the number of committed days).
         from streamchange_spark.operators import merge_tier, rollup_raw
 
-        late_flag = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(20)) == 0
+        hot_day = str(
+            metrics.groupBy(F.to_date("warc_ts").alias("d"))
+            .count()
+            .orderBy(F.desc("count"), F.desc("d"))
+            .limit(1)
+            .collect()[0]["d"]
+        )
+        late_flag = (F.to_date("warc_ts") == F.lit(hot_day)) & (
+            F.pmod(F.xxhash64("url", "warc_ts"), F.lit(5)) == 0
+        )
         base_tier_path = path + f"_basetier_{cpus}"
+        late_path = path + f"_late_{cpus}"
         rollup_raw(
             metrics.where(~late_flag), ["url"], "warc_ts", "text_len", "1h"
-        ).write.mode("overwrite").parquet(base_tier_path)
-        late = metrics.where(late_flag)
+        ).withColumn("day", F.to_date("bucket_start")).write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(base_tier_path)
+        # The late batch arrives as its own small file (a delayed WARC
+        # shard), not as a filter over the full corpus — materialize it
+        # outside the timed section like the base tier.
+        metrics.where(late_flag).write.mode("overwrite").parquet(late_path)
+        late = spark.read.parquet(late_path)
         out["refresh_late_rows"] = late.count()
 
         t0 = time.time()
         merge_tier(
             [
-                spark.read.parquet(base_tier_path),
+                spark.read.parquet(base_tier_path)
+                .where(F.col("day") == F.lit(hot_day))
+                .drop("day"),
                 rollup_raw(late, ["url"], "warc_ts", "text_len", "1h"),
             ],
             ["url"],
@@ -596,6 +616,7 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         ).write.mode("overwrite").format("noop").save()
         out["refresh_rebuild_sec"] = round(time.time() - t0, 2)
         shutil.rmtree(base_tier_path, ignore_errors=True)
+        shutil.rmtree(late_path, ignore_errors=True)
 
     if "sessions_sorted" in stages:
         # Same sessionization over the sorted one-file-per-bucket layout:
