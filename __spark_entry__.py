@@ -1902,8 +1902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose operator file changed this round (textstats/corpus/dedup/
     # similarity/qsketch/streaming sessions), then the detector operators —
     # detect.py's grouped-UDF closures were edited late in round 5 (opt-in
-    # per-key standardization), so every query that executes an edited
-    # closure is inside the window.  Rotated OUT to make room (tail): the
+    # per-key standardization), so the shared standardize plumbing is
+    # exercised in-window by freq_changepoints (the one in-UDF
+    # standardize=True row) plus window_segmentor / pelt_segments /
+    # pelt_segments_pruned.  Rotated OUT to make room (tail): the
     # entry-file relational five (plain Spark-builtin SQL, r3 hash-exact,
     # no operator file at all), sessionize / rolling_zscore
     # (operators/sessions.py, anomaly.py untouched since their r3 green
@@ -1911,10 +1913,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are covered by the four ann_* queries in-window) and
     # segmentation_stats (segmentation_with_stats closure NOT edited;
     # kernel-exact pytest + reference_parity green this round).
-    # multivariate_alarms sits right at the window edge (position 51): its
-    # edited closure is sequential_scores — driver-checked in-window via
-    # sequential_alarms — and the AggregatedScore multi-column path it
-    # uniquely exercises has kernel-exact pytest parity.
+    # The four never-driver-checked round-5 additions (refresh_1h, twa_1h,
+    # counter_rate, lttb) take priority over re-certifying capa_anomalies /
+    # sequential_alarms / offline_pelt / multivariate_segmentor /
+    # multivariate_alarms (positions 51-55): those five were hash-exact in
+    # r4, their kernels carry ported-test pytest parity AND a fresh
+    # reference_parity pass (FAILURES: none) this round, and the detect.py
+    # standardize edit they share is driver-covered by the four in-window
+    # detector rows above.
     return {
         # --- r4-dark queries on files changed since their last green row ---
         "token_count": q_token_count,

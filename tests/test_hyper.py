@@ -121,3 +121,18 @@ def test_lttb_validates_n_out(spark):
     df = _events(spark, [("a", 0, 1.0)])
     with pytest.raises(ValueError):
         lttb(df, ["k"], "ts", "v", n_out=2)
+
+
+@pytest.mark.parametrize("op", [time_weighted_avg, counter_rate])
+def test_twa_and_rate_plan_single_exchange(spark, op):
+    """The window pass and the (key, bucket) groupBy share ONE hash exchange:
+    hashpartitioning(k) satisfies the aggregate's ClusteredDistribution over
+    (k, bucket_start), so Catalyst must not re-shuffle between the lag/lead
+    window and the aggregation. At 100 TB that reuse halves the shuffled
+    bytes of the whole operator."""
+    df = _events(spark, [("a", 100 * i, float(i)) for i in range(50)])
+    out = op(df, ["k"], "ts", "v", "1h")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # One sort (the window's orderBy); the hash aggregate must not add one.
+    assert plan.count("Sort [") == 1, plan
