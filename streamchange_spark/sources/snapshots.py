@@ -157,6 +157,107 @@ class SnapshotStore:
         _atomic_write(os.path.join(self.table_dir, "HEAD"), snapshot_id)
         return snapshot_id, dropped
 
+    def compact_partitions(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+        predicate=None,
+        properties: dict | None = None,
+    ) -> tuple[str | None, dict[str, dict]]:
+        """Bin-pack small files (the Iceberg ``rewrite_data_files``
+        binpack-strategy analogue): for every HEAD partition with at least
+        ``min_files`` data files, rewrite its files into
+        ``ceil(bytes / target_file_bytes)`` files when that shrinks the file
+        count, and commit ONE new snapshot pointing at the compacted files.
+
+        Why it matters at 100 TB: every incremental tier commit writes a
+        partition with one file per task (32 cores -> 32 files), so after a
+        month of hourly commits a day-partition scan opens thousands of
+        KB-sized files and the scheduler pays per-file open/footer costs
+        that dwarf the actual read. Compaction is a pure rewrite — row set
+        unchanged (asserted in tests), old snapshots still time-travel to
+        the pre-compaction files until :meth:`expire_snapshots` reclaims
+        them, and a crash mid-compaction leaves only orphaned new files
+        (HEAD flips last, same contract as :meth:`commit_partitions`).
+
+        Plan shape: each partition is read from exactly its own files and
+        ``coalesce``-d (no shuffle) down to the target file count; on a
+        cluster the per-partition rewrites are independent jobs. ``predicate``
+        restricts compaction to a partition family (e.g. only ``tier1h/``).
+        Returns ``(snapshot_id | None, {partition: {files_before,
+        files_after, bytes}})`` — snapshot_id is None when nothing needed
+        compaction.
+        """
+        parent = self.head()
+        m = self.manifest(parent)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.table_dir}")
+        todo: dict[str, int] = {}
+        for part_key, part_files in m["files"].items():
+            if predicate is not None and not predicate(part_key):
+                continue
+            if len(part_files) < min_files:
+                continue
+            part_bytes = sum(os.path.getsize(f) for f in part_files)
+            n_out = max(1, -(-part_bytes // target_file_bytes))
+            if n_out < len(part_files):
+                todo[part_key] = n_out
+        if not todo:
+            return None, {}
+
+        snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        files = dict(m["files"])
+        metrics = dict(m.get("metrics", {}))
+        report: dict[str, dict] = {}
+        for part_key, n_out in todo.items():
+            old_files = files[part_key]
+            part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
+            t0 = time.time()
+            (
+                spark.read.parquet(*old_files)
+                .coalesce(n_out)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            new_files = sorted(
+                os.path.join(part_dir, f)
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet")
+            )
+            files[part_key] = new_files
+            part_bytes = sum(os.path.getsize(f) for f in new_files)
+            metrics[part_key] = {
+                "n_files": len(new_files),
+                "bytes": part_bytes,
+                "write_seconds": round(time.time() - t0, 3),
+                "snapshot_id": snapshot_id,
+                "compacted_from": len(old_files),
+            }
+            report[part_key] = {
+                "files_before": len(old_files),
+                "files_after": len(new_files),
+                "bytes": part_bytes,
+            }
+
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent": parent,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "watermark": m.get("watermark"),
+            "properties": {
+                **(properties or {}),
+                "compacted_partitions": sorted(todo),
+            },
+            "files": files,
+            "metrics": metrics,
+        }
+        _atomic_write(
+            self._manifest_path(snapshot_id), json.dumps(manifest, indent=1)
+        )
+        _atomic_write(os.path.join(self.table_dir, "HEAD"), snapshot_id)
+        return snapshot_id, report
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Physically reclaim history (the Iceberg ``expire_snapshots``
         analogue): keep the newest ``keep_last`` snapshots, delete the
@@ -186,6 +287,49 @@ class SnapshotStore:
         )
         # prune now-empty data dirs
         data_dir = os.path.join(self.table_dir, "data")
+        for dirpath, dirnames, filenames in os.walk(data_dir, topdown=False):
+            if not dirnames and not filenames:
+                os.rmdir(dirpath)
+        return deleted
+
+    def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
+        """Delete data files no manifest references (the Iceberg
+        ``remove_orphan_files`` analogue). The crash contract of
+        :meth:`commit_partitions` / :meth:`compact_partitions` is "at most
+        orphaned data files, never a corrupt manifest" — so orphans are
+        exactly what a crashed writer leaves behind, and at 100 TB with
+        hourly jobs they accumulate into real storage cost.
+
+        Safety: only files under ``data/`` that (a) appear in NO manifest in
+        ``snapshots/`` — including manifests not on the current HEAD chain —
+        and (b) are older than ``older_than_seconds`` (grace period so an
+        in-flight writer's files, whose manifest has not landed yet, are
+        never swept) are removed. Returns the deleted paths."""
+        live: set[str] = set()
+        snap_dir = os.path.join(self.table_dir, "snapshots")
+        for name in os.listdir(snap_dir):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(snap_dir, name)) as fh:
+                m = json.load(fh)
+            for part_files in m.get("files", {}).values():
+                live.update(part_files)
+        cutoff = time.time() - older_than_seconds
+        deleted = []
+        data_dir = os.path.join(self.table_dir, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_dir):
+            for name in filenames:
+                # Manifests list only data files; leave Spark's _SUCCESS /
+                # .crc markers alone so a live partition dir stays intact.
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, name)
+                if path in live:
+                    continue
+                if os.path.getmtime(path) > cutoff:
+                    continue
+                os.remove(path)
+                deleted.append(path)
         for dirpath, dirnames, filenames in os.walk(data_dir, topdown=False):
             if not dirnames and not filenames:
                 os.rmdir(dirpath)

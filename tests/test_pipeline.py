@@ -265,3 +265,91 @@ def test_freq_detector_fires_on_crawl_rate_shift(spark):
     assert "slowing" in by_url
     shift = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=300)
     assert min(by_url["slowing"]) == shift
+
+
+def test_compaction_binpacks_preserving_rows_and_time_travel(spark, tmp_path):
+    """compact_partitions rewrites a many-small-files partition into the
+    bin-packed target, leaves the row set bit-identical, keeps the
+    pre-compaction snapshot time-travelable, is idempotent, and lets
+    expire_snapshots reclaim exactly the replaced small files."""
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(2000).select("id", (F.col("id") % 7).alias("v"))
+    store.commit_partitions(
+        {
+            "tier1h/day=2026-01-01": df.repartition(16),
+            "tier1h/day=2026-01-02": df.where("id < 50").coalesce(1),
+            "sig/day=2026-01-01": df.repartition(4),
+        }
+    )
+    pre = store.head()
+    m = store.manifest()
+    assert len(m["files"]["tier1h/day=2026-01-01"]) == 16
+    before = store.read(spark, prefix="tier1h/").orderBy("id").collect()
+
+    snap, report = store.compact_partitions(
+        spark, target_file_bytes=1 << 30,
+        predicate=lambda k: k.startswith("tier1h/"),
+    )
+    assert snap is not None
+    assert report == {
+        "tier1h/day=2026-01-01": {
+            "files_before": 16,
+            "files_after": 1,
+            "bytes": report["tier1h/day=2026-01-01"]["bytes"],
+        }
+    }  # day=02 already 1 file; sig/ excluded by predicate
+    assert len(store.manifest()["files"]["sig/day=2026-01-01"]) == 4
+
+    # Row set unchanged; pre-compaction snapshot still time-travels.
+    assert store.read(spark, prefix="tier1h/").orderBy("id").collect() == before
+    assert (
+        store.read(spark, snapshot_id=pre, prefix="tier1h/")
+        .orderBy("id")
+        .collect()
+        == before
+    )
+
+    # Idempotent: a second pass finds nothing to do.
+    snap2, rep2 = store.compact_partitions(
+        spark, target_file_bytes=1 << 30,
+        predicate=lambda k: k.startswith("tier1h/"),
+    )
+    assert snap2 is None and rep2 == {}
+
+    # Expiring history reclaims exactly the 16 replaced small files.
+    deleted = store.expire_snapshots(keep_last=1)
+    assert len(deleted) == 16
+    assert all("day=2026-01-01" in f for f in deleted)
+    assert store.read(spark, prefix="tier1h/").orderBy("id").collect() == before
+
+
+def test_remove_orphan_files_sweeps_only_unreferenced_and_aged(spark, tmp_path):
+    """Crash-orphaned data files (referenced by NO manifest) are reclaimed
+    after the grace period; live files and too-young orphans survive."""
+    import os
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(100).select("id")
+    store.commit_partitions({"tier1h/day=2026-01-01": df.coalesce(2)})
+
+    # Simulate a crashed writer: data files landed, manifest never did.
+    orphan_dir = tmp_path / "tbl" / "data" / "crashed-snap" / "tier1h" / "d2"
+    orphan_dir.mkdir(parents=True)
+    df.coalesce(1).write.mode("overwrite").parquet(str(orphan_dir))
+    orphans = [
+        str(orphan_dir / f)
+        for f in os.listdir(orphan_dir)
+        if f.endswith(".parquet")
+    ]
+    assert orphans
+
+    # Inside the grace period: nothing is swept.
+    assert store.remove_orphan_files(older_than_seconds=3600) == []
+    # Past the grace period: exactly the orphans go, live files stay.
+    deleted = store.remove_orphan_files(older_than_seconds=0)
+    assert sorted(deleted) == sorted(orphans)
+    assert store.read(spark).count() == 100
+    # Idempotent; live partition still fully present in the manifest.
+    assert store.remove_orphan_files(older_than_seconds=0) == []
+    for f in store.manifest()["files"]["tier1h/day=2026-01-01"]:
+        assert os.path.exists(f)
