@@ -131,7 +131,13 @@ def run_pipeline(
                 hash_fn="xxhash",
             )
         committed = store.commit_partitions(
-            partitions, watermark=max(todo), properties={"stage": "tiers"}
+            partitions,
+            watermark=max(todo),
+            properties={"stage": "tiers"},
+            # Manifest column stats (each family records whichever of these
+            # it carries): a url- or time-range read over the committed
+            # tiers then opens only the overlapping files (files_for).
+            stat_cols=["url", "bucket_start", "warc_ts"],
         )
     tiers_sec = time.time() - t0
 
@@ -356,6 +362,7 @@ def refresh_pipeline(
             "merged_days": merged_days,
             "late_rows": n_late,
         },
+        stat_cols=["url", "bucket_start", "warc_ts"],
     )
     refresh_sec = time.time() - t0
 

@@ -23,6 +23,7 @@ import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,67 @@ def _atomic_write(path: str, payload: str):
     with open(tmp, "w") as fh:
         fh.write(payload)
     os.replace(tmp, path)
+
+
+@contextmanager
+def _stats_friendly_writes(spark: SparkSession):
+    """Spark's legacy INT96 parquet timestamps carry NO min/max footer
+    statistics (and Iceberg forbids INT96 outright), which would make
+    timestamp columns invisible to manifest-stats file skipping. Store
+    writes therefore run under TIMESTAMP_MICROS — read-back values are
+    identical; only the physical encoding (and its stats) change."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _json_safe_stat(v):
+    """Parquet-footer min/max -> JSON-storable, ORDER-PRESERVING encoding.
+    Timestamps become ISO-8601 strings (lexicographic order == time order);
+    numbers and strings pass through; anything else is unusable for pruning."""
+    import datetime
+
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep="T")
+    return None
+
+
+def _file_column_stats(path: str, stat_cols) -> dict[str, list]:
+    """Per-file [min, max] for the requested columns, read from the parquet
+    footer only (no data pages touched) — the manifest-stats source for
+    file-skipping reads."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for i in range(row_group.num_columns):
+            col = row_group.column(i)
+            name = col.path_in_schema
+            if name not in stat_cols:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                # A single stat-less row group poisons the whole file's
+                # entry: pruning on partial stats would be unsound.
+                agg[name] = None
+                continue
+            mn, mx = _json_safe_stat(st.min), _json_safe_stat(st.max)
+            if mn is None or mx is None or agg.get(name, "missing") is None:
+                agg[name] = None
+                continue
+            if name in agg:
+                agg[name] = [min(agg[name][0], mn), max(agg[name][1], mx)]
+            else:
+                agg[name] = [mn, mx]
+    return {k: v for k, v in agg.items() if v is not None}
 
 
 class SnapshotStore:
@@ -74,33 +136,50 @@ class SnapshotStore:
         partitions: dict[str, DataFrame],
         watermark: str | None = None,
         properties: dict | None = None,
+        stat_cols: Iterable[str] | None = None,
     ) -> str:
         """Write the given {partition_key: DataFrame} set as ONE new snapshot:
         data files land first, the manifest + HEAD flip last (atomic).
         Partitions already present in the parent snapshot are carried over
         unchanged (file reuse — no rewrite), so incremental jobs commit only
-        the partitions they produced."""
+        the partitions they produced.
+
+        ``stat_cols``: record per-FILE [min, max] manifest statistics for
+        these columns (read from the parquet footers only — the Iceberg
+        manifest column-stats analogue). :meth:`read` with ``ranges=``
+        then skips every file whose stats don't overlap the query range,
+        so a time- or key-range query over a month of hourly commits opens
+        only the overlapping files instead of the whole partition family.
+        Parent partitions keep whatever stats they were committed with."""
         parent = self.head()
         parent_manifest = self.manifest(parent) if parent else None
         snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        stat_cols = set(stat_cols) if stat_cols else None
 
         files: dict[str, list[str]] = {}
         metrics: dict[str, dict] = {}
+        file_stats: dict[str, dict] = {}
         if parent_manifest:
             files.update(parent_manifest["files"])
             metrics.update(parent_manifest.get("metrics", {}))
+            file_stats.update(parent_manifest.get("file_stats", {}))
 
         for part_key, df in partitions.items():
             part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
             t0 = time.time()
-            df.write.mode("overwrite").parquet(part_dir)
-            n_rows = None  # row count read back cheaply from parquet footers
+            with _stats_friendly_writes(df.sparkSession):
+                df.write.mode("overwrite").parquet(part_dir)
             part_files = sorted(
                 os.path.join(part_dir, f)
                 for f in os.listdir(part_dir)
                 if f.endswith(".parquet")
             )
             files[part_key] = part_files
+            if stat_cols:
+                for f in part_files:
+                    stats = _file_column_stats(f, stat_cols)
+                    if stats:
+                        file_stats[f] = stats
             metrics[part_key] = {
                 "n_files": len(part_files),
                 "bytes": sum(os.path.getsize(f) for f in part_files),
@@ -108,6 +187,7 @@ class SnapshotStore:
                 "snapshot_id": snapshot_id,
             }
 
+        live = {f for pf in files.values() for f in pf}
         manifest = {
             "snapshot_id": snapshot_id,
             "parent": parent,
@@ -116,6 +196,7 @@ class SnapshotStore:
             "properties": properties or {},
             "files": files,
             "metrics": metrics,
+            "file_stats": {f: s for f, s in file_stats.items() if f in live},
         }
         _atomic_write(self._manifest_path(snapshot_id), json.dumps(manifest, indent=1))
         _atomic_write(os.path.join(self.table_dir, "HEAD"), snapshot_id)
@@ -141,6 +222,7 @@ class SnapshotStore:
         metrics = {
             k: v for k, v in m.get("metrics", {}).items() if k not in dropped
         }
+        live = {f for pf in files.values() for f in pf}
         snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
         manifest = {
             "snapshot_id": snapshot_id,
@@ -150,6 +232,11 @@ class SnapshotStore:
             "properties": {**(properties or {}), "expired_partitions": dropped},
             "files": files,
             "metrics": metrics,
+            "file_stats": {
+                f: s
+                for f, s in m.get("file_stats", {}).items()
+                if f in live
+            },
         }
         _atomic_write(
             self._manifest_path(snapshot_id), json.dumps(manifest, indent=1)
@@ -209,23 +296,37 @@ class SnapshotStore:
         snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
         files = dict(m["files"])
         metrics = dict(m.get("metrics", {}))
+        file_stats = dict(m.get("file_stats", {}))
         report: dict[str, dict] = {}
         for part_key, n_out in todo.items():
             old_files = files[part_key]
+            # The compacted files inherit manifest stats on the union of the
+            # columns the replaced files carried stats for.
+            stat_cols = {
+                c for f in old_files for c in file_stats.get(f, {})
+            }
             part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
             t0 = time.time()
-            (
-                spark.read.parquet(*old_files)
-                .coalesce(n_out)
-                .write.mode("overwrite")
-                .parquet(part_dir)
-            )
+            with _stats_friendly_writes(spark):
+                (
+                    spark.read.parquet(*old_files)
+                    .coalesce(n_out)
+                    .write.mode("overwrite")
+                    .parquet(part_dir)
+                )
             new_files = sorted(
                 os.path.join(part_dir, f)
                 for f in os.listdir(part_dir)
                 if f.endswith(".parquet")
             )
             files[part_key] = new_files
+            for f in old_files:
+                file_stats.pop(f, None)
+            if stat_cols:
+                for f in new_files:
+                    stats = _file_column_stats(f, stat_cols)
+                    if stats:
+                        file_stats[f] = stats
             part_bytes = sum(os.path.getsize(f) for f in new_files)
             metrics[part_key] = {
                 "n_files": len(new_files),
@@ -251,6 +352,7 @@ class SnapshotStore:
             },
             "files": files,
             "metrics": metrics,
+            "file_stats": file_stats,
         }
         _atomic_write(
             self._manifest_path(snapshot_id), json.dumps(manifest, indent=1)
@@ -336,15 +438,21 @@ class SnapshotStore:
         return deleted
 
     # -- reads -----------------------------------------------------------------
-    def read(
+    def files_for(
         self,
-        spark: SparkSession,
         snapshot_id: str | None = None,
         prefix: str | None = None,
-    ) -> DataFrame:
-        """Read the table as of a snapshot (time travel); HEAD by default.
-        ``prefix`` selects a partition family (e.g. 'tier1h/') — required when
-        a store holds heterogeneous partition schemas."""
+        ranges: dict[str, tuple] | None = None,
+    ) -> list[str]:
+        """The data files a scan must open: partition-family selection by
+        ``prefix``, then manifest-stats file skipping by ``ranges`` —
+        ``{column: (lo, hi)}``, inclusive. A file is skipped only when it
+        CARRIES stats for the column and its [min, max] provably misses the
+        query range; files without stats are always read (sound, never
+        drops rows). Range endpoints must live in the stats' stored domain:
+        numbers for numeric columns, the string itself for strings,
+        ISO-8601 ``T``-separated strings for timestamps; ``None`` for an
+        open endpoint."""
         m = self.manifest(snapshot_id)
         if m is None:
             raise FileNotFoundError(f"no snapshot in {self.table_dir}")
@@ -352,7 +460,45 @@ class SnapshotStore:
             p for p in m["files"] if prefix is None or p.startswith(prefix)
         )
         all_files = [f for part in parts for f in m["files"][part]]
-        return spark.read.parquet(*all_files)
+        if not ranges:
+            return all_files
+        stats = m.get("file_stats", {})
+        kept = []
+        for f in all_files:
+            fs = stats.get(f, {})
+            for col, (lo, hi) in ranges.items():
+                if col not in fs:
+                    continue
+                mn, mx = fs[col]
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    break  # provably disjoint -> skip the file
+            else:
+                kept.append(f)
+        return kept
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        prefix: str | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Read the table as of a snapshot (time travel); HEAD by default.
+        ``prefix`` selects a partition family (e.g. 'tier1h/') — required when
+        a store holds heterogeneous partition schemas. ``ranges`` prunes
+        files via manifest column stats (see :meth:`files_for`) — the
+        Iceberg scan-planning analogue: a narrow time/key range over a
+        100-TB table opens only the overlapping files. The read still
+        returns ALL rows of the kept files; apply the same predicate with
+        ``.where`` for row-level filtering (parquet row-group skipping
+        handles the rest). Raises ``FileNotFoundError`` when every file is
+        pruned (the caller knows the result is empty without a scan)."""
+        kept = self.files_for(snapshot_id, prefix, ranges)
+        if not kept:
+            raise FileNotFoundError(
+                f"every data file pruned for prefix={prefix!r} ranges={ranges!r}"
+            )
+        return spark.read.parquet(*kept)
 
     def completed_partitions(self, snapshot_id: str | None = None) -> set[str]:
         m = self.manifest(snapshot_id)

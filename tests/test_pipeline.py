@@ -42,6 +42,23 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path, pages):
     assert r2["freq_changepoints"] == r1["freq_changepoints"]
     assert (lineage["bytes"] > 0).all()
 
+    # Manifest column stats are live on the flagship tiers: every 1h-tier
+    # file carries (url, bucket_start) bounds, so range reads can skip.
+    m = store.manifest()
+    tier_files = [
+        f for k, v in m["files"].items() if k.startswith("tier1h/") for f in v
+    ]
+    assert tier_files
+    for f in tier_files:
+        assert {"url", "bucket_start"} <= set(m["file_stats"][f])
+    # A day-disjoint bucket_start range prunes other days' files.
+    some_day = sorted(k for k in m["files"] if k.startswith("tier1h/"))[0]
+    lo = m["file_stats"][m["files"][some_day][0]]["bucket_start"][0]
+    narrow = store.files_for(
+        prefix="tier1h/", ranges={"bucket_start": (lo, lo)}
+    )
+    assert 0 < len(narrow) < len(tier_files)
+
 
 def test_interrupted_equals_clean(spark, tmp_path, pages):
     """Build half the days, then resume; final tier table equals a clean
@@ -353,3 +370,53 @@ def test_remove_orphan_files_sweeps_only_unreferenced_and_aged(spark, tmp_path):
     assert store.remove_orphan_files(older_than_seconds=0) == []
     for f in store.manifest()["files"]["tier1h/day=2026-01-01"]:
         assert os.path.exists(f)
+
+
+def test_manifest_stats_prune_files_without_dropping_rows(spark, tmp_path):
+    """commit_partitions(stat_cols=...) records per-file [min, max] from the
+    parquet footers; files_for/read skip provably-disjoint files, never a
+    file that could hold matching rows, and compaction carries the stats."""
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(1000).select(
+        "id", F.timestamp_seconds(F.col("id") * 3600).alias("ts")
+    )
+    store.commit_partitions(
+        {"tier1h/day=d1": df.repartitionByRange(4, "id")},
+        stat_cols=["id", "ts"],
+    )
+    assert len(store.files_for(prefix="tier1h/")) == 4
+
+    # Numeric range: only the one file whose [min, max] overlaps survives.
+    pruned = store.files_for(prefix="tier1h/", ranges={"id": (0, 100)})
+    assert len(pruned) == 1
+    got = store.read(spark, prefix="tier1h/", ranges={"id": (0, 100)})
+    assert sorted(r.id for r in got.where("id <= 100").collect()) == list(
+        range(101)
+    )
+
+    # Timestamp range via ISO-8601 strings (order-preserving encoding).
+    pruned_ts = store.files_for(
+        prefix="tier1h/", ranges={"ts": (None, "1970-01-05T00:00:00")}
+    )
+    assert 1 <= len(pruned_ts) < 4
+    n_ts = store.read(
+        spark, prefix="tier1h/", ranges={"ts": (None, "1970-01-05T00:00:00")}
+    ).where("ts <= timestamp'1970-01-05 00:00:00'").count()
+    assert n_ts == df.where("ts <= timestamp'1970-01-05 00:00:00'").count()
+
+    # Stats survive compaction (4 files -> 1, stats recomputed).
+    snap, _report = store.compact_partitions(spark, target_file_bytes=1 << 30)
+    assert snap is not None
+    m = store.manifest()
+    new_files = m["files"]["tier1h/day=d1"]
+    assert len(new_files) == 1 and new_files[0] in m["file_stats"]
+    assert set(m["file_stats"][new_files[0]]) == {"id", "ts"}
+    # Fully-disjoint range: everything pruned; read() refuses loudly.
+    assert store.files_for(prefix="tier1h/", ranges={"id": (2000, 3000)}) == []
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, prefix="tier1h/", ranges={"id": (2000, 3000)})
+    # A file without stats is always read (sound default).
+    store.commit_partitions({"tier1h/day=d2": df.limit(10).coalesce(1)})
+    assert (
+        len(store.files_for(prefix="tier1h/", ranges={"id": (2000, 3000)})) == 1
+    )
