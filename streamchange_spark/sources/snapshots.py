@@ -137,6 +137,8 @@ class SnapshotStore:
         watermark: str | None = None,
         properties: dict | None = None,
         stat_cols: Iterable[str] | None = None,
+        cluster_by: Iterable[str] | None = None,
+        cluster_files: int | None = None,
     ) -> str:
         """Write the given {partition_key: DataFrame} set as ONE new snapshot:
         data files land first, the manifest + HEAD flip last (atomic).
@@ -150,7 +152,16 @@ class SnapshotStore:
         then skips every file whose stats don't overlap the query range,
         so a time- or key-range query over a month of hourly commits opens
         only the overlapping files instead of the whole partition family.
-        Parent partitions keep whatever stats they were committed with."""
+        Parent partitions keep whatever stats they were committed with.
+
+        ``cluster_by``: range-cluster each partition's rows on these columns
+        before writing (the Iceberg ``write.distribution-mode=range``
+        analogue) so data files become key-DISJOINT and key-range stats
+        pruning actually bites — without it, every file of a time-partition
+        holds the full key space and a key-range read must open them all.
+        Costs one range shuffle per committed partition; ``cluster_files``
+        caps the file count (default: the session's shuffle parallelism,
+        AQE-coalesced for small partitions)."""
         parent = self.head()
         parent_manifest = self.manifest(parent) if parent else None
         snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
@@ -164,9 +175,16 @@ class SnapshotStore:
             metrics.update(parent_manifest.get("metrics", {}))
             file_stats.update(parent_manifest.get("file_stats", {}))
 
+        cluster_by = list(cluster_by) if cluster_by else None
         for part_key, df in partitions.items():
             part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
             t0 = time.time()
+            if cluster_by:
+                if cluster_files:
+                    df = df.repartitionByRange(cluster_files, *cluster_by)
+                else:
+                    df = df.repartitionByRange(*cluster_by)
+                df = df.sortWithinPartitions(*cluster_by)
             with _stats_friendly_writes(df.sparkSession):
                 df.write.mode("overwrite").parquet(part_dir)
             part_files = sorted(

@@ -420,3 +420,37 @@ def test_manifest_stats_prune_files_without_dropping_rows(spark, tmp_path):
     assert (
         len(store.files_for(prefix="tier1h/", ranges={"id": (2000, 3000)})) == 1
     )
+
+
+def test_cluster_by_makes_key_range_pruning_bite(spark, tmp_path):
+    """Without clustering every file of a time-partition holds the whole key
+    space (a key-range read opens all files); with cluster_by the files are
+    key-disjoint and the same read opens a strict subset, same rows."""
+    df = spark.range(4000).select(
+        F.format_string("url-%04d", (F.col("id") % 100)).alias("url"),
+        F.col("id").alias("seq"),
+    )
+    plain = SnapshotStore(str(tmp_path / "plain"))
+    plain.commit_partitions(
+        {"t/day=d1": df.repartition(8)}, stat_cols=["url"]
+    )
+    clustered = SnapshotStore(str(tmp_path / "clustered"))
+    clustered.commit_partitions(
+        {"t/day=d1": df},
+        stat_cols=["url"],
+        cluster_by=["url"],
+        cluster_files=8,
+    )
+    rng = {"url": ("url-0000", "url-0009")}
+    n_plain = len(plain.files_for(prefix="t/", ranges=rng))
+    assert n_plain == len(plain.files_for(prefix="t/"))  # no pruning possible
+    kept = clustered.files_for(prefix="t/", ranges=rng)
+    assert 0 < len(kept) < len(clustered.files_for(prefix="t/"))
+    a = (
+        clustered.read(spark, prefix="t/", ranges=rng)
+        .where("url <= 'url-0009'")
+        .orderBy("seq")
+        .collect()
+    )
+    b = df.where("url <= 'url-0009'").orderBy("seq").collect()
+    assert a == b
