@@ -522,6 +522,55 @@ class SnapshotStore:
         m = self.manifest(snapshot_id)
         return set(m["files"]) if m else set()
 
+    def snapshots_table(self, spark: SparkSession) -> DataFrame:
+        """The snapshot history as a DataFrame (the Iceberg ``.snapshots``
+        metadata table analogue): one row per snapshot on the HEAD chain,
+        newest first — commit time, watermark, stage properties, and size."""
+        rows = []
+        for m in self.history():
+            rows.append(
+                {
+                    "snapshot_id": m["snapshot_id"],
+                    "parent": m.get("parent"),
+                    "created_at": m["created_at"],
+                    "watermark": m.get("watermark"),
+                    "stage": (m.get("properties") or {}).get("stage"),
+                    "n_partitions": len(m["files"]),
+                    "n_files": sum(len(v) for v in m["files"].values()),
+                }
+            )
+        return spark.createDataFrame(
+            rows or [],
+            "snapshot_id string, parent string, created_at string, "
+            "watermark string, stage string, n_partitions long, n_files long",
+        )
+
+    def files_table(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        """Per-file metadata as a DataFrame (the Iceberg ``.files`` metadata
+        table analogue): partition, path, size, and the manifest column
+        stats as a ``{col: [min, max]}`` JSON string — what an operator
+        inspects to see whether stats pruning can work before running the
+        query."""
+        m = self.manifest(snapshot_id)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.table_dir}")
+        stats = m.get("file_stats", {})
+        rows = []
+        for part, part_files in m["files"].items():
+            for f in part_files:
+                rows.append(
+                    {
+                        "partition": part,
+                        "path": f,
+                        "bytes": os.path.getsize(f) if os.path.exists(f) else None,
+                        "column_stats": json.dumps(stats[f]) if f in stats else None,
+                    }
+                )
+        return spark.createDataFrame(
+            rows or [],
+            "partition string, path string, bytes long, column_stats string",
+        )
+
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage/metrics across the whole snapshot chain as a
         DataFrame (partition, snapshot_id, n_files, bytes, write_seconds)."""

@@ -454,3 +454,37 @@ def test_cluster_by_makes_key_range_pruning_bite(spark, tmp_path):
     )
     b = df.where("url <= 'url-0009'").orderBy("seq").collect()
     assert a == b
+
+
+def test_metadata_tables_reflect_store_state(spark, tmp_path):
+    """snapshots_table / files_table (the .snapshots / .files metadata-table
+    analogues) report the chain and per-file stats accurately."""
+    import json as _json
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(100).select("id")
+    store.commit_partitions(
+        {"t/day=d1": df.repartition(2)},
+        stat_cols=["id"],
+        properties={"stage": "tiers"},
+    )
+    store.commit_partitions({"t/day=d2": df.coalesce(1)})
+
+    snaps = store.snapshots_table(spark).toPandas()
+    assert list(snaps["n_partitions"]) == [2, 1]  # newest first
+    assert list(snaps["n_files"]) == [3, 2]
+    assert snaps["parent"][0] == snaps["snapshot_id"][1]
+    assert snaps["stage"][1] == "tiers"
+
+    files = store.files_table(spark).toPandas()
+    assert len(files) == 3
+    d1 = files[files["partition"] == "t/day=d1"]
+    assert (d1["bytes"] > 0).all()
+    bounds = [
+        _json.loads(s)["id"] for s in d1["column_stats"] if s is not None
+    ]
+    assert len(bounds) == 2
+    assert min(b[0] for b in bounds) == 0 and max(b[1] for b in bounds) == 99
+    # d2 was committed without stat_cols -> no stats recorded
+    d2 = files[files["partition"] == "t/day=d2"]
+    assert d2["column_stats"].isna().all()
