@@ -345,6 +345,12 @@ class SnapshotStore:
                     stats = _file_column_stats(f, stat_cols)
                     if stats:
                         file_stats[f] = stats
+            # Compaction rewrites bytes, not data: incremental consumers
+            # key off the last DATA write, carried through every rewrite.
+            prev = metrics.get(part_key, {})
+            data_snapshot_id = prev.get(
+                "data_snapshot_id", prev.get("snapshot_id")
+            )
             part_bytes = sum(os.path.getsize(f) for f in new_files)
             metrics[part_key] = {
                 "n_files": len(new_files),
@@ -352,6 +358,7 @@ class SnapshotStore:
                 "write_seconds": round(time.time() - t0, 3),
                 "snapshot_id": snapshot_id,
                 "compacted_from": len(old_files),
+                "data_snapshot_id": data_snapshot_id,
             }
             report[part_key] = {
                 "files_before": len(old_files),
@@ -517,6 +524,72 @@ class SnapshotStore:
                 f"every data file pruned for prefix={prefix!r} ranges={ranges!r}"
             )
         return spark.read.parquet(*kept)
+
+    def changed_partitions(
+        self,
+        since_snapshot: str,
+        snapshot_id: str | None = None,
+        prefix: str | None = None,
+    ) -> list[str]:
+        """Partitions written or rewritten strictly AFTER ``since_snapshot``
+        and still visible at ``snapshot_id`` (HEAD by default) — the Iceberg
+        incremental-append-scan planning step. Detection is by each
+        partition's ``metrics.snapshot_id`` (the snapshot that last wrote
+        it), so a late-data refresh that rewrites an old day shows up again
+        — exactly what an incremental consumer must reprocess. Raises if
+        ``since_snapshot`` is not on the target's parent chain (history may
+        have been expired; the consumer must fall back to a full read)."""
+        m = self.manifest(snapshot_id)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.table_dir}")
+        newer: set[str] = set()
+        cur = m
+        while True:
+            if cur["snapshot_id"] == since_snapshot:
+                break
+            newer.add(cur["snapshot_id"])
+            parent = cur.get("parent")
+            if parent is None:
+                raise ValueError(
+                    f"snapshot {since_snapshot!r} not on the chain of "
+                    f"{m['snapshot_id']!r} (history expired?) — fall back "
+                    "to a full read"
+                )
+            cur = self.manifest(parent)
+        metrics = m.get("metrics", {})
+
+        def last_data_write(part: str) -> str | None:
+            s = metrics.get(part, {})
+            # Compaction rewrites bytes, not data; its metrics carry the
+            # last DATA write forward so consumers don't reprocess it.
+            return s.get("data_snapshot_id", s.get("snapshot_id"))
+
+        return sorted(
+            part
+            for part in m["files"]
+            if (prefix is None or part.startswith(prefix))
+            and last_data_write(part) in newer
+        )
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        since_snapshot: str,
+        snapshot_id: str | None = None,
+        prefix: str | None = None,
+    ) -> tuple[DataFrame | None, list[str]]:
+        """Rows of every partition (re)written after ``since_snapshot`` —
+        what a downstream incremental consumer (coarser tier, export job,
+        index refresh) processes instead of re-reading the table. Returns
+        ``(df | None, changed_partition_keys)``; ``df`` is None when
+        nothing changed. At 100 TB this is the difference between a daily
+        consumer scanning one day's partitions and scanning the archive."""
+        m = self.manifest(snapshot_id)
+        changed = self.changed_partitions(since_snapshot, snapshot_id, prefix)
+        if not changed:
+            return None, []
+        files = [f for part in changed for f in m["files"][part]]
+        return spark.read.parquet(*files), changed
 
     def completed_partitions(self, snapshot_id: str | None = None) -> set[str]:
         m = self.manifest(snapshot_id)

@@ -488,3 +488,40 @@ def test_metadata_tables_reflect_store_state(spark, tmp_path):
     # d2 was committed without stat_cols -> no stats recorded
     d2 = files[files["partition"] == "t/day=d2"]
     assert d2["column_stats"].isna().all()
+
+
+def test_incremental_read_sees_appends_refreshes_not_compactions(spark, tmp_path):
+    """read_incremental returns exactly the partitions (re)written after the
+    given snapshot: new appends yes, late-data rewrites yes, pure byte
+    compactions no; expired history fails loudly toward a full read."""
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(100).select("id")
+    s1 = store.commit_partitions({"t/day=d1": df.repartition(4)})
+
+    # Nothing changed yet.
+    out, keys = store.read_incremental(spark, since_snapshot=s1)
+    assert out is None and keys == []
+
+    # Append two partitions in two commits; both are visible since s1.
+    store.commit_partitions({"t/day=d2": df.where("id < 30").coalesce(1)})
+    s3 = store.commit_partitions({"t/day=d3": df.where("id >= 90").coalesce(1)})
+    out, keys = store.read_incremental(spark, since_snapshot=s1)
+    assert keys == ["t/day=d2", "t/day=d3"]
+    assert out.count() == 30 + 10
+
+    # Compaction rewrites d1's bytes -- NOT a data change.
+    snap, _ = store.compact_partitions(spark, target_file_bytes=1 << 30)
+    assert snap is not None
+    _, keys = store.read_incremental(spark, since_snapshot=s3)
+    assert keys == []
+
+    # A late-data refresh rewriting d1 IS a data change.
+    s5 = store.head()
+    store.commit_partitions({"t/day=d1": df.coalesce(1)})
+    out, keys = store.read_incremental(spark, since_snapshot=s5)
+    assert keys == ["t/day=d1"] and out.count() == 100
+
+    # Expired history: since-snapshot off the chain fails loudly.
+    store.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError):
+        store.changed_partitions(s1)
