@@ -97,6 +97,24 @@ def _file_column_stats(path: str, stat_cols) -> dict[str, list]:
     return {k: v for k, v in agg.items() if v is not None}
 
 
+def _collect_file_stats(paths, stat_cols) -> dict[str, dict]:
+    """Footer-stat reads for many files, thread-pooled: the reads are tiny
+    I/O-bound metadata fetches, and a serial driver loop over thousands of
+    committed files would add a visible driver stall per commit. (On a real
+    cluster Iceberg collects these from the write tasks themselves; the
+    pool is the honest single-process analogue.)"""
+    paths = list(paths)
+    if len(paths) <= 2:
+        out = {p: _file_column_stats(p, stat_cols) for p in paths}
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+            stats = pool.map(lambda p: _file_column_stats(p, stat_cols), paths)
+            out = dict(zip(paths, stats))
+    return {p: s for p, s in out.items() if s}
+
+
 class SnapshotStore:
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
@@ -194,10 +212,7 @@ class SnapshotStore:
             )
             files[part_key] = part_files
             if stat_cols:
-                for f in part_files:
-                    stats = _file_column_stats(f, stat_cols)
-                    if stats:
-                        file_stats[f] = stats
+                file_stats.update(_collect_file_stats(part_files, stat_cols))
             metrics[part_key] = {
                 "n_files": len(part_files),
                 "bytes": sum(os.path.getsize(f) for f in part_files),
@@ -341,10 +356,7 @@ class SnapshotStore:
             for f in old_files:
                 file_stats.pop(f, None)
             if stat_cols:
-                for f in new_files:
-                    stats = _file_column_stats(f, stat_cols)
-                    if stats:
-                        file_stats[f] = stats
+                file_stats.update(_collect_file_stats(new_files, stat_cols))
             # Compaction rewrites bytes, not data: incremental consumers
             # key off the last DATA write, carried through every rewrite.
             prev = metrics.get(part_key, {})
