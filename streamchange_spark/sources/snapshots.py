@@ -431,6 +431,32 @@ class SnapshotStore:
                 os.rmdir(dirpath)
         return deleted
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        keep_last: int = 3,
+        orphan_grace_seconds: float = 3 * 86400,
+        predicate=None,
+    ) -> dict:
+        """The nightly maintenance job, in the only safe order: bin-pack
+        compaction first (commits a new snapshot), snapshot expiry second
+        (reclaims the files compaction replaced, beyond ``keep_last`` of
+        time travel), orphan sweep last (crash residue older than the grace
+        period). One call per table per night keeps file counts, history
+        size, and orphan storage bounded forever."""
+        snap, report = self.compact_partitions(
+            spark, target_file_bytes=target_file_bytes, predicate=predicate
+        )
+        expired = self.expire_snapshots(keep_last=keep_last)
+        orphans = self.remove_orphan_files(older_than_seconds=orphan_grace_seconds)
+        return {
+            "compaction_snapshot": snap,
+            "compacted_partitions": len(report),
+            "expired_files": len(expired),
+            "orphan_files_removed": len(orphans),
+        }
+
     def remove_orphan_files(self, older_than_seconds: float = 3 * 86400) -> list[str]:
         """Delete data files no manifest references (the Iceberg
         ``remove_orphan_files`` analogue). The crash contract of

@@ -525,3 +525,33 @@ def test_incremental_read_sees_appends_refreshes_not_compactions(spark, tmp_path
     store.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError):
         store.changed_partitions(s1)
+
+
+def test_maintain_runs_compact_expire_sweep_in_order(spark, tmp_path):
+    """One maintain() call compacts, expires history beyond keep_last, and
+    sweeps aged orphans -- table stays readable and row-identical."""
+    import os
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(300).select("id")
+    store.commit_partitions({"t/day=d1": df.repartition(8)})
+    store.commit_partitions({"t/day=d2": df.coalesce(1)})
+    before = store.read(spark).orderBy("id").collect()
+    # plant an aged orphan
+    orphan = tmp_path / "tbl" / "data" / "crashed" / "t" / "x"
+    orphan.mkdir(parents=True)
+    df.coalesce(1).write.mode("overwrite").parquet(str(orphan))
+    os.utime(
+        next(str(orphan / f) for f in os.listdir(orphan) if f.endswith(".parquet")),
+        (0, 0),
+    )
+
+    rep = store.maintain(
+        spark, target_file_bytes=1 << 30, keep_last=1, orphan_grace_seconds=86400
+    )
+    assert rep["compaction_snapshot"] is not None
+    assert rep["compacted_partitions"] == 1  # d1: 8 files -> 1
+    assert rep["expired_files"] == 8  # the replaced small files
+    assert rep["orphan_files_removed"] == 1
+    assert store.read(spark).orderBy("id").collect() == before
+    assert len(store.history()) == 1
