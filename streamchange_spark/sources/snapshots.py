@@ -68,7 +68,11 @@ def _json_safe_stat(v):
 def _file_column_stats(path: str, stat_cols) -> dict[str, list]:
     """Per-file [min, max] for the requested columns, read from the parquet
     footer only (no data pages touched) — the manifest-stats source for
-    file-skipping reads."""
+    file-skipping reads. Footer bounds are trusted as-is: parquet writers
+    that truncate binary stats do so order-safely (min prefix rounds down,
+    max increments the last byte), and Spark's writer stores string footer
+    stats untruncated (verified to 289-char values), so [min, max] is
+    always a sound enclosure."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata

@@ -555,3 +555,43 @@ def test_maintain_runs_compact_expire_sweep_in_order(spark, tmp_path):
     assert rep["orphan_files_removed"] == 1
     assert store.read(spark).orderBy("id").collect() == before
     assert len(store.history()) == 1
+
+
+def test_files_for_pruning_is_sound_under_random_ranges(spark, tmp_path):
+    """Property: for ANY range, pruned-read + filter == full-read + filter.
+    Pruning may keep extra files, never drop a matching row."""
+    import random
+
+    rng = random.Random(420)
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(5000).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        F.format_string("u-%03d", F.col("id") % 250).alias("s"),
+    )
+    store.commit_partitions(
+        {"t/day=d1": df.repartitionByRange(6, "k"),
+         "t/day=d2": df.repartition(3)},  # unclustered: stats overlap
+        stat_cols=["k", "s"],
+    )
+    full = store.read(spark, prefix="t/")
+    for _ in range(12):
+        lo = rng.randint(-50, 1050)
+        hi = lo + rng.randint(0, 400)
+        cond = (F.col("k") >= lo) & (F.col("k") <= hi)
+        expected = full.where(cond).count()
+        kept = store.files_for(prefix="t/", ranges={"k": (lo, hi)})
+        if not kept:
+            assert expected == 0
+            continue
+        got = spark.read.parquet(*kept).where(cond).count()
+        assert got == expected, (lo, hi)
+    # string ranges too
+    for _ in range(6):
+        a = f"u-{rng.randint(0, 260):03d}"
+        b = f"u-{rng.randint(0, 260):03d}"
+        lo, hi = min(a, b), max(a, b)
+        cond = (F.col("s") >= lo) & (F.col("s") <= hi)
+        expected = full.where(cond).count()
+        kept = store.files_for(prefix="t/", ranges={"s": (lo, hi)})
+        got = spark.read.parquet(*kept).where(cond).count() if kept else 0
+        assert got == expected, (lo, hi)
