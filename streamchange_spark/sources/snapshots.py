@@ -119,6 +119,25 @@ def _collect_file_stats(paths, stat_cols) -> dict[str, dict]:
     return {p: s for p, s in out.items() if s}
 
 
+def _total_rows(paths) -> int:
+    """Exact row count from parquet footers (no data pages), thread-pooled
+    like the stats reads — recorded per partition at commit time so row
+    counts are a metadata lookup (`lineage`), never a scan."""
+    import pyarrow.parquet as pq
+
+    paths = list(paths)
+
+    def one(p: str) -> int:
+        return pq.ParquetFile(p).metadata.num_rows
+
+    if len(paths) <= 2:
+        return sum(one(p) for p in paths)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+        return sum(pool.map(one, paths))
+
+
 class SnapshotStore:
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
@@ -219,6 +238,7 @@ class SnapshotStore:
                 file_stats.update(_collect_file_stats(part_files, stat_cols))
             metrics[part_key] = {
                 "n_files": len(part_files),
+                "n_rows": _total_rows(part_files),
                 "bytes": sum(os.path.getsize(f) for f in part_files),
                 "write_seconds": round(time.time() - t0, 3),
                 "snapshot_id": snapshot_id,
@@ -370,6 +390,7 @@ class SnapshotStore:
             part_bytes = sum(os.path.getsize(f) for f in new_files)
             metrics[part_key] = {
                 "n_files": len(new_files),
+                "n_rows": _total_rows(new_files),
                 "bytes": part_bytes,
                 "write_seconds": round(time.time() - t0, 3),
                 "snapshot_id": snapshot_id,
@@ -688,7 +709,10 @@ class SnapshotStore:
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage/metrics across the whole snapshot chain as a
-        DataFrame (partition, snapshot_id, n_files, bytes, write_seconds)."""
+        DataFrame (partition, snapshot_id, n_files, n_rows, bytes,
+        write_seconds). Row counts come from commit-time footer metadata
+        (None for partitions committed before counts were recorded), so
+        auditing table sizes is a metadata lookup, never a scan."""
         rows = []
         for m in self.history():
             for part, stats in m.get("metrics", {}).items():
@@ -698,14 +722,15 @@ class SnapshotStore:
                             "partition": part,
                             "snapshot_id": m["snapshot_id"],
                             "n_files": stats["n_files"],
+                            "n_rows": stats.get("n_rows"),
                             "bytes": stats["bytes"],
                             "write_seconds": stats["write_seconds"],
                         }
                     )
         return spark.createDataFrame(
             rows or [],
-            "partition string, snapshot_id string, n_files long, bytes long, "
-            "write_seconds double",
+            "partition string, snapshot_id string, n_files long, n_rows long, "
+            "bytes long, write_seconds double",
         )
 
 

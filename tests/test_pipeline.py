@@ -41,6 +41,10 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path, pages):
     # crawl-frequency series detected from the committed 1h tier
     assert r2["freq_changepoints"] == r1["freq_changepoints"]
     assert (lineage["bytes"] > 0).all()
+    # Row counts are commit-time footer metadata: the tier1h lineage rows
+    # must sum to exactly the rolled-up point count, no scan involved.
+    tier_rows = lineage[lineage["partition"].str.startswith("tier1h/")]
+    assert int(tier_rows["n_rows"].sum()) == r1["rolled_rows"]
 
     # Manifest column stats are live on the flagship tiers: every 1h-tier
     # file carries (url, bucket_start) bounds, so range reads can skip.
@@ -315,6 +319,10 @@ def test_compaction_binpacks_preserving_rows_and_time_travel(spark, tmp_path):
             "bytes": report["tier1h/day=2026-01-01"]["bytes"],
         }
     }  # day=02 already 1 file; sig/ excluded by predicate
+    # Compaction preserves the recorded row count exactly.
+    assert (
+        store.manifest()["metrics"]["tier1h/day=2026-01-01"]["n_rows"] == 2000
+    )
     assert len(store.manifest()["files"]["sig/day=2026-01-01"]) == 4
 
     # Row set unchanged; pre-compaction snapshot still time-travels.
