@@ -570,6 +570,7 @@ class SnapshotStore:
         snapshot_id: str | None = None,
         prefix: str | None = None,
         ranges: dict[str, tuple] | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Read the table as of a snapshot (time travel); HEAD by default.
         ``prefix`` selects a partition family (e.g. 'tier1h/') — required when
@@ -580,13 +581,22 @@ class SnapshotStore:
         returns ALL rows of the kept files; apply the same predicate with
         ``.where`` for row-level filtering (parquet row-group skipping
         handles the rest). Raises ``FileNotFoundError`` when every file is
-        pruned (the caller knows the result is empty without a scan)."""
+        pruned (the caller knows the result is empty without a scan).
+
+        ``merge_schema``: additive schema evolution — when newer partitions
+        carry columns older ones lack (a crawl gains a metadata field), the
+        merged read fills the old rows with NULLs instead of failing or
+        silently taking one file's schema. Costs a footer read per file at
+        planning time; leave False when the family's schema is fixed."""
         kept = self.files_for(snapshot_id, prefix, ranges)
         if not kept:
             raise FileNotFoundError(
                 f"every data file pruned for prefix={prefix!r} ranges={ranges!r}"
             )
-        return spark.read.parquet(*kept)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*kept)
 
     def changed_partitions(
         self,
@@ -653,6 +663,56 @@ class SnapshotStore:
             return None, []
         files = [f for part in changed for f in m["files"][part]]
         return spark.read.parquet(*files), changed
+
+    def follow(
+        self,
+        spark: SparkSession,
+        since_snapshot: str | None = None,
+        prefix: str | None = None,
+        poll_seconds: float = 5.0,
+        idle_limit: int | None = None,
+    ):
+        """Change feed: a generator yielding ``(snapshot_id, df, changed)``
+        every time HEAD advances — the store-as-a-stream consumption loop
+        (Delta's streaming-source analogue) for consumers that want to
+        process each commit's increment without running Structured
+        Streaming. ``df`` contains only the partitions (re)written since
+        the previously yielded snapshot (see :meth:`read_incremental`;
+        None when a commit touched nothing under ``prefix``); the very
+        first yield after an empty start is the full table. Polls HEAD
+        every ``poll_seconds``; stops after ``idle_limit`` consecutive
+        empty polls (None = follow forever). Single-writer semantics: each
+        commit is yielded exactly once, in chain order. The starting point
+        is captured EAGERLY at call time (not at the first ``next()``), so
+        "follow from now on" means from the moment of the call."""
+        last = since_snapshot if since_snapshot is not None else self.head()
+
+        def feed():
+            nonlocal last
+            idle = 0
+            while idle_limit is None or idle < idle_limit:
+                head = self.head()
+                if head is not None and head != last:
+                    if last is None:
+                        df = self.read(spark, snapshot_id=head, prefix=prefix)
+                        changed = sorted(
+                            p
+                            for p in self.manifest(head)["files"]
+                            if prefix is None or p.startswith(prefix)
+                        )
+                    else:
+                        df, changed = self.read_incremental(
+                            spark, since_snapshot=last,
+                            snapshot_id=head, prefix=prefix,
+                        )
+                    yield head, df, changed
+                    last = head
+                    idle = 0
+                else:
+                    idle += 1
+                    time.sleep(poll_seconds)
+
+        return feed()
 
     def completed_partitions(self, snapshot_id: str | None = None) -> set[str]:
         m = self.manifest(snapshot_id)

@@ -603,3 +603,44 @@ def test_files_for_pruning_is_sound_under_random_ranges(spark, tmp_path):
         kept = store.files_for(prefix="t/", ranges={"s": (lo, hi)})
         got = spark.read.parquet(*kept).where(cond).count() if kept else 0
         assert got == expected, (lo, hi)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Additive column evolution: newer partitions carry an extra column;
+    merge_schema fills older rows with NULLs instead of failing."""
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.commit_partitions({"t/day=d1": spark.range(10).select("id")})
+    store.commit_partitions(
+        {"t/day=d2": spark.range(5).select("id", F.lit("en").alias("lang"))}
+    )
+    out = store.read(spark, prefix="t/", merge_schema=True)
+    assert set(out.columns) == {"id", "lang"}
+    assert out.where("lang is null").count() == 10
+    assert out.where("lang = 'en'").count() == 5
+
+
+def test_follow_yields_each_commit_once_in_order(spark, tmp_path):
+    """The change feed yields (snapshot, increment, keys) per commit: full
+    table on first sight of a non-empty store, increments after, then
+    stops after idle_limit empty polls."""
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(50).select("id")
+    feed = store.follow(spark, poll_seconds=0.01, idle_limit=3)
+
+    s1 = store.commit_partitions({"t/day=d1": df})
+    head, out, keys = next(feed)
+    assert head == s1 and keys == ["t/day=d1"] and out.count() == 50
+
+    s2 = store.commit_partitions({"t/day=d2": df.where("id < 20")})
+    head, out, keys = next(feed)
+    assert head == s2 and keys == ["t/day=d2"] and out.count() == 20
+
+    # Two commits between polls: one yield, both partitions.
+    store.commit_partitions({"t/day=d3": df.where("id < 5")})
+    s4 = store.commit_partitions({"t/day=d4": df.where("id < 2")})
+    head, out, keys = next(feed)
+    assert head == s4 and keys == ["t/day=d3", "t/day=d4"]
+    assert out.count() == 7
+
+    with pytest.raises(StopIteration):
+        next(feed)
