@@ -1,10 +1,24 @@
 """Snapshot store: Iceberg-semantics table layout on plain Parquet + JSON.
 
 No Iceberg runtime jar ships in this sandbox, so the engine provides a thin
-store with the same *semantics* — atomic snapshot commits, time travel by
-snapshot id, per-partition lineage + metrics, resume from the last committed
-snapshot — over a directory layout a real ``iceberg-spark-runtime`` catalog
-could replace verbatim on a cluster:
+store with the same *semantics* over a directory layout a real
+``iceberg-spark-runtime`` catalog could replace verbatim on a cluster:
+
+- atomic snapshot commits + time travel + resume (``commit_partitions``,
+  ``read``, ``run_resumable``), with per-partition lineage, row counts, and
+  metrics (``lineage``) and the ``.snapshots`` / ``.files`` metadata tables
+  (``snapshots_table``, ``files_table``);
+- scan planning: per-file [min, max] manifest column stats collected from
+  parquet footers at commit time (``stat_cols=``), range-pruned
+  file-skipping reads (``read(ranges=...)`` / ``files_for``), and
+  range-clustered writes so KEY-range pruning bites (``cluster_by=``);
+- maintenance: bin-pack compaction (``compact_partitions``), snapshot
+  expiry (``expire_snapshots``), grace-period orphan sweep
+  (``remove_orphan_files``), composed nightly by ``maintain()``;
+- incremental consumption: changed-partitions-since-a-snapshot reads
+  (``read_incremental`` — appends and refreshes count, byte compactions
+  don't) and the polling change feed (``follow``);
+- additive schema evolution on read (``read(merge_schema=True)``).
 
     table_dir/
       data/<snapshot_id>/<partition>/...parquet   (immutable once committed)
