@@ -122,6 +122,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Relational / rollup / gap-fill / compression queries (full DuckDB oracles)
 # ---------------------------------------------------------------------------
+def q_pruned_tier_read(spark, sf_dir):
+    """Manifest-stats file skipping end to end (`sources/snapshots.py`
+    `files_for`/`read(ranges=)`): commit the 1h tier into a snapshot store
+    as 8 range-CLUSTERED files with per-file `bucket_start` bounds, then
+    answer a 5-day window query via the PRUNED read. The oracle computes
+    the identical aggregate over the FULL table with a plain WHERE —
+    equality proves pruning dropped no matching row. The query raises if
+    the prune did not engage (opened == total files), so a stats or
+    clustering regression fails the driver gate loudly."""
+    import tempfile
+
+    from streamchange_spark.sources import SnapshotStore
+
+    _configure(spark)
+    store = SnapshotStore(tempfile.mkdtemp(prefix="spark_graft_prune_"))
+    store.commit_partitions(
+        {"tier1h/all": _hourly_tier(spark, sf_dir)},
+        stat_cols=["bucket_start"],
+        cluster_by=["bucket_start"],
+        cluster_files=8,
+    )
+    lo, hi = "2024-01-10T00:00:00", "2024-01-14T23:59:59"
+    total = len(store.files_for(prefix="tier1h/"))
+    kept = store.files_for(prefix="tier1h/", ranges={"bucket_start": (lo, hi)})
+    if not (0 < len(kept) < total):
+        raise AssertionError(f"prune did not engage: {len(kept)}/{total} files")
+    t = store.read(
+        spark, prefix="tier1h/", ranges={"bucket_start": (lo, hi)}
+    ).where(
+        (F.col("bucket_start") >= F.lit("2024-01-10 00:00:00"))
+        & (F.col("bucket_start") < F.lit("2024-01-15 00:00:00"))
+    )
+    return t.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        "n_points",
+        F.round("sum_v", 4).alias("sum_v"),
+    )
+
+
 def q_rollup_1h(spark, sf_dir):
     _configure(spark)
     t = _hourly_tier(spark, sf_dir)
@@ -1963,6 +2003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_1h": q_twa_1h,
         "counter_rate": q_counter_rate,
         "lttb": q_lttb,
+        # round-5 store layer: stats-pruned read proven lossless in-window
+        "pruned_tier_read": q_pruned_tier_read,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -3080,6 +3122,17 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
         "twa_1h": _TWA_ORACLE,
         "counter_rate": _COUNTER_RATE_ORACLE,
         "lttb": _lttb_fixture_sql(),
+        # full-table aggregate + plain WHERE: equality with the Spark side's
+        # pruned store read proves file skipping dropped no matching row
+        "pruned_tier_read": """
+            SELECT user_id,
+                   (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket,
+                   count(*) AS n_points,
+                   round(sum(value), 4) AS sum_v
+            FROM events
+            GROUP BY 1, 2
+            HAVING bucket >= 1704844800 AND bucket < 1705276800
+        """,
         "rollup_1d_from_1h": _ROLLUP_ORACLE.format(sec=86400),
         "rollup_30d_from_1d": _ROLLUP_ORACLE.format(sec=2592000),
         "gapfill_locf": """
