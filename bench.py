@@ -74,6 +74,7 @@ HEADLINE = [
     "twa_1h",
     "counter_rate",
     "lttb",
+    "pruned_tier_read",
 ]
 
 
