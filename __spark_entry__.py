@@ -1953,14 +1953,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are covered by the four ann_* queries in-window) and
     # segmentation_stats (segmentation_with_stats closure NOT edited;
     # kernel-exact pytest + reference_parity green this round).
-    # The four never-driver-checked round-5 additions (refresh_1h, twa_1h,
-    # counter_rate, lttb) take priority over re-certifying capa_anomalies /
+    # The five never-driver-checked round-5 additions (refresh_1h, twa_1h,
+    # counter_rate, lttb, pruned_tier_read — the new store-layer row) take
+    # priority over re-certifying pelt_segments_pruned / capa_anomalies /
     # sequential_alarms / offline_pelt / multivariate_segmentor /
-    # multivariate_alarms (positions 51-55): those five were hash-exact in
-    # r4, their kernels carry ported-test pytest parity AND a fresh
+    # multivariate_alarms (positions 51-56): those were hash-exact in r4,
+    # their kernels carry ported-test pytest parity AND a fresh
     # reference_parity pass (FAILURES: none) this round, and the detect.py
-    # standardize edit they share is driver-covered by the four in-window
-    # detector rows above.
+    # standardize edit they share is driver-covered by the three in-window
+    # detector rows above (freq_changepoints, window_segmentor,
+    # pelt_segments — pelt_segments_pruned runs the same closure with
+    # prune=True and is pinned bit-equal to pelt_segments via the shared
+    # fixture in pytest).
     return {
         # --- r4-dark queries on files changed since their last green row ---
         "token_count": q_token_count,
