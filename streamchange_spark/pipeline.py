@@ -251,6 +251,49 @@ def run_pipeline(
     }
 
 
+def apply_retention_policy(
+    store: SnapshotStore,
+    policy: dict[str, int],
+    now: str,
+) -> tuple[str | None, list[str]]:
+    """Age out fine tiers once coarser ones cover them (the
+    ``add_retention_policy`` analogue, applied at the STORE level): for each
+    partition-family prefix in ``policy`` — e.g. ``{"tier1h/": 90,
+    "gorilla1h/": 90, "sig/": 30}`` mapping prefix → max age in DAYS — drop
+    every day-partition strictly older than ``now`` minus the allowance.
+
+    ``now`` is an explicit ISO date/timestamp (pass the table watermark, not
+    wall clock) so retention is deterministic and replayable. The drop is
+    :meth:`SnapshotStore.expire_partitions` — metadata-only, one new
+    snapshot, time travel intact until ``expire_snapshots`` reclaims the
+    bytes; at 100 TB this is how the raw/1h tiers stay bounded while 1d/30d
+    (absent from the policy) live forever. Returns
+    ``(snapshot_id | None, dropped_keys)``; snapshot_id is None when
+    nothing was old enough (no empty snapshot is committed)."""
+    import datetime as dt
+
+    now_day = dt.date.fromisoformat(str(now)[:10])
+
+    def too_old(part_key: str) -> bool:
+        for prefix, max_age_days in policy.items():
+            if part_key.startswith(prefix):
+                tail = part_key.rsplit("/", 1)[-1].split("=")[-1]
+                try:
+                    day = dt.date.fromisoformat(tail[:10])
+                except ValueError:
+                    return False  # non-dated partition: never age-dropped
+                return (now_day - day).days > max_age_days
+        return False
+
+    m = store.manifest()
+    if m is None or not any(too_old(k) for k in m["files"]):
+        return None, []
+    return store.expire_partitions(
+        too_old,
+        properties={"stage": "retention", "policy": dict(policy), "now": str(now)},
+    )
+
+
 def refresh_pipeline(
     spark: SparkSession,
     late_pages: DataFrame,

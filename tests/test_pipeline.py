@@ -644,3 +644,52 @@ def test_follow_yields_each_commit_once_in_order(spark, tmp_path):
 
     with pytest.raises(StopIteration):
         next(feed)
+
+
+def test_retention_policy_ages_out_fine_tiers_only(spark, tmp_path, pages):
+    """apply_retention_policy drops day-partitions of the policed families
+    older than the watermark allowance -- metadata-only, time travel
+    intact, unlisted families and non-dated partitions untouched."""
+    from streamchange_spark.pipeline import apply_retention_policy
+
+    store_dir = str(tmp_path / "table")
+    r = run_pipeline(spark, pages, store_dir)
+    store = SnapshotStore(store_dir)
+    pre_head = store.head()
+    watermark = store.manifest()["watermark"]
+    days = sorted(
+        k.rsplit("/", 1)[-1] for k in store.completed_partitions()
+        if k.startswith("tier1h/")
+    )
+    keep_days = 5
+    import datetime as dt
+
+    cutoff = dt.date.fromisoformat(watermark[:10]) - dt.timedelta(days=keep_days)
+    expect_drop = [d for d in days if dt.date.fromisoformat(d) < cutoff]
+    assert expect_drop  # fixture spans > keep_days
+
+    snap, dropped = apply_retention_policy(
+        store, {"tier1h/": keep_days, "gorilla1h/": keep_days}, watermark
+    )
+    assert snap is not None
+    assert sorted(d.rsplit("/", 1)[-1] for d in dropped if d.startswith("tier1h/")) == expect_drop
+    # both policed families dropped in lockstep; others untouched
+    live = store.completed_partitions()
+    assert not any(
+        k.startswith(("tier1h/", "gorilla1h/")) and k.rsplit("/", 1)[-1] in expect_drop
+        for k in live
+    )
+    assert {k for k in live if k.startswith("sig/")} == {
+        k for k in SnapshotStore(store_dir).completed_partitions(pre_head)
+        if k.startswith("sig/")
+    }
+    # metadata-only: time travel still reads the full tier
+    assert (
+        store.read(spark, snapshot_id=pre_head, prefix="tier1h/").count()
+        == r["rolled_rows"]
+    )
+    # idempotent at the same watermark
+    snap2, dropped2 = apply_retention_policy(
+        store, {"tier1h/": keep_days, "gorilla1h/": keep_days}, watermark
+    )
+    assert snap2 is None and dropped2 == []
