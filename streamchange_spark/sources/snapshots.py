@@ -152,6 +152,13 @@ def _total_rows(paths) -> int:
         return sum(pool.map(one, paths))
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer advanced HEAD while this commit was building: flipping
+    HEAD now would silently orphan their snapshot. Re-read and retry (the
+    Iceberg optimistic-concurrency contract). The loser's data files stay
+    behind as orphans — exactly what ``remove_orphan_files`` reclaims."""
+
+
 class SnapshotStore:
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
@@ -161,6 +168,27 @@ class SnapshotStore:
     # -- manifest plumbing ---------------------------------------------------
     def _manifest_path(self, snapshot_id: str) -> str:
         return os.path.join(self.table_dir, "snapshots", f"{snapshot_id}.json")
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """Optimistic-concurrency commit: refuse to flip HEAD when another
+        writer advanced it past this snapshot's parent (flipping anyway
+        would silently orphan their commit). The check runs BEFORE the
+        manifest file lands — an orphaned manifest would wrongly pin its
+        data files as live against the orphan sweep. A check-then-rename
+        race window remains (single-writer-per-table is still the deploy
+        recommendation); the guard turns the common lost-update mistake
+        into a loud, retryable :class:`CommitConflictError`."""
+        current = self.head()
+        if current != manifest["parent"]:
+            raise CommitConflictError(
+                f"HEAD moved from {manifest['parent']!r} to {current!r} while "
+                f"building snapshot {manifest['snapshot_id']!r}; re-read and retry"
+            )
+        _atomic_write(
+            self._manifest_path(manifest["snapshot_id"]),
+            json.dumps(manifest, indent=1),
+        )
+        _atomic_write(os.path.join(self.table_dir, "HEAD"), manifest["snapshot_id"])
 
     def head(self) -> str | None:
         head_path = os.path.join(self.table_dir, "HEAD")
@@ -269,8 +297,7 @@ class SnapshotStore:
             "metrics": metrics,
             "file_stats": {f: s for f, s in file_stats.items() if f in live},
         }
-        _atomic_write(self._manifest_path(snapshot_id), json.dumps(manifest, indent=1))
-        _atomic_write(os.path.join(self.table_dir, "HEAD"), snapshot_id)
+        self._commit_manifest(manifest)
         return snapshot_id
 
     def expire_partitions(
@@ -309,10 +336,7 @@ class SnapshotStore:
                 if f in live
             },
         }
-        _atomic_write(
-            self._manifest_path(snapshot_id), json.dumps(manifest, indent=1)
-        )
-        _atomic_write(os.path.join(self.table_dir, "HEAD"), snapshot_id)
+        self._commit_manifest(manifest)
         return snapshot_id, dropped
 
     def compact_partitions(
@@ -430,10 +454,7 @@ class SnapshotStore:
             "metrics": metrics,
             "file_stats": file_stats,
         }
-        _atomic_write(
-            self._manifest_path(snapshot_id), json.dumps(manifest, indent=1)
-        )
-        _atomic_write(os.path.join(self.table_dir, "HEAD"), snapshot_id)
+        self._commit_manifest(manifest)
         return snapshot_id, report
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:

@@ -693,3 +693,33 @@ def test_retention_policy_ages_out_fine_tiers_only(spark, tmp_path, pages):
         store, {"tier1h/": keep_days, "gorilla1h/": keep_days}, watermark
     )
     assert snap2 is None and dropped2 == []
+
+
+def test_commit_conflict_detected_and_loser_leaves_only_orphans(spark, tmp_path):
+    """Optimistic concurrency: a commit whose parent is no longer HEAD
+    raises CommitConflictError BEFORE its manifest lands, so the winner's
+    chain is intact and the loser's residue is sweepable orphans."""
+    import os
+
+    from streamchange_spark.sources.snapshots import CommitConflictError
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(20).select("id")
+    s1 = store.commit_partitions({"t/d1": df})
+
+    # Writer B advances HEAD while writer A holds a stale parent.
+    s2 = store.commit_partitions({"t/d2": df})
+    stale = store.manifest(s2)
+    stale_manifest = dict(stale)
+    stale_manifest.update(
+        {"snapshot_id": "loser-0001", "parent": s1}  # built against s1
+    )
+    with pytest.raises(CommitConflictError):
+        store._commit_manifest(stale_manifest)
+    # No manifest file for the loser; chain unchanged.
+    assert not os.path.exists(store._manifest_path("loser-0001"))
+    assert store.head() == s2
+    assert [m["snapshot_id"] for m in store.history()] == [s2, s1]
+    # A retry built against the CURRENT head succeeds.
+    s3 = store.commit_partitions({"t/d3": df.where("id < 5")})
+    assert store.head() == s3 and store.read(spark).count() == 45
