@@ -8,10 +8,11 @@ from .bucketed import (
     restore_auto_bucketed_scan,
     write_bucketed,
 )
-from .snapshots import SnapshotStore, run_resumable
+from .snapshots import CommitConflictError, SnapshotStore, run_resumable
 
 __all__ = [
     "PAGES_SCHEMA",
+    "CommitConflictError",
     "SnapshotStore",
     "generate_pages",
     "generate_url_history",
