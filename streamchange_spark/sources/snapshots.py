@@ -133,10 +133,10 @@ def _collect_file_stats(paths, stat_cols) -> dict[str, dict]:
     return {p: s for p, s in out.items() if s}
 
 
-def _total_rows(paths) -> int:
-    """Exact row count from parquet footers (no data pages), thread-pooled
-    like the stats reads — recorded per partition at commit time so row
-    counts are a metadata lookup (`lineage`), never a scan."""
+def _rows_per_file(paths) -> dict[str, int]:
+    """Exact row count per file from parquet footers (no data pages),
+    thread-pooled like the stats reads — recorded per partition at commit
+    time so row counts are a metadata lookup (`lineage`), never a scan."""
     import pyarrow.parquet as pq
 
     paths = list(paths)
@@ -145,11 +145,11 @@ def _total_rows(paths) -> int:
         return pq.ParquetFile(p).metadata.num_rows
 
     if len(paths) <= 2:
-        return sum(one(p) for p in paths)
+        return {p: one(p) for p in paths}
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
-        return sum(pool.map(one, paths))
+        return dict(zip(paths, pool.map(one, paths)))
 
 
 class CommitConflictError(RuntimeError):
@@ -275,13 +275,25 @@ class SnapshotStore:
                 for f in os.listdir(part_dir)
                 if f.endswith(".parquet")
             )
-            files[part_key] = part_files
+            # Never commit empty task outputs (a wide cluster writing a
+            # small partition leaves one empty file per idle task): they
+            # bloat the manifest and schedule pointless scan tasks. Keep
+            # one only when the whole partition is empty, so reads still
+            # infer a schema. The dropped files are deleted immediately —
+            # nothing references them yet.
+            rows_by_file = _rows_per_file(part_files)
+            nonempty = [f for f in part_files if rows_by_file[f] > 0]
+            kept = nonempty or part_files[:1]
+            for f in part_files:
+                if f not in kept:
+                    os.remove(f)
+            files[part_key] = kept
             if stat_cols:
-                file_stats.update(_collect_file_stats(part_files, stat_cols))
+                file_stats.update(_collect_file_stats(kept, stat_cols))
             metrics[part_key] = {
-                "n_files": len(part_files),
-                "n_rows": _total_rows(part_files),
-                "bytes": sum(os.path.getsize(f) for f in part_files),
+                "n_files": len(kept),
+                "n_rows": sum(rows_by_file.values()),
+                "bytes": sum(os.path.getsize(f) for f in kept),
                 "write_seconds": round(time.time() - t0, 3),
                 "snapshot_id": snapshot_id,
             }
@@ -428,7 +440,7 @@ class SnapshotStore:
             part_bytes = sum(os.path.getsize(f) for f in new_files)
             metrics[part_key] = {
                 "n_files": len(new_files),
-                "n_rows": _total_rows(new_files),
+                "n_rows": sum(_rows_per_file(new_files).values()),
                 "bytes": part_bytes,
                 "write_seconds": round(time.time() - t0, 3),
                 "snapshot_id": snapshot_id,

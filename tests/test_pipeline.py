@@ -723,3 +723,30 @@ def test_commit_conflict_detected_and_loser_leaves_only_orphans(spark, tmp_path)
     # A retry built against the CURRENT head succeeds.
     s3 = store.commit_partitions({"t/d3": df.where("id < 5")})
     assert store.head() == s3 and store.read(spark).count() == 45
+
+
+def test_commit_drops_empty_task_files(spark, tmp_path):
+    """A wide write of a small partition leaves empty task outputs; the
+    manifest must list only non-empty files (one kept if all are empty),
+    rows/bytes unchanged, dropped files gone from disk."""
+    import os
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    s1 = store.commit_partitions(
+        {"t/d1": spark.range(3).select("id").repartition(8)}
+    )
+    m = store.manifest()
+    assert 1 <= len(m["files"]["t/d1"]) <= 3
+    assert m["metrics"]["t/d1"]["n_rows"] == 3
+    assert store.read(spark, prefix="t/").count() == 3
+    # the dropped empties are deleted, not orphaned
+    part_dir = os.path.dirname(m["files"]["t/d1"][0])
+    on_disk = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert sorted(os.path.join(part_dir, f) for f in on_disk) == m["files"]["t/d1"]
+
+    # all-empty partition: one file kept so the schema is still readable
+    store.commit_partitions({"t/d2": spark.range(5).where("id < 0").select("id")})
+    m = store.manifest()
+    assert len(m["files"]["t/d2"]) == 1
+    assert m["metrics"]["t/d2"]["n_rows"] == 0
+    assert store.read(spark, prefix="t/d2").count() == 0
