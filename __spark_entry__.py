@@ -162,6 +162,70 @@ def q_pruned_tier_read(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Row-level MERGE INTO with copy-on-write rewrite
+    (`sources/snapshots.py` `merge_into`): commit events into a snapshot
+    store as two partitions x 4 range-clustered files with per-file
+    `event_id` bounds, then upsert a deterministic source — a contiguous
+    id-range of updates (one sets values, flips event_type) plus 50 brand-new
+    ids appended. The read-back must equal the oracle's FULL OUTER JOIN
+    formulation. The query raises unless manifest-stats pruning skipped
+    most files AND the probe rewrote exactly the two files holding the
+    update range — so a stats, clustering, or probe regression fails the
+    driver gate loudly, not just slowly."""
+    import tempfile
+
+    from streamchange_spark.sources import SnapshotStore
+
+    _configure(spark)
+    ev = _t(spark, sf_dir, "events")
+    store = SnapshotStore(tempfile.mkdtemp(prefix="spark_graft_merge_"))
+    store.commit_partitions(
+        {
+            "ev/a": ev.where(F.col("event_id") % 2 == 0),
+            "ev/b": ev.where(F.col("event_id") % 2 == 1),
+        },
+        stat_cols=["event_id"],
+        cluster_by=["event_id"],
+        cluster_files=4,
+    )
+    updates = ev.where(
+        (F.col("event_id") >= 9000) & (F.col("event_id") < 9500)
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit("merged").alias("event_type"),
+        (F.col("value") + 1000.0).alias("value"),
+        "props",
+    )
+    inserts = ev.where(F.col("event_id") < 50).select(
+        (F.col("event_id") + 1000000).alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("inserted").alias("event_type"),
+        "value",
+        "props",
+    )
+    _, report = store.merge_into(
+        spark,
+        updates.unionByName(inserts),
+        ["event_id"],
+        prefix="ev/",
+        insert_partition="ev/b",
+    )
+    if report["pruned_files"] < 4 or report["touched_files"] > 2:
+        raise AssertionError(f"merge scan planning regressed: {report}")
+    return store.read(spark, prefix="ev/").select(
+        "event_id",
+        _epoch("ts").alias("ts_epoch"),
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "props",
+    )
+
+
 def q_rollup_1h(spark, sf_dir):
     _configure(spark)
     t = _hourly_tier(spark, sf_dir)
@@ -2009,6 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb": q_lttb,
         # round-5 store layer: stats-pruned read proven lossless in-window
         "pruned_tier_read": q_pruned_tier_read,
+        # round-5 store layer: copy-on-write MERGE INTO (upsert + append)
+        "merge_upsert": q_merge_upsert,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -3128,6 +3194,30 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
         "lttb": _lttb_fixture_sql(),
         # full-table aggregate + plain WHERE: equality with the Spark side's
         # pruned store read proves file skipping dropped no matching row
+        "merge_upsert": """
+            WITH src AS (
+                SELECT event_id, ts, user_id,
+                       'merged' AS event_type, value + 1000.0 AS value, props
+                FROM events WHERE event_id >= 9000 AND event_id < 9500
+                UNION ALL
+                SELECT event_id + 1000000, ts, user_id,
+                       'inserted', value, props
+                FROM events WHERE event_id < 50
+            )
+            SELECT CASE WHEN s.event_id IS NOT NULL THEN s.event_id
+                        ELSE t.event_id END AS event_id,
+                   floor(epoch(CASE WHEN s.event_id IS NOT NULL THEN s.ts
+                                    ELSE t.ts END))::BIGINT AS ts_epoch,
+                   CASE WHEN s.event_id IS NOT NULL THEN s.user_id
+                        ELSE t.user_id END AS user_id,
+                   CASE WHEN s.event_id IS NOT NULL THEN s.event_type
+                        ELSE t.event_type END AS event_type,
+                   round(CASE WHEN s.event_id IS NOT NULL THEN s.value
+                              ELSE t.value END, 4) AS value,
+                   CASE WHEN s.event_id IS NOT NULL THEN s.props
+                        ELSE t.props END AS props
+            FROM events t FULL OUTER JOIN src s ON t.event_id = s.event_id
+        """,
         "pruned_tier_read": """
             SELECT user_id,
                    (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket,

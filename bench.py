@@ -75,6 +75,7 @@ HEADLINE = [
     "counter_rate",
     "lttb",
     "pruned_tier_read",
+    "merge_upsert",
 ]
 
 

@@ -469,6 +469,328 @@ class SnapshotStore:
         self._commit_manifest(manifest)
         return snapshot_id, report
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: Iterable[str],
+        prefix: str | None = None,
+        when_not_matched: str = "insert",
+        insert_partition: str | None = None,
+        properties: dict | None = None,
+    ) -> tuple[str | None, dict]:
+        """Row-level upsert with copy-on-write rewrite — the Iceberg
+        ``MERGE INTO t USING s ON keys WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *`` analogue, the verb a crawl table
+        needs when a URL is re-fetched. Every target row whose key appears
+        in ``source`` is replaced by the source row (all columns, including
+        explicit NULLs); source rows matching no target row are appended to
+        ``insert_partition`` (``when_not_matched``: ``"insert"`` |
+        ``"ignore"`` | ``"error"``).
+
+        Scale shape (what Iceberg's COW MERGE does, re-expressed):
+
+        1. *Prune*: candidate files = manifest-stats file skipping of the
+           ``prefix`` family against the source's global per-key-column
+           [min, max] — a 100-TB table with range-clustered keys prunes to
+           the files whose key range overlaps the increment at planning
+           time, no scan.
+        2. *Probe*: ONE column-pruned scan of the candidate files (key
+           columns only) semi-joined against the broadcast source keys
+           finds the files that actually contain a matching key. Only
+           those are rewritten.
+        3. *Rewrite*: each touched file set is re-read once, left-joined
+           against the broadcast source with a match marker (exact
+           NULL-update semantics — no ``coalesce`` trap), and written as
+           new files; untouched files are carried over by reference.
+        4. *Append*: unmatched source rows land as NEW files appended to
+           ``insert_partition``'s file list — O(increment), no rewrite.
+
+        The source must be unique on ``key_cols`` (checked; the SQL MERGE
+        cardinality rule) and its schema must cover the target's columns.
+        A key present in several partitions is updated in each (standard
+        MERGE updates every matching target row). Rewritten/inserted files
+        inherit manifest stats for the union of the stat columns the
+        partition's replaced files carried. Commits ONE snapshot under the
+        optimistic-concurrency check; a crash leaves only orphaned files.
+        Returns ``(snapshot_id | None, report)`` — ``None`` when the merge
+        was a provable no-op (empty source, or no matches and nothing to
+        insert)."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        key_cols = list(key_cols)
+        if when_not_matched not in ("insert", "ignore", "error"):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        if when_not_matched == "insert" and insert_partition is None:
+            raise ValueError("when_not_matched='insert' needs insert_partition")
+        parent = self.head()
+        m = self.manifest(parent)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.table_dir}")
+
+        # One pass over the (small) source: per-key-column bounds for stats
+        # pruning + the MERGE cardinality check, a single tiny agg job.
+        src_keys = source.select(*key_cols)
+        agg_cols = [F.count(F.lit(1)).alias("__n")] + [
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias("__d")
+        ]
+        for c in key_cols:
+            agg_cols += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        stats_row = source.agg(*agg_cols).collect()[0]
+        if stats_row["__n"] == 0:
+            return None, {"matched_rows": 0, "inserted_rows": 0, "touched_files": 0}
+        if stats_row["__d"] != stats_row["__n"]:
+            raise ValueError(
+                f"source is not unique on {key_cols}: {stats_row['__n']} rows, "
+                f"{stats_row['__d']} distinct keys (SQL MERGE cardinality rule)"
+            )
+        ranges = {}
+        for c in key_cols:
+            lo = _json_safe_stat(stats_row[f"__lo_{c}"])
+            hi = _json_safe_stat(stats_row[f"__hi_{c}"])
+            if lo is not None and hi is not None:
+                ranges[c] = (lo, hi)
+
+        all_files = self.files_for(parent, prefix)
+        cand = self.files_for(parent, prefix, ranges or None)
+        # input_file_name() yields file: URIs with absolute paths; manifests
+        # may hold relative ones — normalize through abspath for the lookup
+        # but keep manifest spelling everywhere else.
+        abs_to_manifest = {
+            os.path.abspath(f): (f, p)
+            for p, pf in m["files"].items()
+            for f in pf
+        }
+
+        # Probe scan: key columns only, semi-joined against the broadcast
+        # source keys; yields both the touched files and the matched keys.
+        touched_by_part: dict[str, set] = {}
+        matched_rows = 0
+        hits = None
+        if cand:
+            probe = spark.read.parquet(*cand).select(
+                F.input_file_name().alias("__file"), *key_cols
+            )
+            hits = probe.join(F.broadcast(src_keys), key_cols, "leftsemi").persist()
+            for r in hits.groupBy("__file").count().collect():
+                path = unquote(urlparse(r["__file"]).path) or r["__file"]
+                hit = abs_to_manifest.get(os.path.abspath(path))
+                if hit is None:
+                    raise RuntimeError(f"probe saw unmanifested file {path}")
+                manifest_path, part = hit
+                touched_by_part.setdefault(part, set()).add(manifest_path)
+                matched_rows += r["count"]
+
+        # Split the source: matched keys update in place, the rest insert.
+        if hits is not None and matched_rows:
+            matched_keys = hits.select(*key_cols).distinct()
+            unmatched = source.join(F.broadcast(matched_keys), key_cols, "left_anti")
+        else:
+            unmatched = source
+        n_insert = 0
+        if when_not_matched == "error":
+            stray = unmatched.count()
+            if stray:
+                if hits is not None:
+                    hits.unpersist()
+                raise ValueError(
+                    f"{stray} source rows match no target row "
+                    "(when_not_matched='error')"
+                )
+        if not touched_by_part and when_not_matched != "insert":
+            if hits is not None:
+                hits.unpersist()
+            return None, {
+                "matched_rows": 0,
+                "inserted_rows": 0,
+                "touched_files": 0,
+                "candidate_files": len(cand),
+                "pruned_files": len(all_files) - len(cand),
+            }
+
+        snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        files = dict(m["files"])
+        metrics = dict(m.get("metrics", {}))
+        file_stats = dict(m.get("file_stats", {}))
+        rewritten: dict[str, dict] = {}
+
+        def _finish_part(part_key, kept_files, new_dir, stat_cols, t0, extra):
+            new_files = sorted(
+                os.path.join(new_dir, f)
+                for f in os.listdir(new_dir)
+                if f.endswith(".parquet")
+            )
+            rows_by_file = _rows_per_file(new_files)
+            nonempty = [f for f in new_files if rows_by_file[f] > 0]
+            kept_new = nonempty or ([] if kept_files else new_files[:1])
+            for f in new_files:
+                if f not in kept_new:
+                    os.remove(f)
+            files[part_key] = sorted(kept_files) + kept_new
+            if stat_cols:
+                file_stats.update(_collect_file_stats(kept_new, stat_cols))
+            metrics[part_key] = {
+                "n_files": len(files[part_key]),
+                "n_rows": sum(_rows_per_file(files[part_key]).values()),
+                "bytes": sum(os.path.getsize(f) for f in files[part_key]),
+                "write_seconds": round(time.time() - t0, 3),
+                "snapshot_id": snapshot_id,
+                **extra,
+            }
+
+        for part_key, touched in sorted(touched_by_part.items()):
+            touched = sorted(touched)
+            old = spark.read.parquet(*touched)
+            data_cols = [c for c in old.columns if c not in key_cols]
+            missing = set(old.columns) - set(source.columns)
+            if missing:
+                raise ValueError(
+                    f"source lacks target columns {sorted(missing)} "
+                    "(MERGE is UPDATE SET * — schemas must align)"
+                )
+            src_marked = F.broadcast(
+                source.select(
+                    *key_cols,
+                    *[F.col(c).alias(f"__src_{c}") for c in data_cols],
+                    F.lit(True).alias("__matched"),
+                )
+            )
+            # Exact NULL-update semantics: a marker column, not coalesce —
+            # a source row that sets a value to NULL must win.
+            new_data = (
+                old.join(src_marked, key_cols, "left")
+                .select(
+                    *key_cols,
+                    *[
+                        F.when(F.col("__matched"), F.col(f"__src_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        for c in data_cols
+                    ],
+                )
+                .select(*old.columns)
+            )
+            part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
+            t0 = time.time()
+            stat_cols = {c for f in touched for c in file_stats.get(f, {})}
+            with _stats_friendly_writes(spark):
+                new_data.coalesce(len(touched)).write.mode("overwrite").parquet(
+                    part_dir
+                )
+            kept_files = [f for f in files[part_key] if f not in set(touched)]
+            for f in touched:
+                file_stats.pop(f, None)
+            _finish_part(
+                part_key,
+                kept_files,
+                part_dir,
+                stat_cols,
+                t0,
+                {"merged_files": len(touched)},
+            )
+            rewritten[part_key] = {"files_rewritten": len(touched)}
+
+        if when_not_matched == "insert":
+            existing = files.get(insert_partition, [])
+            if existing:
+                tgt_cols = spark.read.parquet(existing[0]).columns
+                missing = set(tgt_cols) - set(source.columns)
+                if missing:
+                    raise ValueError(
+                        f"source lacks {sorted(missing)} of insert partition "
+                        f"{insert_partition!r}"
+                    )
+                ins = unmatched.select(*tgt_cols)
+            else:
+                ins = unmatched
+            # A dedicated subdir: when insert_partition was ALSO rewritten
+            # above, its new files already live in data/<sid>/<part>/ and an
+            # overwrite-mode write there would wipe them.
+            part_dir = os.path.join(
+                self.table_dir, "data", snapshot_id, insert_partition, "__append__"
+            )
+            t0 = time.time()
+            stat_cols = {c for f in existing for c in file_stats.get(f, {})}
+            with _stats_friendly_writes(spark):
+                ins.write.mode("overwrite").parquet(part_dir)
+            before = metrics.get(insert_partition, {}).get("n_rows", 0)
+            _finish_part(
+                insert_partition, list(existing), part_dir, stat_cols, t0, {}
+            )
+            n_insert = metrics[insert_partition]["n_rows"] - before
+
+        if hits is not None:
+            hits.unpersist()
+        if not touched_by_part and not n_insert:
+            # Inserts resolved to zero rows and nothing matched: drop the
+            # would-be snapshot rather than committing a no-op.
+            return None, {
+                "matched_rows": 0,
+                "inserted_rows": 0,
+                "touched_files": 0,
+                "candidate_files": len(cand),
+                "pruned_files": len(all_files) - len(cand),
+            }
+        live = {f for pf in files.values() for f in pf}
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent": parent,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "watermark": m.get("watermark"),
+            "properties": {
+                **(properties or {}),
+                "merge_keys": key_cols,
+                "merged_partitions": sorted(rewritten),
+                "merge_inserted_into": insert_partition
+                if (when_not_matched == "insert" and n_insert)
+                else None,
+            },
+            "files": files,
+            "metrics": metrics,
+            "file_stats": {f: s for f, s in file_stats.items() if f in live},
+        }
+        self._commit_manifest(manifest)
+        report = {
+            "matched_rows": matched_rows,
+            "inserted_rows": n_insert,
+            "candidate_files": len(cand),
+            "pruned_files": len(all_files) - len(cand),
+            "touched_files": sum(len(v) for v in touched_by_part.values()),
+            "rewritten_partitions": rewritten,
+        }
+        return snapshot_id, report
+
+    def rollback(self, snapshot_id: str, purge_abandoned: bool = False) -> list[str]:
+        """Point HEAD back at an ancestor snapshot (the Iceberg
+        ``rollback_to_snapshot`` analogue) — an O(1) metadata flip that
+        undoes bad commits without touching data files; time travel to the
+        abandoned snapshots keeps working through their manifests. With
+        ``purge_abandoned`` the manifests newer than the target (reachable
+        from the old HEAD but not the new one) are deleted so their unique
+        data files age into :meth:`remove_orphan_files`' sweep — otherwise
+        an abandoned branch pins its files forever. Returns the abandoned
+        snapshot ids (newest first)."""
+        if not os.path.exists(self._manifest_path(snapshot_id)):
+            raise FileNotFoundError(f"no snapshot {snapshot_id!r}")
+        abandoned = []
+        cur = self.head()
+        while cur and cur != snapshot_id:
+            mm = self.manifest(cur)
+            abandoned.append(cur)
+            cur = mm.get("parent")
+        if cur != snapshot_id:
+            raise ValueError(
+                f"{snapshot_id!r} is not an ancestor of HEAD; refusing to "
+                "roll back across branches"
+            )
+        _atomic_write(os.path.join(self.table_dir, "HEAD"), snapshot_id)
+        if purge_abandoned:
+            for sid in abandoned:
+                os.remove(self._manifest_path(sid))
+        return abandoned
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Physically reclaim history (the Iceberg ``expire_snapshots``
         analogue): keep the newest ``keep_last`` snapshots, delete the

@@ -750,3 +750,145 @@ def test_commit_drops_empty_task_files(spark, tmp_path):
     assert len(m["files"]["t/d2"]) == 1
     assert m["metrics"]["t/d2"]["n_rows"] == 0
     assert store.read(spark, prefix="t/d2").count() == 0
+
+
+def _merge_fixture(spark, tmp_path):
+    """Two partitions, each range-clustered on id into 4 key-disjoint files
+    with manifest stats — the layout where MERGE's stats pruning and
+    touched-file probe have something real to skip."""
+    store = SnapshotStore(str(tmp_path / "merge_tbl"))
+    d1 = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 10).alias("v"), F.lit("d1").alias("tag")
+    )
+    d2 = spark.range(100, 200).select(
+        F.col("id"), (F.col("id") * 10).alias("v"), F.lit("d2").alias("tag")
+    )
+    s1 = store.commit_partitions(
+        {"t/d1": d1, "t/d2": d2},
+        stat_cols=["id"],
+        cluster_by=["id"],
+        cluster_files=4,
+    )
+    return store, s1
+
+
+def test_merge_into_updates_inserts_and_time_travel(spark, tmp_path):
+    store, s1 = _merge_fixture(spark, tmp_path)
+    m1 = store.manifest(s1)
+    src = spark.createDataFrame(
+        [
+            (3, 999, None),       # update incl. explicit NULL — NULL must win
+            (150, -1, "upd"),     # update in the other partition
+            (500, 7, "new"),      # no match -> insert
+        ],
+        "id long, v long, tag string",
+    )
+    s2, report = store.merge_into(
+        spark, src, ["id"], prefix="t/", insert_partition="t/d2"
+    )
+    assert s2 is not None and store.head() == s2
+    assert report["matched_rows"] == 2
+    assert report["inserted_rows"] == 1
+    # pruning + probe: source ids span [3, 500] so stats pruning alone may
+    # keep many files, but the probe must rewrite exactly the two files
+    # holding ids 3 and 150
+    assert report["touched_files"] == 2
+    assert set(report["rewritten_partitions"]) == {"t/d1", "t/d2"}
+
+    got = {
+        r["id"]: (r["v"], r["tag"])
+        for r in store.read(spark, prefix="t/").collect()
+    }
+    assert len(got) == 201
+    assert got[3] == (999, None)
+    assert got[150] == (-1, "upd")
+    assert got[500] == (7, "new")
+    assert got[4] == (40, "d1")  # untouched row intact
+
+    # untouched files carried by reference, not rewritten
+    m2 = store.manifest(s2)
+    assert len(set(m1["files"]["t/d1"]) & set(m2["files"]["t/d1"])) == 3
+    # time travel still sees the pre-merge values
+    old = {r["id"]: r["v"] for r in store.read(spark, snapshot_id=s1).collect()}
+    assert old[3] == 30 and 500 not in old
+    # merge is a data write: incremental consumers see both partitions
+    assert set(store.changed_partitions(s1)) == {"t/d1", "t/d2"}
+
+
+def test_merge_into_stats_pruning_engages(spark, tmp_path):
+    store, _ = _merge_fixture(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(190, 0, "x"), (191, 0, "x")], "id long, v long, tag string"
+    )
+    s2, report = store.merge_into(
+        spark, src, ["id"], prefix="t/", when_not_matched="error"
+    )
+    # ids 190-191 live in the top file of t/d2 only: the [min,max] manifest
+    # stats must prune most of the 8 files before the probe even runs
+    assert report["pruned_files"] >= 6
+    assert report["touched_files"] == 1
+    assert report["inserted_rows"] == 0
+    got = store.read(spark, prefix="t/").where("id in (190, 191, 189)")
+    assert {r["v"] for r in got.collect()} == {0, 1890}
+    assert store.head() == s2
+
+
+def test_merge_into_modes_and_cardinality(spark, tmp_path):
+    store, s1 = _merge_fixture(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b")], "id long, v long, tag string"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        store.merge_into(spark, dup, ["id"], insert_partition="t/d1")
+
+    stray = spark.createDataFrame([(999, 0, "s")], "id long, v long, tag string")
+    with pytest.raises(ValueError, match="match no target row"):
+        store.merge_into(spark, stray, ["id"], when_not_matched="error")
+
+    # ignore: unmatched rows dropped; no match at all -> provable no-op
+    out, report = store.merge_into(
+        spark, stray, ["id"], when_not_matched="ignore"
+    )
+    assert out is None and report["matched_rows"] == 0
+    assert store.head() == s1
+
+    # empty source -> no-op without any scan
+    empty = stray.where("id < 0")
+    out, report = store.merge_into(spark, empty, ["id"], insert_partition="t/d1")
+    assert out is None and store.head() == s1
+
+    # missing target column -> loud schema error
+    bad = spark.createDataFrame([(1, 5)], "id long, v long")
+    with pytest.raises(ValueError, match="schemas must align"):
+        store.merge_into(spark, bad, ["id"], insert_partition="t/d1")
+
+
+def test_rollback_and_purge(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "rb_tbl"))
+    df = spark.range(10).select("id")
+    s1 = store.commit_partitions({"t/d1": df})
+    s2 = store.commit_partitions({"t/d2": df.where("id < 5")})
+    s3 = store.commit_partitions({"t/d3": df.where("id < 2")})
+    assert store.read(spark, prefix="t/").count() == 17
+
+    abandoned = store.rollback(s1)
+    assert abandoned == [s3, s2]
+    assert store.head() == s1
+    assert store.read(spark, prefix="t/").count() == 10
+    # abandoned snapshots still time-travel until purged
+    assert store.read(spark, snapshot_id=s3, prefix="t/").count() == 17
+
+    with pytest.raises(ValueError, match="not an ancestor"):
+        store.rollback(s2)  # s2 is no longer on the HEAD chain... 
+    s4 = store.commit_partitions({"t/d4": df.where("id < 3")})
+    assert store.manifest(s4)["parent"] == s1
+
+    # purge: manifests gone, their unique files become orphan-sweepable
+    store.rollback(s1, purge_abandoned=True)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.manifest(s4)
+    removed = store.remove_orphan_files(older_than_seconds=0)
+    assert removed  # d2/d3/d4 files reclaimed
+    assert store.read(spark, prefix="t/").count() == 10
