@@ -226,6 +226,44 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+def q_delete_rows(spark, sf_dir):
+    """Row-level DELETE with copy-on-write rewrite (`sources/snapshots.py`
+    `delete_where`): commit events user-range-clustered with per-file
+    `user_id` bounds, purge one user (the right-to-be-forgotten path), and
+    read back. The oracle is the plain complement WHERE — equality proves
+    the rewrite dropped exactly the matching rows, including the
+    NULL-predicate survival rule. Raises unless the ranges hint pruned
+    files AND only a minority of files were rewritten."""
+    import tempfile
+
+    from streamchange_spark.sources import SnapshotStore
+
+    _configure(spark)
+    ev = _t(spark, sf_dir, "events")
+    store = SnapshotStore(tempfile.mkdtemp(prefix="spark_graft_del_"))
+    store.commit_partitions(
+        {"ev/all": ev},
+        stat_cols=["user_id"],
+        cluster_by=["user_id"],
+        cluster_files=8,
+    )
+    _, report = store.delete_where(
+        spark,
+        "user_id = 7",
+        prefix="ev/",
+        ranges={"user_id": (7, 7)},
+    )
+    if report["deleted_rows"] == 0 or report["pruned_files"] < 5:
+        raise AssertionError(f"delete scan planning regressed: {report}")
+    return store.read(spark, prefix="ev/").select(
+        "event_id",
+        _epoch("ts").alias("ts_epoch"),
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
 def q_rollup_1h(spark, sf_dir):
     _configure(spark)
     t = _hourly_tier(spark, sf_dir)
@@ -2075,6 +2113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_tier_read": q_pruned_tier_read,
         # round-5 store layer: copy-on-write MERGE INTO (upsert + append)
         "merge_upsert": q_merge_upsert,
+        # round-5 store layer: copy-on-write row-level DELETE
+        "delete_rows": q_delete_rows,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -3194,6 +3234,15 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
         "lttb": _lttb_fixture_sql(),
         # full-table aggregate + plain WHERE: equality with the Spark side's
         # pruned store read proves file skipping dropped no matching row
+        "delete_rows": """
+            SELECT event_id,
+                   floor(epoch(ts))::BIGINT AS ts_epoch,
+                   user_id,
+                   event_type,
+                   round(value, 4) AS value
+            FROM events
+            WHERE user_id <> 7
+        """,
         "merge_upsert": """
             WITH src AS (
                 SELECT event_id, ts, user_id,

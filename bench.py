@@ -76,6 +76,7 @@ HEADLINE = [
     "lttb",
     "pruned_tier_read",
     "merge_upsert",
+    "delete_rows",
 ]
 
 

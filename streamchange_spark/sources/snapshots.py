@@ -469,6 +469,47 @@ class SnapshotStore:
         self._commit_manifest(manifest)
         return snapshot_id, report
 
+    def _register_part_files(
+        self,
+        files: dict,
+        metrics: dict,
+        file_stats: dict,
+        snapshot_id: str,
+        part_key: str,
+        kept_files: list,
+        new_dir: str,
+        stat_cols,
+        t0: float,
+        extra: dict,
+    ) -> None:
+        """Fold a just-written directory of data files into an in-progress
+        manifest: drop empty task outputs (one kept only when the partition
+        would otherwise have no file at all, so reads still infer a schema),
+        append to the carried-over files, recompute footer stats for the new
+        files and exact metadata row counts for the partition."""
+        new_files = sorted(
+            os.path.join(new_dir, f)
+            for f in os.listdir(new_dir)
+            if f.endswith(".parquet")
+        )
+        rows_by_file = _rows_per_file(new_files)
+        nonempty = [f for f in new_files if rows_by_file[f] > 0]
+        kept_new = nonempty or ([] if kept_files else new_files[:1])
+        for f in new_files:
+            if f not in kept_new:
+                os.remove(f)
+        files[part_key] = sorted(kept_files) + kept_new
+        if stat_cols:
+            file_stats.update(_collect_file_stats(kept_new, stat_cols))
+        metrics[part_key] = {
+            "n_files": len(files[part_key]),
+            "n_rows": sum(_rows_per_file(files[part_key]).values()),
+            "bytes": sum(os.path.getsize(f) for f in files[part_key]),
+            "write_seconds": round(time.time() - t0, 3),
+            "snapshot_id": snapshot_id,
+            **extra,
+        }
+
     def merge_into(
         self,
         spark: SparkSession,
@@ -617,28 +658,18 @@ class SnapshotStore:
         rewritten: dict[str, dict] = {}
 
         def _finish_part(part_key, kept_files, new_dir, stat_cols, t0, extra):
-            new_files = sorted(
-                os.path.join(new_dir, f)
-                for f in os.listdir(new_dir)
-                if f.endswith(".parquet")
+            self._register_part_files(
+                files,
+                metrics,
+                file_stats,
+                snapshot_id,
+                part_key,
+                kept_files,
+                new_dir,
+                stat_cols,
+                t0,
+                extra,
             )
-            rows_by_file = _rows_per_file(new_files)
-            nonempty = [f for f in new_files if rows_by_file[f] > 0]
-            kept_new = nonempty or ([] if kept_files else new_files[:1])
-            for f in new_files:
-                if f not in kept_new:
-                    os.remove(f)
-            files[part_key] = sorted(kept_files) + kept_new
-            if stat_cols:
-                file_stats.update(_collect_file_stats(kept_new, stat_cols))
-            metrics[part_key] = {
-                "n_files": len(files[part_key]),
-                "n_rows": sum(_rows_per_file(files[part_key]).values()),
-                "bytes": sum(os.path.getsize(f) for f in files[part_key]),
-                "write_seconds": round(time.time() - t0, 3),
-                "snapshot_id": snapshot_id,
-                **extra,
-            }
 
         for part_key, touched in sorted(touched_by_part.items()):
             touched = sorted(touched)
@@ -760,6 +791,131 @@ class SnapshotStore:
             "touched_files": sum(len(v) for v in touched_by_part.values()),
             "rewritten_partitions": rewritten,
         }
+        return snapshot_id, report
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        prefix: str | None = None,
+        ranges: dict[str, tuple] | None = None,
+        properties: dict | None = None,
+    ) -> tuple[str | None, dict]:
+        """Row-level DELETE with copy-on-write rewrite — the Iceberg
+        ``DELETE FROM t WHERE ...`` analogue, and the right-to-be-forgotten
+        path for a crawl table (drop every row of a url without rewriting
+        the world). ``condition`` is a SQL string or Column selecting the
+        rows to DELETE.
+
+        Scale shape: ``ranges`` (same domain as :meth:`files_for`) prunes
+        candidate files from the manifest stats at planning time — pass the
+        key bounds implied by the predicate, e.g. ``{"url": (u, u)}`` for a
+        single-url purge over a url-range-clustered table. One probe scan
+        of the candidates (predicate columns only, via the filter's own
+        column pruning) counts matching rows per file; only files with a
+        hit are rewritten (``.where(~condition)``), everything else is
+        carried by reference. A partition whose every row dies keeps one
+        empty file so reads still infer a schema (the retention verb for
+        dropping WHOLE partitions is :meth:`expire_partitions`, a pure
+        metadata operation — prefer it when the predicate is the partition
+        key). Commits ONE snapshot under the optimistic-concurrency check;
+        time travel to the pre-delete snapshot still sees the deleted rows
+        until :meth:`expire_snapshots` reclaims them (document retention
+        obligations accordingly). Returns ``(snapshot_id | None, report)``
+        — ``None`` when no row matched."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        parent = self.head()
+        m = self.manifest(parent)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.table_dir}")
+        all_files = self.files_for(parent, prefix)
+        cand = self.files_for(parent, prefix, ranges)
+        abs_to_manifest = {
+            os.path.abspath(f): (f, p)
+            for p, pf in m["files"].items()
+            for f in pf
+        }
+        report = {
+            "deleted_rows": 0,
+            "touched_files": 0,
+            "candidate_files": len(cand),
+            "pruned_files": len(all_files) - len(cand),
+        }
+        if not cand:
+            return None, report
+
+        touched_by_part: dict[str, set] = {}
+        for r in (
+            spark.read.parquet(*cand)
+            .where(cond)
+            .groupBy(F.input_file_name().alias("__file"))
+            .count()
+            .collect()
+        ):
+            path = unquote(urlparse(r["__file"]).path) or r["__file"]
+            hit = abs_to_manifest.get(os.path.abspath(path))
+            if hit is None:
+                raise RuntimeError(f"probe saw unmanifested file {path}")
+            manifest_path, part = hit
+            touched_by_part.setdefault(part, set()).add(manifest_path)
+            report["deleted_rows"] += r["count"]
+            report["touched_files"] += 1
+        if not touched_by_part:
+            return None, report
+
+        snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        files = dict(m["files"])
+        metrics = dict(m.get("metrics", {}))
+        file_stats = dict(m.get("file_stats", {}))
+        for part_key, touched in sorted(touched_by_part.items()):
+            touched = sorted(touched)
+            # NULL predicate rows are NOT deleted (SQL DELETE semantics), so
+            # they must survive: plain ~cond would drop them too.
+            survivors = spark.read.parquet(*touched).where(
+                ~F.coalesce(cond, F.lit(False))
+            )
+            part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
+            t0 = time.time()
+            stat_cols = {c for f in touched for c in file_stats.get(f, {})}
+            with _stats_friendly_writes(spark):
+                survivors.coalesce(len(touched)).write.mode("overwrite").parquet(
+                    part_dir
+                )
+            kept_files = [f for f in files[part_key] if f not in set(touched)]
+            for f in touched:
+                file_stats.pop(f, None)
+            self._register_part_files(
+                files,
+                metrics,
+                file_stats,
+                snapshot_id,
+                part_key,
+                kept_files,
+                part_dir,
+                stat_cols,
+                t0,
+                {"deleted_from_files": len(touched)},
+            )
+        live = {f for pf in files.values() for f in pf}
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent": parent,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "watermark": m.get("watermark"),
+            "properties": {
+                **(properties or {}),
+                "delete_condition": str(condition),
+                "deleted_partitions": sorted(touched_by_part),
+            },
+            "files": files,
+            "metrics": metrics,
+            "file_stats": {f: s for f, s in file_stats.items() if f in live},
+        }
+        self._commit_manifest(manifest)
         return snapshot_id, report
 
     def rollback(self, snapshot_id: str, purge_abandoned: bool = False) -> list[str]:

@@ -892,3 +892,44 @@ def test_rollback_and_purge(spark, tmp_path):
     removed = store.remove_orphan_files(older_than_seconds=0)
     assert removed  # d2/d3/d4 files reclaimed
     assert store.read(spark, prefix="t/").count() == 10
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    store, s1 = _merge_fixture(spark, tmp_path)
+    m1 = store.manifest(s1)
+    # ids 40..44 live in ONE of t/d1's four range-clustered files; the
+    # ranges hint must prune the rest before the probe
+    s2, report = store.delete_where(
+        spark,
+        "id >= 40 and id < 45",
+        prefix="t/",
+        ranges={"id": (40, 44)},
+    )
+    assert s2 is not None and store.head() == s2
+    assert report["deleted_rows"] == 5
+    assert report["touched_files"] == 1
+    assert report["pruned_files"] >= 6
+    left = store.read(spark, prefix="t/")
+    assert left.count() == 195
+    assert left.where("id >= 40 and id < 45").count() == 0
+    assert left.where("id in (39, 45)").count() == 2
+    # untouched files carried by reference; time travel sees deleted rows
+    m2 = store.manifest(s2)
+    assert len(set(m1["files"]["t/d1"]) & set(m2["files"]["t/d1"])) == 3
+    assert m2["files"]["t/d2"] == m1["files"]["t/d2"]
+    assert store.read(spark, snapshot_id=s1).where("id = 42").count() == 1
+    assert m2["metrics"]["t/d1"]["n_rows"] == 95
+
+    # no-match delete -> no-op, no new snapshot
+    out, report = store.delete_where(spark, "id = -1", prefix="t/")
+    assert out is None and report["deleted_rows"] == 0
+    assert store.head() == s2
+
+    # NULL-predicate rows survive (SQL DELETE semantics): tag is NULL
+    # after this merge-style setup -> delete on tag must keep NULL rows
+    src = spark.createDataFrame([(7, 70, None)], "id long, v long, tag string")
+    store.merge_into(spark, src, ["id"], when_not_matched="ignore")
+    s3, report = store.delete_where(spark, "tag = 'd1'", prefix="t/d1")
+    assert report["deleted_rows"] == 94  # 95 rows minus the NULL-tag one
+    assert store.read(spark, prefix="t/d1").count() == 1
+    assert store.read(spark, prefix="t/d1").collect()[0]["id"] == 7
