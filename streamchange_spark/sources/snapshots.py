@@ -671,6 +671,13 @@ class SnapshotStore:
                 extra,
             )
 
+        # Build every partition's replacement rows, then write them all in
+        # ONE Spark job via dynamic partition directories — on a cluster the
+        # rewrites parallelize across executors instead of running as one
+        # sequential job per partition (driver-side job latency would
+        # otherwise dominate small merges).
+        union_df = None
+        plan: list[tuple[str, list[str]]] = []
         for part_key, touched in sorted(touched_by_part.items()):
             touched = sorted(touched)
             old = spark.read.parquet(*touched)
@@ -702,26 +709,39 @@ class SnapshotStore:
                     ],
                 )
                 .select(*old.columns)
+                .withColumn("__cowpart", F.lit(part_key))
             )
-            part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
+            union_df = (
+                new_data if union_df is None else union_df.unionByName(new_data)
+            )
+            plan.append((part_key, touched))
+        if union_df is not None:
+            cow_dir = os.path.join(self.table_dir, "data", snapshot_id, "__cow__")
             t0 = time.time()
-            stat_cols = {c for f in touched for c in file_stats.get(f, {})}
+            n_out = max(1, sum(len(t) for _, t in plan))
             with _stats_friendly_writes(spark):
-                new_data.coalesce(len(touched)).write.mode("overwrite").parquet(
-                    part_dir
+                union_df.coalesce(n_out).write.partitionBy(
+                    "__cowpart"
+                ).mode("overwrite").parquet(cow_dir)
+            sub_by_part = {
+                unquote(d.split("=", 1)[1]): os.path.join(cow_dir, d)
+                for d in os.listdir(cow_dir)
+                if d.startswith("__cowpart=")
+            }
+            for part_key, touched in plan:
+                kept_files = [f for f in files[part_key] if f not in set(touched)]
+                stat_cols = {c for f in touched for c in file_stats.get(f, {})}
+                for f in touched:
+                    file_stats.pop(f, None)
+                _finish_part(
+                    part_key,
+                    kept_files,
+                    sub_by_part[part_key],
+                    stat_cols,
+                    t0,
+                    {"merged_files": len(touched)},
                 )
-            kept_files = [f for f in files[part_key] if f not in set(touched)]
-            for f in touched:
-                file_stats.pop(f, None)
-            _finish_part(
-                part_key,
-                kept_files,
-                part_dir,
-                stat_cols,
-                t0,
-                {"merged_files": len(touched)},
-            )
-            rewritten[part_key] = {"files_rewritten": len(touched)}
+                rewritten[part_key] = {"files_rewritten": len(touched)}
 
         if when_not_matched == "insert":
             existing = files.get(insert_partition, [])
@@ -871,23 +891,64 @@ class SnapshotStore:
         files = dict(m["files"])
         metrics = dict(m.get("metrics", {}))
         file_stats = dict(m.get("file_stats", {}))
+        # One Spark job rewrites every touched partition's survivors via
+        # dynamic partition directories (same shape as merge_into): the
+        # rewrites parallelize across executors instead of paying one
+        # sequential job per partition.
+        union_df = None
+        plan: list[tuple[str, list[str]]] = []
         for part_key, touched in sorted(touched_by_part.items()):
             touched = sorted(touched)
             # NULL predicate rows are NOT deleted (SQL DELETE semantics), so
             # they must survive: plain ~cond would drop them too.
-            survivors = spark.read.parquet(*touched).where(
-                ~F.coalesce(cond, F.lit(False))
+            survivors = (
+                spark.read.parquet(*touched)
+                .where(~F.coalesce(cond, F.lit(False)))
+                .withColumn("__cowpart", F.lit(part_key))
             )
-            part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
-            t0 = time.time()
-            stat_cols = {c for f in touched for c in file_stats.get(f, {})}
-            with _stats_friendly_writes(spark):
-                survivors.coalesce(len(touched)).write.mode("overwrite").parquet(
-                    part_dir
-                )
+            union_df = (
+                survivors if union_df is None else union_df.unionByName(survivors)
+            )
+            plan.append((part_key, touched))
+        cow_dir = os.path.join(self.table_dir, "data", snapshot_id, "__cow__")
+        t0 = time.time()
+        n_out = max(1, sum(len(t) for _, t in plan))
+        with _stats_friendly_writes(spark):
+            union_df.coalesce(n_out).write.partitionBy("__cowpart").mode(
+                "overwrite"
+            ).parquet(cow_dir)
+        sub_by_part = {
+            unquote(d.split("=", 1)[1]): os.path.join(cow_dir, d)
+            for d in os.listdir(cow_dir)
+            if d.startswith("__cowpart=")
+        }
+        dropped_parts = []
+        for part_key, touched in plan:
             kept_files = [f for f in files[part_key] if f not in set(touched)]
+            stat_cols = {c for f in touched for c in file_stats.get(f, {})}
             for f in touched:
                 file_stats.pop(f, None)
+            sub = sub_by_part.get(part_key)
+            if sub is None and not kept_files:
+                # Every row of the partition died: drop it from the manifest
+                # (the expire_partitions shape) instead of keeping a husk.
+                files.pop(part_key)
+                metrics.pop(part_key, None)
+                dropped_parts.append(part_key)
+                continue
+            if sub is None:
+                # No survivors from the touched files; the partition keeps
+                # only its untouched files.
+                files[part_key] = sorted(kept_files)
+                metrics[part_key] = {
+                    "n_files": len(kept_files),
+                    "n_rows": sum(_rows_per_file(kept_files).values()),
+                    "bytes": sum(os.path.getsize(f) for f in kept_files),
+                    "write_seconds": round(time.time() - t0, 3),
+                    "snapshot_id": snapshot_id,
+                    "deleted_from_files": len(touched),
+                }
+                continue
             self._register_part_files(
                 files,
                 metrics,
@@ -895,7 +956,7 @@ class SnapshotStore:
                 snapshot_id,
                 part_key,
                 kept_files,
-                part_dir,
+                sub,
                 stat_cols,
                 t0,
                 {"deleted_from_files": len(touched)},
@@ -910,6 +971,7 @@ class SnapshotStore:
                 **(properties or {}),
                 "delete_condition": str(condition),
                 "deleted_partitions": sorted(touched_by_part),
+                "dropped_partitions": dropped_parts,
             },
             "files": files,
             "metrics": metrics,

@@ -933,3 +933,13 @@ def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
     assert report["deleted_rows"] == 94  # 95 rows minus the NULL-tag one
     assert store.read(spark, prefix="t/d1").count() == 1
     assert store.read(spark, prefix="t/d1").collect()[0]["id"] == 7
+
+
+def test_delete_where_drops_fully_deleted_partition(spark, tmp_path):
+    store, _ = _merge_fixture(spark, tmp_path)
+    s2, report = store.delete_where(spark, "id < 100", prefix="t/")
+    assert report["deleted_rows"] == 100
+    m = store.manifest(s2)
+    assert "t/d1" not in m["files"]  # whole partition died -> dropped
+    assert store.read(spark, prefix="t/").count() == 100
+    assert m["properties"]["dropped_partitions"] == ["t/d1"]

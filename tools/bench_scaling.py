@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 ALL_STAGES = (
     "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
     "sessions_sorted", "sketch", "freq", "increment", "lines",
-    "lines_increment", "churn", "crawlfreq", "refresh",
+    "lines_increment", "churn", "crawlfreq", "refresh", "dml",
 )
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 SORTED_BUCKETS = 64
@@ -618,6 +618,123 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         shutil.rmtree(base_tier_path, ignore_errors=True)
         shutil.rmtree(late_path, ignore_errors=True)
 
+    if "dml" in stages:
+        # Copy-on-write DML vs the naive full-table rewrite: a re-crawl
+        # shard updates ~0.4% of (url, warc_ts) keys + appends new rows.
+        # merge_into's cost is probe (one column-pruned scan) + rewrite of
+        # ONLY the files containing a match; the naive alternative rewrites
+        # every byte of the table. At 100 TB the naive path is simply not
+        # runnable per crawl dump — the measured gap here is the floor of
+        # the real one, because a day-partitioned production table also
+        # stats-prunes the probe itself (here source keys span all files).
+        from streamchange_spark.sources import SnapshotStore
+
+        store_path = path + f"_dml_{cpus}"
+        scratch = path + f"_dml_rw_{cpus}"
+        for p in (store_path, scratch):
+            shutil.rmtree(p, ignore_errors=True)
+        n_parts, files_per_part = 8, 16
+        # UNTIMED setup: one pass to lay out url-hash partitions on disk,
+        # then a url-range-clustered commit with per-file url bounds.
+        part_path = path + f"_dml_parts_{cpus}"
+        metrics.withColumn(
+            "p", F.pmod(F.xxhash64("url"), F.lit(n_parts))
+        ).write.mode("overwrite").partitionBy("p").parquet(part_path)
+        store = SnapshotStore(store_path)
+        store.commit_partitions(
+            {
+                f"raw/p{i}": spark.read.parquet(f"{part_path}/p={i}")
+                for i in range(n_parts)
+            },
+            stat_cols=["url"],
+            cluster_by=["url"],
+            cluster_files=files_per_part,
+        )
+        # A DOMAIN-LOCALIZED re-crawl shard (how crawl increments actually
+        # arrive: one url neighborhood at a time, not a uniform sprinkle
+        # over the key space): all rows of a contiguous ~0.5% slice of the
+        # sorted url domain. Uniform-random updates would touch every file
+        # and degrade COW to a full rewrite — that shape belongs to
+        # partition-replacing commits, not row-level MERGE.
+        urls = metrics.select("url").distinct()
+        n_urls = urls.count()
+        block = urls.orderBy("url").limit(max(20, n_urls // 200))
+        lo_hi = block.agg(F.min("url"), F.max("url")).collect()[0]
+        updates = metrics.where(
+            (F.col("url") >= lo_hi[0]) & (F.col("url") <= lo_hi[1])
+        ).withColumn("text_len", F.col("text_len") + 1.0)
+        inserts = block.select(
+            F.concat(F.col("url"), F.lit("#new")).alias("url"),
+            F.lit("2031-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.lit(1.0).alias("text_len"),
+        )
+        src_path = path + f"_dml_src_{cpus}"
+        updates.unionByName(inserts).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(src_path)
+        src = spark.read.parquet(src_path)
+        out["dml_src_rows"] = src.count()
+        out["dml_total_files"] = len(store.files_for(prefix="raw/"))
+
+        t0 = time.time()
+        _, rep = store.merge_into(
+            spark,
+            src,
+            ["url", "warc_ts"],
+            prefix="raw/",
+            insert_partition="raw/p0",
+        )
+        out["dml_merge_sec"] = round(time.time() - t0, 2)
+        out["dml_touched_files"] = rep["touched_files"]
+        out["dml_inserted_rows"] = rep["inserted_rows"]
+
+        # Naive full-table COW (no file-level planning): marker-join the
+        # whole table against the source and rewrite every byte.
+        t0 = time.time()
+        tbl = store.read(spark, prefix="raw/")
+        marked = F.broadcast(
+            src.select(
+                "url",
+                "warc_ts",
+                F.col("text_len").alias("__src_text_len"),
+                F.lit(True).alias("__m"),
+            )
+        )
+        (
+            tbl.join(marked, ["url", "warc_ts"], "left")
+            .select(
+                "url",
+                "warc_ts",
+                F.when(F.col("__m"), F.col("__src_text_len"))
+                .otherwise(F.col("text_len"))
+                .alias("text_len"),
+            )
+            .unionByName(
+                src.join(
+                    tbl.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti"
+                )
+            )
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        out["dml_rewrite_sec"] = round(time.time() - t0, 2)
+
+        # Right-to-be-forgotten purge of ONE url: the ranges hint must
+        # prune nearly every file from the probe via the manifest stats.
+        victim = metrics.agg(F.min("url")).collect()[0][0]
+        t0 = time.time()
+        _, drep = store.delete_where(
+            spark,
+            F.col("url") == F.lit(victim),
+            prefix="raw/",
+            ranges={"url": (victim, victim)},
+        )
+        out["dml_delete_sec"] = round(time.time() - t0, 2)
+        out["dml_delete_rows"] = drep["deleted_rows"]
+        out["dml_delete_pruned_files"] = drep["pruned_files"]
+        for p in (store_path, scratch, part_path, src_path):
+            shutil.rmtree(p, ignore_errors=True)
+
     if "sessions_sorted" in stages:
         # Same sessionization over the sorted one-file-per-bucket layout:
         # the scan reports HashPartitioning(url) AND (url, warc_ts) order,
@@ -701,6 +818,10 @@ def _derive(merged: dict) -> dict:
     if "refresh_sec" in merged:
         merged["refresh_speedup_vs_rebuild"] = round(
             merged["refresh_rebuild_sec"] / merged["refresh_sec"], 2
+        )
+    if "dml_merge_sec" in merged:
+        merged["dml_merge_speedup_vs_rewrite"] = round(
+            merged["dml_rewrite_sec"] / merged["dml_merge_sec"], 2
         )
     if "churn_sig_sec" in merged:
         merged["churn_snapshots_per_sec"] = round(
@@ -788,6 +909,9 @@ def main():
         "lines_increment_global": "lines_inc_global_sec",
         "increment_global": "increment_global_sec",
         "pipeline": "pipeline_rows_per_sec",
+        "dml_merge": "dml_merge_sec",
+        "dml_rewrite": "dml_rewrite_sec",
+        "dml_delete": "dml_delete_sec",
         "churn_sig": "churn_snapshots_per_sec",
         "churn_detect": "churn_detect_sec",
     }
