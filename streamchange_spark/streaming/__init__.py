@@ -21,6 +21,7 @@ from .heavy_hitters import hh_tier_from_ingest, run_streaming_hh_ingest
 from .kmv import kmv_tier_from_ingest, run_streaming_kmv_ingest
 from .qsketch import run_streaming_sketch_ingest, sketch_tier_from_ingest
 from .rollup import streaming_rollup_raw
+from .upsert import run_streaming_upsert
 from .sessions import streaming_sessions
 
 __all__ = [
@@ -36,6 +37,7 @@ __all__ = [
     "run_streaming_line_dedup",
     "run_streaming_signature_ingest",
     "run_streaming_sketch_ingest",
+    "run_streaming_upsert",
     "sketch_tier_from_ingest",
     "streaming_capa",
     "streaming_exact_dedup",
