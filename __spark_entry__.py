@@ -2046,8 +2046,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # detect.py's grouped-UDF closures were edited late in round 5 (opt-in
     # per-key standardization), so the shared standardize plumbing is
     # exercised in-window by freq_changepoints (the one in-UDF
-    # standardize=True row) plus window_segmentor / pelt_segments /
-    # pelt_segments_pruned.  Rotated OUT to make room (tail): the
+    # standardize=True row) plus window_segmentor / pelt_segments
+    # (pelt_segments_pruned runs the same closure with prune=True and is
+    # pinned bit-equal to pelt_segments in pytest; the round-5 DML rows
+    # merge_upsert / delete_rows took the last two window slots).
+    # Rotated OUT to make room (tail): the
     # entry-file relational five (plain Spark-builtin SQL, r3 hash-exact,
     # no operator file at all), sessionize / rolling_zscore
     # (operators/sessions.py, anomaly.py untouched since their r3 green
@@ -2126,10 +2129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        "embedding_neardup": q_embedding_neardup,
         "dedup_components": q_dedup_components,
         "decontaminate": q_decontaminate,
-        "decontaminate_prefilter": q_decontaminate_prefilter,
         "ann_lsh": q_ann_lsh,
         # similarity.py and qsketch.py changed this round — every query on
         # those files stays inside the checked window:
@@ -2154,6 +2155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multivariate_alarms": q_multivariate_alarms,
         # --- tail: hash-exact in r4 (or r3 with files untouched since),
         # operator files untouched this round — their evidence stands ---
+        # evicted to make window room for the round-5 DML rows: their
+        # specific code paths were untouched in round 5 and stay covered
+        # in-window (embedding_neardup's cosine scoring == ann_topk_gemm's;
+        # decontaminate_prefilter's probe build == decontaminate's), both
+        # r4 hash-exact.
+        "embedding_neardup": q_embedding_neardup,
+        "decontaminate_prefilter": q_decontaminate_prefilter,
         "segmentation_stats": q_segmentation_stats,
         "ann_topk": q_ann_topk,
         "pq_topk_rerank": q_pq_topk_rerank,
