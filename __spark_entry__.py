@@ -189,9 +189,13 @@ def q_merge_upsert(spark, sf_dir):
         cluster_by=["event_id"],
         cluster_files=4,
     )
-    updates = ev.where(
-        (F.col("event_id") >= 9000) & (F.col("event_id") < 9500)
-    ).select(
+    # Scale-independent update slice: the top DECILE of event_id, derived
+    # from the data so the pruning assertion below holds at every sf (a
+    # fixed id range prunes at one sf and not another). Inserts shift past
+    # max_id so they can never match.
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    thr = (max_id // 10) * 9
+    updates = ev.where(F.col("event_id") >= thr).select(
         "event_id",
         "ts",
         "user_id",
@@ -200,7 +204,7 @@ def q_merge_upsert(spark, sf_dir):
         "props",
     )
     inserts = ev.where(F.col("event_id") < 50).select(
-        (F.col("event_id") + 1000000).alias("event_id"),
+        (F.col("event_id") + max_id + 1).alias("event_id"),
         "ts",
         "user_id",
         F.lit("inserted").alias("event_type"),
@@ -3255,10 +3259,11 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
             WITH src AS (
                 SELECT event_id, ts, user_id,
                        'merged' AS event_type, value + 1000.0 AS value, props
-                FROM events WHERE event_id >= 9000 AND event_id < 9500
+                FROM events
+                WHERE event_id >= (SELECT (max(event_id) // 10) * 9 FROM events)
                 UNION ALL
-                SELECT event_id + 1000000, ts, user_id,
-                       'inserted', value, props
+                SELECT event_id + (SELECT max(event_id) + 1 FROM events),
+                       ts, user_id, 'inserted', value, props
                 FROM events WHERE event_id < 50
             )
             SELECT CASE WHEN s.event_id IS NOT NULL THEN s.event_id

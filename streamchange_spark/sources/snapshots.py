@@ -198,11 +198,63 @@ class SnapshotStore:
             return fh.read().strip() or None
 
     def manifest(self, snapshot_id: str | None = None) -> dict | None:
-        snapshot_id = snapshot_id or self.head()
+        snapshot_id = self._resolve_ref(snapshot_id) if snapshot_id else self.head()
         if snapshot_id is None:
             return None
         with open(self._manifest_path(snapshot_id)) as fh:
             return json.load(fh)
+
+    # -- refs: tags + timestamp travel -----------------------------------------
+    def _resolve_ref(self, ref: str) -> str:
+        """A snapshot argument anywhere in the API may be a snapshot id OR a
+        tag name — tags resolve here, ids pass through."""
+        tag_path = os.path.join(self.table_dir, "tags", ref)
+        if not os.path.exists(self._manifest_path(ref)) and os.path.exists(
+            tag_path
+        ):
+            with open(tag_path) as fh:
+                return fh.read().strip()
+        return ref
+
+    def tag(self, name: str, snapshot_id: str | None = None) -> str:
+        """Pin a named, immutable-by-convention ref to a snapshot (the
+        Iceberg tag analogue): ``store.read(spark, snapshot_id="prod")``.
+        Tags survive :meth:`rollback` (they point at manifests, not HEAD)
+        but NOT :meth:`expire_snapshots` of their target — pin retention
+        accordingly. Re-tagging an existing name moves it (atomic)."""
+        snapshot_id = snapshot_id or self.head()
+        if snapshot_id is None or not os.path.exists(
+            self._manifest_path(snapshot_id)
+        ):
+            raise FileNotFoundError(f"no snapshot {snapshot_id!r} to tag")
+        if "/" in name or name == "":
+            raise ValueError(f"bad tag name {name!r}")
+        os.makedirs(os.path.join(self.table_dir, "tags"), exist_ok=True)
+        _atomic_write(os.path.join(self.table_dir, "tags", name), snapshot_id)
+        return snapshot_id
+
+    def tags(self) -> dict[str, str]:
+        tag_dir = os.path.join(self.table_dir, "tags")
+        if not os.path.isdir(tag_dir):
+            return {}
+        out = {}
+        for name in sorted(os.listdir(tag_dir)):
+            with open(os.path.join(tag_dir, name)) as fh:
+                out[name] = fh.read().strip()
+        return out
+
+    def snapshot_as_of(self, timestamp: str) -> str:
+        """The newest snapshot on the HEAD chain whose ``created_at`` is
+        <= ``timestamp`` (ISO-8601 UTC, e.g. '2026-08-20T12:00:00Z') — the
+        Iceberg ``FOR TIMESTAMP AS OF`` analogue:
+        ``store.read(spark, snapshot_id=store.snapshot_as_of(ts))``.
+        Raises when the whole chain is newer than the timestamp."""
+        for m in self.history():  # newest first
+            if m.get("created_at", "") <= timestamp:
+                return m["snapshot_id"]
+        raise FileNotFoundError(
+            f"no snapshot at or before {timestamp!r} on the HEAD chain"
+        )
 
     def history(self) -> list[dict]:
         chain = []
@@ -990,6 +1042,7 @@ class SnapshotStore:
         data files age into :meth:`remove_orphan_files`' sweep — otherwise
         an abandoned branch pins its files forever. Returns the abandoned
         snapshot ids (newest first)."""
+        snapshot_id = self._resolve_ref(snapshot_id)
         if not os.path.exists(self._manifest_path(snapshot_id)):
             raise FileNotFoundError(f"no snapshot {snapshot_id!r}")
         abandoned = []

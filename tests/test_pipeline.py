@@ -943,3 +943,32 @@ def test_delete_where_drops_fully_deleted_partition(spark, tmp_path):
     assert "t/d1" not in m["files"]  # whole partition died -> dropped
     assert store.read(spark, prefix="t/").count() == 100
     assert m["properties"]["dropped_partitions"] == ["t/d1"]
+
+
+def test_tags_and_timestamp_travel(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "tag_tbl"))
+    df = spark.range(10).select("id")
+    s1 = store.commit_partitions({"t/d1": df})
+    s2 = store.commit_partitions({"t/d2": df.where("id < 5")})
+    store.tag("prod", s1)
+    # tags resolve anywhere a snapshot id is accepted
+    assert store.read(spark, snapshot_id="prod").count() == 10
+    assert store.manifest("prod")["snapshot_id"] == s1
+    assert store.tags() == {"prod": s1}
+    # re-tag moves it
+    store.tag("prod")  # defaults to HEAD
+    assert store.tags() == {"prod": s2}
+    with pytest.raises(FileNotFoundError):
+        store.tag("broken", "nope")
+    with pytest.raises(ValueError):
+        store.tag("a/b")
+
+    # timestamp travel: everything committed just now is <= far future,
+    # nothing is <= far past
+    assert store.snapshot_as_of("2099-01-01T00:00:00Z") == s2
+    with pytest.raises(FileNotFoundError):
+        store.snapshot_as_of("2000-01-01T00:00:00Z")
+    # rollback accepts a tag after re-pointing it at the ancestor
+    store.tag("prod", s1)
+    store.rollback("prod")
+    assert store.head() == s1
