@@ -8,12 +8,18 @@ from .bucketed import (
     restore_auto_bucketed_scan,
     write_bucketed,
 )
-from .snapshots import CommitConflictError, SnapshotStore, run_resumable
+from .snapshots import (
+    CommitConflictError,
+    SnapshotStore,
+    run_resumable,
+    zorder_column,
+)
 
 __all__ = [
     "PAGES_SCHEMA",
     "CommitConflictError",
     "SnapshotStore",
+    "zorder_column",
     "generate_pages",
     "generate_url_history",
     "enable_sorted_bucketed_scan",

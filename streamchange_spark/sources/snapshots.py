@@ -152,6 +152,89 @@ def _rows_per_file(paths) -> dict[str, int]:
         return dict(zip(paths, pool.map(one, paths)))
 
 
+def zorder_column(df: DataFrame, cols, bits_per_col: int | None = None):
+    """A Z-order (Morton) key over up to 4 columns, built entirely from JVM
+    column expressions — the multi-dimensional clustering key behind
+    ``commit_partitions(cluster_mode="zorder")`` (the Databricks ``OPTIMIZE
+    ZORDER BY`` / Iceberg z-ordering analogue).
+
+    Why: range clustering on ``(a, b)`` is lexicographic — files become
+    disjoint in ``a`` but every file spans all of ``b``, so only
+    leading-column predicates prune. Interleaving the bits of per-column
+    ranks makes every file's [min, max] box TIGHT in every dimension, so a
+    predicate on ANY z-ordered column skips most files.
+
+    Per column a locality-preserving integer in [0, 2^bits) is derived
+    from a single min/max agg job (no sort, no window):
+
+    - numeric/timestamp: ``width_bucket`` over the observed [min, max]
+      (uniform-width buckets — coarse under heavy skew, which costs
+      pruning selectivity, never correctness);
+    - string: the first 8 bytes big-endian (byte-wise order == string
+      order prefix) bucketed the same way — for urls this is domain
+      locality, exactly what a crawl table wants.
+
+    Returns ``(zcol, n_buckets_per_col)``; NULLs map to bucket 0."""
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_column takes 1-4 columns")
+    # 16 bits/col (65,536 buckets) is plenty of locality for file-level
+    # pruning and keeps the interleave expression tree shallow.
+    bits = min(bits_per_col or 16, 63 // len(cols))
+    n_buckets = 2**bits
+    schema = dict(df.dtypes)
+
+    def numeric_proxy(c: str):
+        t = schema[c]
+        if t == "string":
+            # first-8-bytes big-endian integer: byte order == string order
+            hx = F.rpad(F.substring(F.hex(F.encode(F.col(c), "UTF-8")), 1, 16),
+                        16, "0")
+            return F.conv(hx, 16, 10).cast("decimal(20,0)").cast("double")
+        if t == "timestamp":
+            return F.unix_micros(F.col(c)).cast("double")
+        if t == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        return F.col(c).cast("double")
+
+    proxies = {c: numeric_proxy(c) for c in cols}
+    row = df.agg(
+        *[F.min(p).alias(f"lo_{c}") for c, p in proxies.items()],
+        *[F.max(p).alias(f"hi_{c}") for c, p in proxies.items()],
+    ).collect()[0]
+    parts = []
+    for c, p in proxies.items():
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            parts.append(F.lit(0).cast("long"))
+            continue
+        parts.append(
+            (
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.width_bucket(p, F.lit(lo), F.lit(hi), F.lit(n_buckets))
+                    - 1,
+                )
+            ).cast("long")
+        )
+    parts = [F.coalesce(p, F.lit(0)) for p in parts]
+    if len(cols) == 1:
+        return parts[0], n_buckets
+    # Interleave: bit i of column k lands at position i*len(cols)+k.
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for k, p in enumerate(parts):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(p, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + k,
+                )
+            )
+    return z, n_buckets
+
+
 class CommitConflictError(RuntimeError):
     """Another writer advanced HEAD while this commit was building: flipping
     HEAD now would silently orphan their snapshot. Re-read and retry (the
@@ -274,6 +357,7 @@ class SnapshotStore:
         stat_cols: Iterable[str] | None = None,
         cluster_by: Iterable[str] | None = None,
         cluster_files: int | None = None,
+        cluster_mode: str = "range",
     ) -> str:
         """Write the given {partition_key: DataFrame} set as ONE new snapshot:
         data files land first, the manifest + HEAD flip last (atomic).
@@ -296,7 +380,15 @@ class SnapshotStore:
         holds the full key space and a key-range read must open them all.
         Costs one range shuffle per committed partition; ``cluster_files``
         caps the file count (default: the session's shuffle parallelism,
-        AQE-coalesced for small partitions)."""
+        AQE-coalesced for small partitions).
+
+        ``cluster_mode="zorder"``: cluster on the Morton interleave of the
+        ``cluster_by`` columns instead of their lexicographic order (see
+        :func:`zorder_column`). Range mode makes files disjoint in the
+        LEADING column only; z-order makes every file a tight box in EVERY
+        listed column, so ``read(ranges=...)`` prunes on any of them — the
+        right layout when a crawl table serves both url-scoped and
+        time-scoped reads. Costs one extra min/max agg job per partition."""
         parent = self.head()
         parent_manifest = self.manifest(parent) if parent else None
         snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
@@ -315,11 +407,21 @@ class SnapshotStore:
             part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
             t0 = time.time()
             if cluster_by:
-                if cluster_files:
-                    df = df.repartitionByRange(cluster_files, *cluster_by)
+                if cluster_mode == "zorder":
+                    z, _ = zorder_column(df, cluster_by)
+                    df = df.withColumn("__z", z)
+                    keys = ["__z"]
+                elif cluster_mode == "range":
+                    keys = cluster_by
                 else:
-                    df = df.repartitionByRange(*cluster_by)
-                df = df.sortWithinPartitions(*cluster_by)
+                    raise ValueError(f"cluster_mode={cluster_mode!r}")
+                if cluster_files:
+                    df = df.repartitionByRange(cluster_files, *keys)
+                else:
+                    df = df.repartitionByRange(*keys)
+                df = df.sortWithinPartitions(*keys)
+                if keys == ["__z"]:
+                    df = df.drop("__z")
             with _stats_friendly_writes(df.sparkSession):
                 df.write.mode("overwrite").parquet(part_dir)
             part_files = sorted(

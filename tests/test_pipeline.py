@@ -972,3 +972,73 @@ def test_tags_and_timestamp_travel(spark, tmp_path):
     store.tag("prod", s1)
     store.rollback("prod")
     assert store.head() == s1
+
+
+def test_zorder_commit_prunes_on_every_dimension(spark, tmp_path):
+    """Range clustering on (a, b) prunes only on a; z-order must prune on
+    BOTH dimensions, and the pruned read must be lossless."""
+    df = spark.range(20000).select(
+        (F.col("id") % 200).alias("a"),
+        (F.col("id") * 7919 % 200).alias("b"),
+        F.col("id").alias("v"),
+    )
+    rng = SnapshotStore(str(tmp_path / "rng"))
+    rng.commit_partitions(
+        {"t/all": df}, stat_cols=["a", "b"], cluster_by=["a", "b"],
+        cluster_files=16,
+    )
+    zrd = SnapshotStore(str(tmp_path / "zrd"))
+    zrd.commit_partitions(
+        {"t/all": df}, stat_cols=["a", "b"], cluster_by=["a", "b"],
+        cluster_files=16, cluster_mode="zorder",
+    )
+    n = 16
+    # leading-column predicate: both layouts prune
+    assert len(rng.files_for(ranges={"a": (10, 19)})) <= n // 2
+    assert len(zrd.files_for(ranges={"a": (10, 19)})) <= n // 2
+    # trailing-column predicate: range clustering keeps (nearly) all files
+    # — every file spans most of b — while z-order must skip at least half
+    # and strictly beat range
+    rng_kept = len(rng.files_for(ranges={"b": (10, 19)}))
+    zrd_kept = len(zrd.files_for(ranges={"b": (10, 19)}))
+    assert rng_kept >= n * 3 // 4
+    assert zrd_kept <= n // 2 and zrd_kept < rng_kept
+    # losslessness on both dimensions
+    for ranges, where in [
+        ({"a": (10, 19)}, "a between 10 and 19"),
+        ({"b": (10, 19)}, "b between 10 and 19"),
+    ]:
+        pruned = (
+            zrd.read(spark, ranges=ranges).where(where).agg(F.sum("v")).collect()
+        )
+        full = df.where(where).agg(F.sum("v")).collect()
+        assert pruned == full
+
+
+def test_zorder_string_and_timestamp_proxies(spark, tmp_path):
+    df = spark.range(5000).select(
+        F.concat(
+            F.lpad((F.col("id") % 50).cast("string"), 4, "0"), F.lit(".example.com")
+        ).alias("url"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id") * 60)
+        ).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    store = SnapshotStore(str(tmp_path / "zs"))
+    store.commit_partitions(
+        {"t/all": df}, stat_cols=["url", "ts"], cluster_by=["url", "ts"],
+        cluster_files=16, cluster_mode="zorder",
+    )
+    total = len(store.files_for())
+    kept_url = store.files_for(ranges={"url": ("0010", "0019.zzz")})
+    kept_ts = store.files_for(
+        ranges={"ts": ("2024-01-01T00:00:00", "2024-01-01T08:00:00")}
+    )
+    assert len(kept_url) < total and len(kept_ts) < total
+    got = (
+        store.read(spark, ranges={"url": ("0010", "0019.zzz")})
+        .where("url like '001%'").count()
+    )
+    assert got == df.where("url like '001%'").count()
