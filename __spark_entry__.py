@@ -268,6 +268,48 @@ def q_delete_rows(spark, sf_dir):
     )
 
 
+def q_zorder_read(spark, sf_dir):
+    """Z-order clustered commit + trailing-dimension pruned read
+    (`sources/snapshots.py` `zorder_column` / `cluster_mode="zorder"`):
+    commit events Morton-clustered on (user_id, event_id) with per-file
+    stats for both, then answer an EVENT_ID-range query — the trailing
+    dimension, which lexicographic range clustering cannot prune — via the
+    stats-pruned read. The oracle computes the same aggregate over the
+    full table with a plain WHERE; equality proves z-order pruning dropped
+    no matching row. Raises unless the trailing-dimension prune engaged."""
+    import tempfile
+
+    from streamchange_spark.sources import SnapshotStore
+
+    _configure(spark)
+    ev = _t(spark, sf_dir, "events")
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    lo, hi = (max_id // 10) * 4, (max_id // 10) * 5
+    store = SnapshotStore(tempfile.mkdtemp(prefix="spark_graft_z_"))
+    store.commit_partitions(
+        {"ev/all": ev},
+        stat_cols=["user_id", "event_id"],
+        cluster_by=["user_id", "event_id"],
+        cluster_files=16,
+        cluster_mode="zorder",
+    )
+    total = len(store.files_for(prefix="ev/"))
+    kept = store.files_for(prefix="ev/", ranges={"event_id": (lo, hi)})
+    if not (0 < len(kept) < total):
+        raise AssertionError(
+            f"z-order trailing-dim prune did not engage: {len(kept)}/{total}"
+        )
+    return (
+        store.read(spark, prefix="ev/", ranges={"event_id": (lo, hi)})
+        .where((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+    )
+
+
 def q_rollup_1h(spark, sf_dir):
     _configure(spark)
     t = _hourly_tier(spark, sf_dir)
@@ -2050,10 +2092,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # detect.py's grouped-UDF closures were edited late in round 5 (opt-in
     # per-key standardization), so the shared standardize plumbing is
     # exercised in-window by freq_changepoints (the one in-UDF
-    # standardize=True row) plus window_segmentor / pelt_segments
-    # (pelt_segments_pruned runs the same closure with prune=True and is
-    # pinned bit-equal to pelt_segments in pytest; the round-5 DML rows
-    # merge_upsert / delete_rows took the last two window slots).
+    # standardize=True row) plus window_segmentor, which runs the same
+    # grouped_apply/standardize plumbing. pelt_segments sits at 51, first
+    # past the window edge: the round-5 store rows (merge_upsert,
+    # delete_rows, zorder_read — never driver-checked) outrank it, and its
+    # kernel exactness keeps three other evidence layers (ported-test
+    # pytest, tools/reference_parity.py, and the bit-equal
+    # pelt_segments_pruned twin pinned in pytest).
     # Rotated OUT to make room (tail): the
     # entry-file relational five (plain Spark-builtin SQL, r3 hash-exact,
     # no operator file at all), sessionize / rolling_zscore
@@ -2122,6 +2167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         # round-5 store layer: copy-on-write row-level DELETE
         "delete_rows": q_delete_rows,
+        # round-5 store layer: z-order trailing-dimension pruned read
+        "zorder_read": q_zorder_read,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -3246,6 +3293,15 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
         "lttb": _lttb_fixture_sql(),
         # full-table aggregate + plain WHERE: equality with the Spark side's
         # pruned store read proves file skipping dropped no matching row
+        "zorder_read": """
+            SELECT user_id,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_v
+            FROM events
+            WHERE event_id >= (SELECT (max(event_id) // 10) * 4 FROM events)
+              AND event_id <= (SELECT (max(event_id) // 10) * 5 FROM events)
+            GROUP BY user_id
+        """,
         "delete_rows": """
             SELECT event_id,
                    floor(epoch(ts))::BIGINT AS ts_epoch,

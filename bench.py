@@ -77,6 +77,7 @@ HEADLINE = [
     "pruned_tier_read",
     "merge_upsert",
     "delete_rows",
+    "zorder_read",
 ]
 
 
