@@ -451,6 +451,11 @@ class SnapshotStore:
                 "write_seconds": round(time.time() - t0, 3),
                 "snapshot_id": snapshot_id,
             }
+            if cluster_by:
+                # Recorded so maintenance rewrites preserve the layout the
+                # file-skipping reads depend on (see compact_partitions).
+                metrics[part_key]["cluster_by"] = list(cluster_by)
+                metrics[part_key]["cluster_mode"] = cluster_mode
 
         live = {f for pf in files.values() for f in pf}
         manifest = {
@@ -568,13 +573,31 @@ class SnapshotStore:
             }
             part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
             t0 = time.time()
+            src = spark.read.parquet(*old_files)
+            # A clustered partition must stay clustered through compaction:
+            # a plain coalesce merges arbitrary scan partitions, undoing
+            # the file disjointness every stats-pruned read depends on —
+            # the nightly maintain() would silently de-optimize the table.
+            # Re-cluster on the recorded keys instead (range shuffle).
+            prev = metrics.get(part_key, {})
+            ckeys, cmode = prev.get("cluster_by"), prev.get("cluster_mode")
+            if ckeys:
+                if cmode == "zorder":
+                    z, _ = zorder_column(src, ckeys)
+                    src = (
+                        src.withColumn("__z", z)
+                        .repartitionByRange(n_out, "__z")
+                        .sortWithinPartitions("__z")
+                        .drop("__z")
+                    )
+                else:
+                    src = src.repartitionByRange(
+                        n_out, *ckeys
+                    ).sortWithinPartitions(*ckeys)
+            else:
+                src = src.coalesce(n_out)
             with _stats_friendly_writes(spark):
-                (
-                    spark.read.parquet(*old_files)
-                    .coalesce(n_out)
-                    .write.mode("overwrite")
-                    .parquet(part_dir)
-                )
+                src.write.mode("overwrite").parquet(part_dir)
             new_files = sorted(
                 os.path.join(part_dir, f)
                 for f in os.listdir(part_dir)
@@ -601,6 +624,9 @@ class SnapshotStore:
                 "compacted_from": len(old_files),
                 "data_snapshot_id": data_snapshot_id,
             }
+            if ckeys:
+                metrics[part_key]["cluster_by"] = ckeys
+                metrics[part_key]["cluster_mode"] = cmode
             report[part_key] = {
                 "files_before": len(old_files),
                 "files_after": len(new_files),

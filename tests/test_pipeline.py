@@ -1042,3 +1042,44 @@ def test_zorder_string_and_timestamp_proxies(spark, tmp_path):
         .where("url like '001%'").count()
     )
     assert got == df.where("url like '001%'").count()
+
+
+def test_compaction_preserves_clustering(spark, tmp_path):
+    """maintain()'s bin-pack must not undo the clustered layout: after
+    compacting a range-clustered partition to fewer files, key-range
+    pruning still engages and the row set is unchanged."""
+    store = SnapshotStore(str(tmp_path / "ct"))
+    df = spark.range(50000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    store.commit_partitions(
+        {"t/all": df}, stat_cols=["id"], cluster_by=["id"], cluster_files=32,
+    )
+    assert len(store.manifest()["files"]["t/all"]) == 32
+    sid, report = store.compact_partitions(spark, target_file_bytes=10**9)
+    assert sid is not None
+    m = store.manifest(sid)
+    n_after = len(m["files"]["t/all"])
+    assert n_after < 32
+    # pruning still bites after compaction (files stayed key-disjoint and
+    # stats were recomputed)
+    kept = store.files_for(ranges={"id": (0, 999)})
+    assert len(kept) == 1
+    assert store.read(spark).count() == 50000
+    assert m["metrics"]["t/all"]["cluster_by"] == ["id"]
+
+    # z-order layout survives too: trailing-dim prune after compaction
+    zs = SnapshotStore(str(tmp_path / "zt"))
+    zdf = spark.range(20000).select(
+        (F.col("id") % 200).alias("a"), (F.col("id") * 7919 % 200).alias("b"),
+    )
+    zs.commit_partitions(
+        {"t/all": zdf}, stat_cols=["a", "b"], cluster_by=["a", "b"],
+        cluster_files=16, cluster_mode="zorder",
+    )
+    zsid, _ = zs.compact_partitions(spark, target_file_bytes=10**9, min_files=2)
+    assert zsid is not None
+    total = len(zs.manifest()["files"]["t/all"])
+    # compaction shrank the file count; pruning on the trailing dim works
+    # when more than one file remains
+    if total > 1:
+        assert len(zs.files_for(ranges={"b": (10, 19)})) < total
+    assert zs.read(spark).count() == 20000
