@@ -358,6 +358,7 @@ class SnapshotStore:
         cluster_by: Iterable[str] | None = None,
         cluster_files: int | None = None,
         cluster_mode: str = "range",
+        stage: bool = False,
     ) -> str:
         """Write the given {partition_key: DataFrame} set as ONE new snapshot:
         data files land first, the manifest + HEAD flip last (atomic).
@@ -388,7 +389,16 @@ class SnapshotStore:
         LEADING column only; z-order makes every file a tight box in EVERY
         listed column, so ``read(ranges=...)`` prunes on any of them — the
         right layout when a crawl table serves both url-scoped and
-        time-scoped reads. Costs one extra min/max agg job per partition."""
+        time-scoped reads. Costs one extra min/max agg job per partition.
+
+        ``stage=True``: write-audit-publish — the snapshot (data files AND
+        manifest) lands fully formed but HEAD does not move, so readers
+        keep seeing the parent while audit queries validate the staged
+        snapshot via ``read(snapshot_id=...)``; then :meth:`publish` flips
+        HEAD (with the optimistic-concurrency check) or :meth:`abandon`
+        deletes the staged manifest and lets the orphan sweep reclaim its
+        unique files. The gate a crawl pipeline wants before a bad dump
+        becomes visible."""
         parent = self.head()
         parent_manifest = self.manifest(parent) if parent else None
         snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
@@ -468,8 +478,52 @@ class SnapshotStore:
             "metrics": metrics,
             "file_stats": {f: s for f, s in file_stats.items() if f in live},
         }
-        self._commit_manifest(manifest)
+        if stage:
+            manifest["properties"]["staged"] = True
+            _atomic_write(
+                self._manifest_path(snapshot_id), json.dumps(manifest, indent=1)
+            )
+        else:
+            self._commit_manifest(manifest)
         return snapshot_id
+
+    def publish(self, snapshot_id: str) -> str:
+        """Flip HEAD to a snapshot staged with ``commit_partitions(...,
+        stage=True)`` after the audit queries passed. Runs the same
+        optimistic-concurrency check as a direct commit: if another writer
+        advanced HEAD past the staged snapshot's parent, the staged work is
+        based on a stale table and publishing would silently drop theirs —
+        :class:`CommitConflictError` instead (re-stage against the new HEAD
+        or :meth:`abandon`)."""
+        m = self.manifest(snapshot_id)
+        snapshot_id = self._resolve_ref(snapshot_id)
+        current = self.head()
+        if current != m["parent"]:
+            raise CommitConflictError(
+                f"HEAD moved from {m['parent']!r} to {current!r} since "
+                f"{snapshot_id!r} was staged; re-stage or abandon"
+            )
+        if m["properties"].pop("staged", None):
+            _atomic_write(
+                self._manifest_path(snapshot_id), json.dumps(m, indent=1)
+            )
+        _atomic_write(os.path.join(self.table_dir, "HEAD"), snapshot_id)
+        return snapshot_id
+
+    def abandon(self, snapshot_id: str) -> None:
+        """Drop a staged (or otherwise off-chain) snapshot: deletes its
+        manifest so its unique data files stop being pinned and age into
+        :meth:`remove_orphan_files`' sweep. Refuses to touch HEAD or any
+        ancestor of HEAD (use :meth:`rollback` / :meth:`expire_snapshots`
+        for on-chain history)."""
+        snapshot_id = self._resolve_ref(snapshot_id)
+        on_chain = {m["snapshot_id"] for m in self.history()}
+        if snapshot_id in on_chain:
+            raise ValueError(
+                f"{snapshot_id!r} is on the HEAD chain; abandon() is only "
+                "for staged/off-chain snapshots"
+            )
+        os.remove(self._manifest_path(snapshot_id))
 
     def expire_partitions(
         self,

@@ -1083,3 +1083,39 @@ def test_compaction_preserves_clustering(spark, tmp_path):
     if total > 1:
         assert len(zs.files_for(ranges={"b": (10, 19)})) < total
     assert zs.read(spark).count() == 20000
+
+
+def test_write_audit_publish(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "wap"))
+    df = spark.range(10).select("id")
+    s1 = store.commit_partitions({"t/d1": df})
+
+    # stage: fully-formed snapshot, HEAD unmoved, auditable by id
+    s2 = store.commit_partitions({"t/d2": df.where("id < 3")}, stage=True)
+    assert store.head() == s1
+    assert store.read(spark, snapshot_id=s2, prefix="t/").count() == 13
+    assert store.read(spark, prefix="t/").count() == 10
+    # staged files are pinned against the orphan sweep while staged
+    assert store.remove_orphan_files(older_than_seconds=0) == []
+
+    # audit passed -> publish flips HEAD
+    store.publish(s2)
+    assert store.head() == s2
+    assert store.read(spark, prefix="t/").count() == 13
+    assert "staged" not in store.manifest(s2)["properties"]
+
+    # conflict: a commit that lands between stage and publish wins
+    s3 = store.commit_partitions({"t/d3": df.where("id < 2")}, stage=True)
+    s4 = store.commit_partitions({"t/d4": df.where("id < 1")})
+    from streamchange_spark.sources import CommitConflictError
+
+    with pytest.raises(CommitConflictError):
+        store.publish(s3)
+    # abandon the loser; its unique files become sweepable orphans
+    store.abandon(s3)
+    with pytest.raises(FileNotFoundError):
+        store.manifest(s3)
+    swept = store.remove_orphan_files(older_than_seconds=0)
+    assert swept  # d3's staged file reclaimed
+    with pytest.raises(ValueError, match="HEAD chain"):
+        store.abandon(s4)
