@@ -49,6 +49,7 @@ from streamchange_spark.operators import (
     ngram_jaccard_pairs,
     pelt_segments,
     quality_features,
+    real_time_rollup,
     rolling_zscore,
     rollup_raw,
     rollup_tier,
@@ -344,6 +345,37 @@ def q_refresh_1h(spark, sf_dir):
             rollup_raw(late, ["user_id"], "ts", "value", "1h"),
         ],
         ["user_id"],
+    )
+    return merged.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        "n_points",
+        F.round("sum_v", 4).alias("sum_v"),
+        "min_v",
+        "max_v",
+        "first_v",
+        "last_v",
+    )
+
+
+def q_real_time_1h(spark, sf_dir):
+    """Real-time continuous aggregate (`operators/rollup.py:real_time_rollup`,
+    the TimescaleDB real-time-view semantics): the pre-watermark 1h tier
+    (standing in for the committed materialization) merged with an on-the-fly
+    rollup of ONLY the raw tail at/after the watermark. The oracle aggregates
+    the whole table directly — equality proves the view is exact even though
+    the watermark (min + 80% of the time range, NOT bucket-aligned) splits a
+    bucket: the committed partial state and the tail partial state combine
+    into the full-bucket row."""
+    _configure(spark)
+    events = _t(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    watermark = lo + (hi - lo) * 4 // 5
+    tier = rollup_raw(
+        events.where(F.col("ts") < F.lit(watermark)), ["user_id"], "ts", "value", "1h"
+    )
+    merged = real_time_rollup(
+        tier, events, ["user_id"], "ts", "value", watermark, "1h"
     )
     return merged.select(
         "user_id",
@@ -2093,9 +2125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-key standardization), so the shared standardize plumbing is
     # exercised in-window by freq_changepoints (the one in-UDF
     # standardize=True row) plus window_segmentor, which runs the same
-    # grouped_apply/standardize plumbing. pelt_segments sits at 51, first
+    # grouped_apply/standardize plumbing. pelt_segments sits first
     # past the window edge: the round-5 store rows (merge_upsert,
-    # delete_rows, zorder_read — never driver-checked) outrank it, and its
+    # delete_rows, zorder_read — never driver-checked) and real_time_1h
+    # (new this round) outrank it, and its
     # kernel exactness keeps three other evidence layers (ported-test
     # pytest, tools/reference_parity.py, and the bit-equal
     # pelt_segments_pruned twin pinned in pytest).
@@ -2157,6 +2190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,
         # --- new round-5: late-data invalidation + incremental refresh ---
         "refresh_1h": q_refresh_1h,
+        # --- new round-5: real-time continuous aggregate (tier ∪ raw tail) ---
+        "real_time_1h": q_real_time_1h,
         # --- new round-5: hyperfunctions (time_weight / counter_agg / lttb) ---
         "twa_1h": q_twa_1h,
         "counter_rate": q_counter_rate,
@@ -2188,7 +2223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_percentiles_1d": q_sketch_percentiles_1d,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
-        "ann_topk_gemm": q_ann_topk_gemm,
         # --- detect.py changed this round (standardize flag): every query
         # executing an edited grouped-UDF closure stays in the window ---
         # freq_changepoints is the ONLY driver row exercising the in-UDF
@@ -2197,6 +2231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # it shares with ann_topk_gemm stays covered by the gemm row.
         "freq_changepoints": q_freq_changepoints,
         "window_segmentor": q_window_segmentor,
+        # gemm shares ann_topk's oracle and its similarity plan is covered
+        # in-window by ann_lsh / ann_topk_ivf / ann_topk_ivf_indexed; it
+        # yields the edge slot so window_segmentor (the grouped_apply/
+        # standardize plumbing detect.py edits ride on) stays checked.
+        "ann_topk_gemm": q_ann_topk_gemm,
         "pelt_segments": q_pelt_segments,
         "pelt_segments_pruned": q_pelt_segments_pruned,
         "capa_anomalies": q_capa_anomalies,
@@ -3288,6 +3327,7 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
         "rollup_1h": _ROLLUP_ORACLE.format(sec=3600),
         # merge(tier(base), tier(late)) must equal the direct full-table tier
         "refresh_1h": _ROLLUP_ORACLE.format(sec=3600),
+        "real_time_1h": _ROLLUP_ORACLE.format(sec=3600),
         "twa_1h": _TWA_ORACLE,
         "counter_rate": _COUNTER_RATE_ORACLE,
         "lttb": _lttb_fixture_sql(),

@@ -191,6 +191,42 @@ def rollup_all_tiers(
     return {"1h": tier_1h, "1d": tier_1d, "30d": tier_30d}
 
 
+def real_time_rollup(
+    tier_df: DataFrame,
+    raw_df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    watermark,
+    tier: str = "1h",
+) -> DataFrame:
+    """Real-time continuous aggregate (the TimescaleDB real-time-view
+    semantics): the committed, materialized tier UNION an on-the-fly rollup
+    of ONLY the raw rows at/after the materialization watermark — so a query
+    sees up-to-the-second results without waiting for the next refresh, and
+    the raw scan is bounded to the unmaterialized tail, never the archive.
+
+    Contract: ``tier_df`` must hold exactly the rollup of raw rows with
+    ``ts < watermark`` (the watermark the pipeline's refresh committed up
+    to).  The watermark does NOT need to be bucket-aligned: a bucket the
+    watermark splits contributes a partial tier row from the committed side
+    and a partial on-the-fly row from the tail, and ``merge_tier`` combines
+    the two associative states into exactly the full-bucket state.
+
+    Scale shape: the ``ts >= watermark`` predicate is a plain column
+    comparison, so it reaches the raw table's parquet scan as a pushed
+    filter (and prunes time-partitioned raw layouts to the tail partitions);
+    the committed side is a tier read (already ~1/10^3 of raw).  The merge
+    shuffles one tier row per (key, bucket) per side."""
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}")
+    tail = raw_df.where(F.col(ts_col) >= F.lit(watermark))
+    return merge_tier(
+        [tier_df, rollup_raw(tail, key_cols, ts_col, value_col, tier)],
+        key_cols,
+    )
+
+
 def with_avg(tier_df: DataFrame) -> DataFrame:
     """Derived average (kept out of the stored state on purpose — averages
     don't re-aggregate)."""

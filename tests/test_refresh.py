@@ -181,3 +181,97 @@ def test_refresh_new_day_and_empty_store(spark, tmp_path, pages):
     empty_dir = str(tmp_path / "empty")
     r0 = refresh_pipeline(spark, pages.limit(10), empty_dir)
     assert r0["refresh"] is False  # ran the initial build path
+
+
+def _events_df(spark, n=5000):
+    rows = [
+        (f"k{i % 7}", i * 311 % 100_000, float((i * 37) % 1000))
+        for i in range(n)
+    ]
+    return (
+        spark.createDataFrame(rows, ["user_id", "sec", "value"])
+        .select("user_id", F.timestamp_seconds("sec").alias("ts"), "value")
+    )
+
+
+def test_real_time_rollup_equals_direct_straddled_bucket(spark):
+    """Real-time view (committed pre-watermark tier ∪ on-the-fly tail rollup)
+    == direct rollup over everything, with a watermark chosen mid-bucket so
+    the straddled bucket's partial states must combine exactly."""
+    import datetime as dt
+
+    from streamchange_spark.operators import real_time_rollup
+
+    df = _events_df(spark)
+    # 50_000s is NOT hour-aligned (50_000 % 3600 == 3200): bucket 46800
+    # is split across the committed side and the raw tail.
+    watermark = dt.datetime.fromtimestamp(50_000, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    tier = rollup_raw(
+        df.where(F.col("ts") < F.lit(watermark)), ["user_id"], "ts", "value", "1h"
+    )
+    rt = real_time_rollup(tier, df, ["user_id"], "ts", "value", watermark, "1h")
+    direct = rollup_raw(df, ["user_id"], "ts", "value", "1h")
+
+    # the straddled bucket really is exercised: both sides contribute rows
+    # to bucket 46800 (13h) for at least one key
+    straddle = F.col("bucket_start") == F.timestamp_seconds(F.lit(46800))
+    assert tier.where(straddle).count() > 0
+    tail_tier = rollup_raw(
+        df.where(F.col("ts") >= F.lit(watermark)), ["user_id"], "ts", "value", "1h"
+    )
+    assert tail_tier.where(straddle).count() > 0
+
+    cols = ["user_id"] + TIER_COLS[1:]
+    pm = rt.select(cols).orderBy("user_id", "bucket_start").toPandas()
+    pd_ = direct.select(cols).orderBy("user_id", "bucket_start").toPandas()
+    assert pm.equals(pd_)
+
+
+def test_real_time_tail_filter_reaches_parquet_scan(spark, tmp_path):
+    """The ts >= watermark tail predicate must be PUSHED to the raw table's
+    parquet scan — at 100 TB the real-time view reads the unmaterialized
+    tail, never the archive."""
+    import datetime as dt
+
+    from streamchange_spark.operators import real_time_rollup
+
+    raw_dir = str(tmp_path / "raw")
+    _events_df(spark).write.parquet(raw_dir)
+    raw = spark.read.parquet(raw_dir)
+    watermark = dt.datetime.fromtimestamp(50_000, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    tier = rollup_raw(
+        raw.where(F.col("ts") < F.lit(watermark)), ["user_id"], "ts", "value", "1h"
+    )
+    rt = real_time_rollup(tier, raw, ["user_id"], "ts", "value", watermark, "1h")
+    plan = rt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+
+
+def test_real_time_over_store_committed_tier(spark, tmp_path):
+    """End to end with the snapshot store: the materialized side read back
+    from a committed tier partition, the tail straight from raw — the view
+    still equals the direct rollup."""
+    import datetime as dt
+
+    from streamchange_spark.operators import real_time_rollup
+
+    df = _events_df(spark)
+    watermark = dt.datetime.fromtimestamp(50_000, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    committed = rollup_raw(
+        df.where(F.col("ts") < F.lit(watermark)), ["user_id"], "ts", "value", "1h"
+    )
+    store = SnapshotStore(str(tmp_path / "table"))
+    store.commit_partitions({"tier1h/d0": committed}, watermark=str(watermark))
+    tier = store.read(spark, prefix="tier1h/").drop("_part")
+    rt = real_time_rollup(tier, df, ["user_id"], "ts", "value", watermark, "1h")
+    direct = rollup_raw(df, ["user_id"], "ts", "value", "1h")
+    cols = ["user_id"] + TIER_COLS[1:]
+    pm = rt.select(cols).orderBy("user_id", "bucket_start").toPandas()
+    pd_ = direct.select(cols).orderBy("user_id", "bucket_start").toPandas()
+    assert pm.equals(pd_)
