@@ -311,6 +311,45 @@ def q_zorder_read(spark, sf_dir):
     )
 
 
+def q_bloom_read(spark, sf_dir):
+    """Bloom-pruned point lookup (`sources/snapshots.py` ``bloom:`` manifest
+    stats + ``files_for(eq=...)``): commit events hash-distributed on
+    user_id into 16 files inside ONE time partition — the layout where
+    every file spans nearly the full [min, max] key range, so footer stats
+    alone cannot prune a point lookup — with per-file bloom filters over
+    user_id, then answer a single-user query via the bloom-pruned read.
+    The oracle runs the same aggregate over the full table with a plain
+    WHERE; equality proves the bloom never dropped a matching file.
+    Raises unless the bloom prune actually engaged (kept < total)."""
+    import tempfile
+
+    from streamchange_spark.sources import SnapshotStore
+
+    _configure(spark)
+    ev = _t(spark, sf_dir, "events")
+    uid = ev.agg(F.min("user_id")).collect()[0][0]
+    store = SnapshotStore(tempfile.mkdtemp(prefix="spark_graft_bloom_"))
+    store.commit_partitions(
+        {"ev/all": ev.repartition(16, "user_id")},
+        stat_cols=["user_id", "bloom:user_id"],
+    )
+    total = len(store.files_for(prefix="ev/"))
+    kept = store.files_for(prefix="ev/", eq={"user_id": uid})
+    if not (0 < len(kept) < total):
+        raise AssertionError(
+            f"bloom point-lookup prune did not engage: {len(kept)}/{total}"
+        )
+    return (
+        store.read(spark, prefix="ev/", eq={"user_id": uid})
+        .where(F.col("user_id") == uid)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+    )
+
+
 def q_rollup_1h(spark, sf_dir):
     _configure(spark)
     t = _hourly_tier(spark, sf_dir)
@@ -2204,6 +2243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_rows": q_delete_rows,
         # round-5 store layer: z-order trailing-dimension pruned read
         "zorder_read": q_zorder_read,
+        # round-5 store layer: bloom-pruned point lookup (hash layout)
+        "bloom_read": q_bloom_read,
         # --- operator files changed this round: re-certify ---
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -2222,7 +2263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # those files stays inside the checked window:
         "sketch_percentiles_1d": q_sketch_percentiles_1d,
         "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         # --- detect.py changed this round (standardize flag): every query
         # executing an edited grouped-UDF closure stays in the window ---
         # freq_changepoints is the ONLY driver row exercising the in-UDF
@@ -2231,11 +2271,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # it shares with ann_topk_gemm stays covered by the gemm row.
         "freq_changepoints": q_freq_changepoints,
         "window_segmentor": q_window_segmentor,
-        # gemm shares ann_topk's oracle and its similarity plan is covered
-        # in-window by ann_lsh / ann_topk_ivf / ann_topk_ivf_indexed; it
-        # yields the edge slot so window_segmentor (the grouped_apply/
-        # standardize plumbing detect.py edits ride on) stays checked.
+        # gemm shares ann_topk's oracle and, with the indexed-IVF variant
+        # (partition-pruned serving plan-asserted in pytest; base IVF row
+        # in-window), yields the edge slots so the detector rows above —
+        # the grouped_apply/standardize plumbing detect.py edits ride on —
+        # stay checked.
         "ann_topk_gemm": q_ann_topk_gemm,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         "pelt_segments": q_pelt_segments,
         "pelt_segments_pruned": q_pelt_segments_pruned,
         "capa_anomalies": q_capa_anomalies,
@@ -3341,6 +3383,14 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
             WHERE event_id >= (SELECT (max(event_id) // 10) * 4 FROM events)
               AND event_id <= (SELECT (max(event_id) // 10) * 5 FROM events)
             GROUP BY user_id
+        """,
+        "bloom_read": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_v
+            FROM events
+            WHERE user_id = (SELECT min(user_id) FROM events)
+            GROUP BY event_type
         """,
         "delete_rows": """
             SELECT event_id,

@@ -79,6 +79,112 @@ def _json_safe_stat(v):
     return None
 
 
+#: Manifest-stat spec prefix: ``stat_cols=["url", "bloom:url"]`` records the
+#: footer [min, max] AND a per-file bloom filter over ``url``.  Blooms live in
+#: the same per-file stats dict under their spec name, so every path that
+#: re-derives a rewrite's stat columns from the manifest (compaction,
+#: MERGE INTO, DELETE) recomputes them automatically.
+BLOOM_PREFIX = "bloom:"
+
+_BLOOM_K = 6  # hash probes per value (double hashing)
+_BLOOM_BITS_PER_VALUE = 10  # ~0.8% fpp at k=6
+_BLOOM_MIN_BITS = 256
+_BLOOM_MAX_BITS = 1 << 16  # 8 KiB of bits -> ~11 KiB base64 per file/col
+
+
+def _bloom_canon(v) -> bytes | None:
+    """Type-tagged canonical bytes for bloom hashing — identical for the
+    value read from the parquet page and the value the query passes to
+    ``files_for(eq=...)``. Unsupported types return None (the file is then
+    never skipped on this column: sound)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return b"i:%d" % int(v)
+    if isinstance(v, bytes):
+        return b"b:" + v
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    if isinstance(v, int):
+        return b"i:%d" % v
+    if isinstance(v, float):
+        return b"f:" + repr(float(v)).encode()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return b"t:" + v.isoformat(sep="T").encode()
+    return None
+
+
+def _bloom_positions(canon: bytes, m: int):
+    """k bit positions via double hashing over one blake2b digest —
+    deterministic across processes (no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    d = hashlib.blake2b(canon, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_build(values) -> dict | None:
+    """{"m": bits, "b64": bitset} over the distinct values of one file's
+    column. Sizing follows the file's own distinct count (clamped), so small
+    files pay bytes proportional to their content; NULLs are not members."""
+    import base64
+
+    canons = []
+    for v in values:
+        if v is None:
+            continue
+        c = _bloom_canon(v)
+        if c is None:
+            return None  # unsupported value domain -> no bloom at all
+        canons.append(c)
+    target = len(canons) * _BLOOM_BITS_PER_VALUE
+    m = 1 << max(target - 1, 1).bit_length()  # next power of two >= target
+    m = min(max(m, _BLOOM_MIN_BITS), _BLOOM_MAX_BITS)
+    bits = bytearray(m // 8)
+    for c in canons:
+        for pos in _bloom_positions(c, m):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return {"m": m, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    """False ONLY when the bloom proves the file cannot hold the value."""
+    import base64
+
+    c = _bloom_canon(value)
+    if c is None:
+        return True
+    m = bloom["m"]
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[pos // 8] & (1 << (pos % 8)) for pos in _bloom_positions(c, m)
+    )
+
+
+def _file_bloom_stats(path: str, bloom_cols) -> dict[str, dict]:
+    """Per-file bloom filters over each requested column's distinct values.
+    Unlike the footer [min, max] reads this scans the column's data pages —
+    but only for the files THIS commit just wrote (cost proportional to the
+    commit, never the table; on a real cluster Iceberg computes these inside
+    the write tasks). One columnar pyarrow read per file."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    pf = pq.ParquetFile(path)
+    present = set(pf.schema_arrow.names)
+    want = [c for c in bloom_cols if c in present]
+    if not want:
+        return out
+    tbl = pf.read(columns=want)
+    for c in want:
+        bloom = _bloom_build(tbl.column(c).to_pylist())
+        if bloom is not None:
+            out[BLOOM_PREFIX + c] = bloom
+    return out
+
+
 def _file_column_stats(path: str, stat_cols) -> dict[str, list]:
     """Per-file [min, max] for the requested columns, read from the parquet
     footer only (no data pages touched) — the manifest-stats source for
@@ -122,14 +228,23 @@ def _collect_file_stats(paths, stat_cols) -> dict[str, dict]:
     cluster Iceberg collects these from the write tasks themselves; the
     pool is the honest single-process analogue.)"""
     paths = list(paths)
+    specs = list(stat_cols)
+    plain = [c for c in specs if not c.startswith(BLOOM_PREFIX)]
+    blooms = [c[len(BLOOM_PREFIX):] for c in specs if c.startswith(BLOOM_PREFIX)]
+
+    def one(p: str) -> dict:
+        s = _file_column_stats(p, plain) if plain else {}
+        if blooms:
+            s.update(_file_bloom_stats(p, blooms))
+        return s
+
     if len(paths) <= 2:
-        out = {p: _file_column_stats(p, stat_cols) for p in paths}
+        out = {p: one(p) for p in paths}
     else:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
-            stats = pool.map(lambda p: _file_column_stats(p, stat_cols), paths)
-            out = dict(zip(paths, stats))
+            out = dict(zip(paths, pool.map(one, paths)))
     return {p: s for p, s in out.items() if s}
 
 
@@ -373,6 +488,11 @@ class SnapshotStore:
         so a time- or key-range query over a month of hourly commits opens
         only the overlapping files instead of the whole partition family.
         Parent partitions keep whatever stats they were committed with.
+        A ``"bloom:col"`` spec additionally records a per-file bloom filter
+        over ``col``'s distinct values for :meth:`files_for` ``eq=`` point
+        lookups (costs one columnar read of each NEW file at commit time);
+        rewrites (compaction, MERGE, DELETE) recompute whatever specs the
+        replaced files carried.
 
         ``cluster_by``: range-cluster each partition's rows on these columns
         before writing (the Iceberg ``write.distribution-mode=range``
@@ -1353,6 +1473,7 @@ class SnapshotStore:
         snapshot_id: str | None = None,
         prefix: str | None = None,
         ranges: dict[str, tuple] | None = None,
+        eq: dict | None = None,
     ) -> list[str]:
         """The data files a scan must open: partition-family selection by
         ``prefix``, then manifest-stats file skipping by ``ranges`` —
@@ -1362,7 +1483,15 @@ class SnapshotStore:
         drops rows). Range endpoints must live in the stats' stored domain:
         numbers for numeric columns, the string itself for strings,
         ISO-8601 ``T``-separated strings for timestamps; ``None`` for an
-        open endpoint."""
+        open endpoint.
+
+        ``eq`` — ``{column: value}`` point lookups: a file is skipped when
+        its [min, max] misses the value OR its bloom filter (committed via
+        ``stat_cols=["bloom:col"]``) proves absence. Blooms are what make
+        point lookups on a high-cardinality key selective inside a time
+        partition whose files all span the key space (unclustered layouts,
+        where [min, max] keeps every file); Iceberg reads parquet
+        bloom/dictionary pages at planning time for the same reason."""
         m = self.manifest(snapshot_id)
         if m is None:
             raise FileNotFoundError(f"no snapshot in {self.table_dir}")
@@ -1370,21 +1499,39 @@ class SnapshotStore:
             p for p in m["files"] if prefix is None or p.startswith(prefix)
         )
         all_files = [f for part in parts for f in m["files"][part]]
-        if not ranges:
+        if not ranges and not eq:
             return all_files
         stats = m.get("file_stats", {})
         kept = []
         for f in all_files:
             fs = stats.get(f, {})
-            for col, (lo, hi) in ranges.items():
-                if col not in fs:
-                    continue
-                mn, mx = fs[col]
-                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
-                    break  # provably disjoint -> skip the file
-            else:
-                kept.append(f)
+            if not self._file_may_match(fs, ranges, eq):
+                continue
+            kept.append(f)
         return kept
+
+    @staticmethod
+    def _file_may_match(fs: dict, ranges: dict | None, eq: dict | None) -> bool:
+        """True unless the file's manifest stats PROVE no row can match."""
+        for col, (lo, hi) in (ranges or {}).items():
+            if col not in fs:
+                continue
+            mn, mx = fs[col]
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                return False  # provably disjoint -> skip the file
+        for col, v in (eq or {}).items():
+            if col in fs:
+                mn, mx = fs[col]
+                sv = _json_safe_stat(v)
+                try:
+                    if sv is not None and (sv < mn or sv > mx):
+                        return False
+                except TypeError:
+                    pass  # value outside the stats' domain: never skip on it
+            bloom = fs.get(BLOOM_PREFIX + col)
+            if bloom is not None and not _bloom_might_contain(bloom, v):
+                return False
+        return True
 
     def read(
         self,
@@ -1392,6 +1539,7 @@ class SnapshotStore:
         snapshot_id: str | None = None,
         prefix: str | None = None,
         ranges: dict[str, tuple] | None = None,
+        eq: dict | None = None,
         merge_schema: bool = False,
     ) -> DataFrame:
         """Read the table as of a snapshot (time travel); HEAD by default.
@@ -1399,10 +1547,11 @@ class SnapshotStore:
         a store holds heterogeneous partition schemas. ``ranges`` prunes
         files via manifest column stats (see :meth:`files_for`) — the
         Iceberg scan-planning analogue: a narrow time/key range over a
-        100-TB table opens only the overlapping files. The read still
-        returns ALL rows of the kept files; apply the same predicate with
-        ``.where`` for row-level filtering (parquet row-group skipping
-        handles the rest). Raises ``FileNotFoundError`` when every file is
+        100-TB table opens only the overlapping files; ``eq`` point lookups
+        additionally consult per-file bloom filters (see :meth:`files_for`).
+        The read still returns ALL rows of the kept files; apply the same
+        predicate with ``.where`` for row-level filtering (parquet
+        row-group skipping handles the rest). Raises ``FileNotFoundError`` when every file is
         pruned (the caller knows the result is empty without a scan).
 
         ``merge_schema``: additive schema evolution — when newer partitions
@@ -1410,10 +1559,11 @@ class SnapshotStore:
         merged read fills the old rows with NULLs instead of failing or
         silently taking one file's schema. Costs a footer read per file at
         planning time; leave False when the family's schema is fixed."""
-        kept = self.files_for(snapshot_id, prefix, ranges)
+        kept = self.files_for(snapshot_id, prefix, ranges, eq)
         if not kept:
             raise FileNotFoundError(
-                f"every data file pruned for prefix={prefix!r} ranges={ranges!r}"
+                f"every data file pruned for prefix={prefix!r} "
+                f"ranges={ranges!r} eq={eq!r}"
             )
         reader = spark.read
         if merge_schema:
@@ -1581,7 +1731,16 @@ class SnapshotStore:
                         "partition": part,
                         "path": f,
                         "bytes": os.path.getsize(f) if os.path.exists(f) else None,
-                        "column_stats": json.dumps(stats[f]) if f in stats else None,
+                        # blooms render as their bit size only — the
+                        # bitset payload is planning state, not metadata
+                        "column_stats": json.dumps(
+                            {
+                                k: ({"m": v["m"]} if k.startswith(BLOOM_PREFIX) else v)
+                                for k, v in stats[f].items()
+                            }
+                        )
+                        if f in stats
+                        else None,
                     }
                 )
         return spark.createDataFrame(

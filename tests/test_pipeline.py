@@ -1119,3 +1119,100 @@ def test_write_audit_publish(spark, tmp_path):
     assert swept  # d3's staged file reclaimed
     with pytest.raises(ValueError, match="HEAD chain"):
         store.abandon(s4)
+
+
+def test_bloom_point_lookup_prunes_and_is_sound(spark, tmp_path):
+    """Per-file blooms (stat_cols=["bloom:col"]) make point lookups
+    selective in a HASH-distributed layout, where every file spans nearly
+    the full [min, max] key range and footer stats alone keep everything;
+    soundness: the pruned read + filter never loses a matching row."""
+    import random
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(20_000).select(
+        F.format_string("u-%04d", F.col("id") % 500).alias("uid"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    store.commit_partitions(
+        {"t/day=d1": df.repartition(8, "uid")},
+        stat_cols=["uid", "bloom:uid"],
+    )
+    total = store.files_for(prefix="t/")
+    assert len(total) == 8
+    # min/max alone keeps all 8 files for a mid-range key
+    assert len(store.files_for(prefix="t/", ranges={"uid": ("u-0250", "u-0250")})) == 8
+    full = store.read(spark, prefix="t/")
+    rng = random.Random(99)
+    pruned_any = False
+    for _ in range(10):
+        uid = f"u-{rng.randint(0, 520):04d}"  # some beyond the domain
+        kept = store.files_for(prefix="t/", eq={"uid": uid})
+        expected = full.where(F.col("uid") == uid).count()
+        got = (
+            spark.read.parquet(*kept).where(F.col("uid") == uid).count()
+            if kept
+            else 0
+        )
+        assert got == expected, uid
+        pruned_any = pruned_any or len(kept) < len(total)
+    assert pruned_any  # the bloom actually engaged at least once
+    # an absent key prunes every file — and only then
+    assert store.files_for(prefix="t/", eq={"uid": "nope"}) == []
+
+
+def test_bloom_recomputed_through_compaction(spark, tmp_path):
+    """Rewrites re-derive stat specs from the manifest, so 'bloom:col' is
+    recomputed for compacted files — the prune keeps working after the
+    nightly maintain()."""
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(4_000).select(
+        F.format_string("u-%03d", F.col("id") % 100).alias("uid"),
+        F.col("id").alias("v"),
+    )
+    store.commit_partitions(
+        {"t/day=d1": df.repartition(6, "uid")},
+        stat_cols=["bloom:uid"],
+    )
+    assert store.files_for(prefix="t/", eq={"uid": "absent"}) == []
+    snap, _ = store.compact_partitions(spark, target_file_bytes=1 << 30, min_files=2)
+    assert snap is not None
+    files = store.files_for(prefix="t/")
+    assert len(files) == 1  # compacted
+    assert store.files_for(prefix="t/", eq={"uid": "absent"}) == []
+    kept = store.files_for(prefix="t/", eq={"uid": "u-042"})
+    assert kept == files  # present key: the (only) file is kept
+    assert store.read(spark, prefix="t/", eq={"uid": "u-042"}).where(
+        F.col("uid") == "u-042"
+    ).count() == 40
+
+
+def test_bloom_missing_stats_never_skip(spark, tmp_path):
+    """Files committed WITHOUT bloom stats are always read by eq lookups
+    (sound), and unsupported eq domains never skip a file."""
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(100).select(F.format_string("u-%d", F.col("id")).alias("uid"))
+    store.commit_partitions({"t/day=d1": df.coalesce(1)})  # no stats at all
+    store.commit_partitions(
+        {"t/day=d2": df.coalesce(1)}, stat_cols=["uid", "bloom:uid"]
+    )
+    # d1's file has no stats -> kept even for an absent key; d2's pruned
+    kept = store.files_for(prefix="t/", eq={"uid": "absent"})
+    assert len(kept) == 1 and "day=d1" in kept[0]
+    # dict is not a bloomable domain: no skip, no crash
+    assert len(store.files_for(prefix="t/", eq={"uid": {"not": "hashable"}})) == 2
+
+
+def test_files_table_renders_bloom_size_not_payload(spark, tmp_path):
+    """The .files metadata table reports bloom presence/size, not the b64
+    bitset (planning state, not metadata)."""
+    import json as _json
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(500).select(F.col("id").alias("k"))
+    store.commit_partitions(
+        {"t/day=d1": df.coalesce(1)}, stat_cols=["k", "bloom:k"]
+    )
+    row = store.files_table(spark).collect()[0]
+    stats = _json.loads(row.column_stats)
+    assert stats["k"] == [0, 499]
+    assert set(stats["bloom:k"]) == {"m"} and stats["bloom:k"]["m"] >= 256
