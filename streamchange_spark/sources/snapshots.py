@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from contextlib import contextmanager
@@ -350,6 +351,16 @@ def zorder_column(df: DataFrame, cols, bits_per_col: int | None = None):
     return z, n_buckets
 
 
+def _manifest_all_paths(m: dict) -> set[str]:
+    """Every file a manifest pins as live: data files AND the positional
+    delete files attached to them — both must survive orphan sweeps and
+    snapshot expiry while this manifest exists."""
+    paths = {f for pf in m.get("files", {}).values() for f in pf}
+    for dels in m.get("delete_files", {}).values():
+        paths.update(dels)
+    return paths
+
+
 class CommitConflictError(RuntimeError):
     """Another writer advanced HEAD while this commit was building: flipping
     HEAD now would silently orphan their snapshot. Re-read and retry (the
@@ -382,6 +393,22 @@ class SnapshotStore:
                 f"HEAD moved from {manifest['parent']!r} to {current!r} while "
                 f"building snapshot {manifest['snapshot_id']!r}; re-read and retry"
             )
+        if "delete_files" not in manifest:
+            # Merge-on-read positional deletes follow the data files they
+            # cover: carried files keep their entries, rewritten/dropped
+            # files shed them (every internal rewrite reads through
+            # _scan_live, so the survivors were written post-delete and the
+            # rewrite itself purges the entries). Centralized here so every
+            # writer — append, compact, merge, CoW delete, recluster —
+            # inherits the contract without repeating it.
+            carried = self._live_delete_files(
+                self.manifest(manifest["parent"]) if manifest["parent"] else None,
+                manifest["files"],
+            )
+            if carried:
+                manifest["delete_files"] = carried
+        elif not manifest["delete_files"]:
+            del manifest["delete_files"]
         _atomic_write(
             self._manifest_path(manifest["snapshot_id"]),
             json.dumps(manifest, indent=1),
@@ -720,16 +747,25 @@ class SnapshotStore:
         m = self.manifest(parent)
         if m is None:
             raise FileNotFoundError(f"no snapshot in {self.table_dir}")
+        # Partitions carrying merge-on-read positional deletes are always
+        # rewritten (even when already bin-packed): compaction is the purge
+        # step that folds outstanding deletes back into plain data files so
+        # the read-side anti-join stays bounded.
+        dmap = m.get("delete_files", {})
+        parts_with_deletes = {
+            p for p, pf in m["files"].items() if any(f in dmap for f in pf)
+        }
         todo: dict[str, int] = {}
         for part_key, part_files in m["files"].items():
             if predicate is not None and not predicate(part_key):
                 continue
-            if len(part_files) < min_files:
+            has_deletes = part_key in parts_with_deletes
+            if len(part_files) < min_files and not has_deletes:
                 continue
             part_bytes = sum(os.path.getsize(f) for f in part_files)
             n_out = max(1, -(-part_bytes // target_file_bytes))
-            if n_out < len(part_files):
-                todo[part_key] = n_out
+            if n_out < len(part_files) or has_deletes:
+                todo[part_key] = min(n_out, len(part_files))
         if not todo:
             return None, {}
 
@@ -747,7 +783,9 @@ class SnapshotStore:
             }
             part_dir = os.path.join(self.table_dir, "data", snapshot_id, part_key)
             t0 = time.time()
-            src = spark.read.parquet(*old_files)
+            # Live scan: outstanding positional deletes are applied here and
+            # their entries shed at commit, restoring plain-file reads.
+            src = self._scan_live(spark, old_files, m)
             # A clustered partition must stay clustered through compaction:
             # a plain coalesce merges arbitrary scan partitions, undoing
             # the file disjointness every stats-pruned read depends on —
@@ -965,8 +1003,8 @@ class SnapshotStore:
         matched_rows = 0
         hits = None
         if cand:
-            probe = spark.read.parquet(*cand).select(
-                F.input_file_name().alias("__file"), *key_cols
+            probe = self._scan_live(spark, cand, m, file_col="__file").select(
+                "__file", *key_cols
             )
             hits = probe.join(F.broadcast(src_keys), key_cols, "leftsemi").persist()
             for r in hits.groupBy("__file").count().collect():
@@ -1034,7 +1072,7 @@ class SnapshotStore:
         plan: list[tuple[str, list[str]]] = []
         for part_key, touched in sorted(touched_by_part.items()):
             touched = sorted(touched)
-            old = spark.read.parquet(*touched)
+            old = self._scan_live(spark, touched, m)
             data_cols = [c for c in old.columns if c not in key_cols]
             missing = set(old.columns) - set(source.columns)
             if missing:
@@ -1174,12 +1212,24 @@ class SnapshotStore:
         prefix: str | None = None,
         ranges: dict[str, tuple] | None = None,
         properties: dict | None = None,
+        mode: str = "copy-on-write",
     ) -> tuple[str | None, dict]:
-        """Row-level DELETE with copy-on-write rewrite — the Iceberg
-        ``DELETE FROM t WHERE ...`` analogue, and the right-to-be-forgotten
-        path for a crawl table (drop every row of a url without rewriting
-        the world). ``condition`` is a SQL string or Column selecting the
-        rows to DELETE.
+        """Row-level DELETE — the Iceberg ``DELETE FROM t WHERE ...``
+        analogue, and the right-to-be-forgotten path for a crawl table
+        (drop every row of a url without rewriting the world).
+        ``condition`` is a SQL string or Column selecting the rows to
+        DELETE.
+
+        ``mode="copy-on-write"`` (default) rewrites every touched file's
+        survivors — reads stay plain scans, the delete pays the write.
+        ``mode="merge-on-read"`` (the Iceberg v2 positional-delete shape)
+        writes only a tiny delete file of (file, row_index) pairs and
+        commits in O(deleted rows): the right verb when a delete touches a
+        few rows in many files (rewriting TBs to drop KBs). Reads apply
+        outstanding deletes via a broadcast anti-join on
+        (``_metadata.file_path``, ``_metadata.row_index``);
+        :meth:`compact_partitions` (and the nightly :meth:`maintain`)
+        purges them back into plain files.
 
         Scale shape: ``ranges`` (same domain as :meth:`files_for`) prunes
         candidate files from the manifest stats at planning time — pass the
@@ -1221,12 +1271,21 @@ class SnapshotStore:
         }
         if not cand:
             return None, report
+        if mode == "merge-on-read":
+            return self._delete_merge_on_read(
+                spark, cond, condition, parent, m, cand, abs_to_manifest,
+                report, properties,
+            )
+        if mode != "copy-on-write":
+            raise ValueError(
+                f"mode must be 'copy-on-write' or 'merge-on-read', got {mode!r}"
+            )
 
         touched_by_part: dict[str, set] = {}
         for r in (
-            spark.read.parquet(*cand)
+            self._scan_live(spark, cand, m, file_col="__file")
             .where(cond)
-            .groupBy(F.input_file_name().alias("__file"))
+            .groupBy("__file")
             .count()
             .collect()
         ):
@@ -1254,9 +1313,12 @@ class SnapshotStore:
         for part_key, touched in sorted(touched_by_part.items()):
             touched = sorted(touched)
             # NULL predicate rows are NOT deleted (SQL DELETE semantics), so
-            # they must survive: plain ~cond would drop them too.
+            # they must survive: plain ~cond would drop them too. Scanning
+            # live (not raw) keeps earlier merge-on-read deletes deleted —
+            # a raw rewrite would resurrect those rows because the new file
+            # sheds the parent's positional-delete entries.
             survivors = (
-                spark.read.parquet(*touched)
+                self._scan_live(spark, touched, m)
                 .where(~F.coalesce(cond, F.lit(False)))
                 .withColumn("__cowpart", F.lit(part_key))
             )
@@ -1375,16 +1437,13 @@ class SnapshotStore:
         keep, drop = chain[:keep_last], chain[keep_last:]
         if not drop:
             return []
-        live_files = {
-            f for m in keep for part_files in m["files"].values() for f in part_files
-        }
+        live_files = {f for m in keep for f in _manifest_all_paths(m)}
         deleted = []
         for m in drop:
-            for part_files in m["files"].values():
-                for f in part_files:
-                    if f not in live_files and os.path.exists(f):
-                        os.remove(f)
-                        deleted.append(f)
+            for f in sorted(_manifest_all_paths(m)):
+                if f not in live_files and os.path.exists(f):
+                    os.remove(f)
+                    deleted.append(f)
             os.remove(self._manifest_path(m["snapshot_id"]))
         root = dict(keep[-1])
         root["parent"] = None
@@ -1444,8 +1503,7 @@ class SnapshotStore:
                 continue
             with open(os.path.join(snap_dir, name)) as fh:
                 m = json.load(fh)
-            for part_files in m.get("files", {}).values():
-                live.update(part_files)
+            live.update(_manifest_all_paths(m))
         cutoff = time.time() - older_than_seconds
         deleted = []
         data_dir = os.path.join(self.table_dir, "data")
@@ -1466,6 +1524,175 @@ class SnapshotStore:
             if not dirnames and not filenames:
                 os.rmdir(dirpath)
         return deleted
+
+    # -- merge-on-read delete plumbing ------------------------------------------
+    def _delete_merge_on_read(
+        self,
+        spark: SparkSession,
+        cond,
+        condition,
+        parent: str | None,
+        m: dict,
+        cand: list,
+        abs_to_manifest: dict,
+        report: dict,
+        properties: dict | None,
+    ) -> tuple[str | None, dict]:
+        """The ``mode="merge-on-read"`` body of :meth:`delete_where`: ONE
+        probe job writes a positional-delete parquet of
+        ``(file: _metadata.file_path URI, pos: _metadata.row_index)`` for
+        every matching live row, and the commit is pure metadata — data
+        files, metrics, and file stats are carried verbatim, only the
+        ``delete_files`` map (manifest data path → covering delete files)
+        grows. O(deleted rows) I/O instead of O(touched-file bytes): the
+        right verb when a delete touches a few rows in many files.
+
+        The probe scans LIVE (earlier deletes applied), so stacked MoR
+        deletes never double-count a row, and the delete file is shared
+        across all data files it covers — the read-side anti-join keys on
+        (file, pos), so entries for since-rewritten files are inert.
+        Manifest ``metrics.n_rows`` / file stats intentionally keep their
+        pre-delete values (the Iceberg v2 convention): stats-based file
+        skipping only ever skips files that cannot match, and
+        :meth:`compact_partitions` restores exact counts when it purges."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        probe = (
+            spark.read.parquet(*cand)
+            .withColumn("__file", F.col("_metadata.file_path"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        hits = (
+            self._apply_delete_files(spark, probe, cand, m)
+            .where(cond)
+            .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
+        )
+        del_dir = os.path.join(self.table_dir, "data", snapshot_id, "__deletes__")
+        t0 = time.time()
+        hits.coalesce(1).write.mode("overwrite").parquet(del_dir)
+        delete_paths = sorted(
+            os.path.join(del_dir, f)
+            for f in os.listdir(del_dir)
+            if f.endswith(".parquet")
+        )
+        per_file = spark.read.parquet(del_dir).groupBy("file").count().collect()
+        if not per_file:
+            shutil.rmtree(os.path.dirname(del_dir), ignore_errors=True)
+            return None, report
+        new_entries: dict[str, list[str]] = {}
+        touched_parts: set[str] = set()
+        for r in per_file:
+            path = unquote(urlparse(r["file"]).path) or r["file"]
+            hit = abs_to_manifest.get(os.path.abspath(path))
+            if hit is None:
+                raise RuntimeError(f"probe saw unmanifested file {path}")
+            new_entries[hit[0]] = delete_paths
+            touched_parts.add(hit[1])
+            report["deleted_rows"] += r["count"]
+            report["touched_files"] += 1
+        dmap = self._live_delete_files(m, m["files"])
+        for f, paths in new_entries.items():
+            dmap[f] = sorted(set(dmap.get(f, [])) | set(paths))
+        report["delete_files_written"] = len(delete_paths)
+        report["delete_bytes"] = sum(os.path.getsize(p) for p in delete_paths)
+        report["write_seconds"] = round(time.time() - t0, 3)
+        # Incremental consumers detect change via metrics.snapshot_id; a
+        # MoR delete changes a partition's LOGICAL rows without rewriting
+        # its files, so bump the touched partitions' write snapshot (and
+        # drop any compaction-carried data_snapshot_id override) or
+        # changed_partitions()/follow() would silently skip the delete.
+        metrics = dict(m.get("metrics", {}))
+        for p in touched_parts:
+            bumped = {**metrics.get(p, {}), "snapshot_id": snapshot_id}
+            bumped.pop("data_snapshot_id", None)
+            metrics[p] = bumped
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent": parent,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "watermark": m.get("watermark"),
+            "properties": {
+                **(properties or {}),
+                "delete_condition": str(condition),
+                "delete_mode": "merge-on-read",
+                "deleted_partitions": sorted(touched_parts),
+            },
+            "files": dict(m["files"]),
+            "metrics": metrics,
+            "file_stats": dict(m.get("file_stats", {})),
+            "delete_files": dmap,
+        }
+        self._commit_manifest(manifest)
+        return snapshot_id, report
+
+    @staticmethod
+    def _live_delete_files(m: dict | None, files: dict) -> dict:
+        """The parent's positional-delete map restricted to data files still
+        live in the child manifest — a rewritten or dropped data file takes
+        its delete entries with it (the survivors were written WITHOUT the
+        deleted rows, so carrying stale positions would delete wrong rows)."""
+        live = {f for pf in files.values() for f in pf}
+        return {
+            f: d
+            for f, d in (m or {}).get("delete_files", {}).items()
+            if f in live and d
+        }
+
+    def _apply_delete_files(
+        self, spark: SparkSession, df: DataFrame, paths, m: dict
+    ) -> DataFrame:
+        """Apply positional delete files covering ``paths`` to a scan of
+        exactly those paths — the Iceberg v2 merge-on-read contract. Rows
+        are identified by (``_metadata.file_path``, ``_metadata.row_index``),
+        the same values the delete commit recorded, so no path
+        normalization is involved. The delete set rides a broadcast
+        LEFT ANTI join: tiny against the data scan (deletes that grow large
+        are exactly what :meth:`compact_partitions` purges)."""
+        dmap = m.get("delete_files", {})
+        rel = sorted({d for p in paths for d in dmap.get(p, [])})
+        if not rel:
+            return df
+        from pyspark.sql import functions as F
+
+        dels = (
+            spark.read.parquet(*rel)
+            .select(
+                F.col("file").alias("__del_file"), F.col("pos").alias("__del_pos")
+            )
+            .dropDuplicates(["__del_file", "__del_pos"])
+        )
+        keyed = df.withColumn("__row_file", F.col("_metadata.file_path")).withColumn(
+            "__row_pos", F.col("_metadata.row_index")
+        )
+        survivors = keyed.join(
+            F.broadcast(dels),
+            (keyed["__row_file"] == dels["__del_file"])
+            & (keyed["__row_pos"] == dels["__del_pos"]),
+            "left_anti",
+        )
+        return survivors.drop("__row_file", "__row_pos")
+
+    def _scan_live(
+        self, spark: SparkSession, paths, m: dict, file_col: str | None = None
+    ) -> DataFrame:
+        """Scan manifest data files with outstanding position deletes
+        applied — what every internal reader (probe scans, rewrites,
+        incremental reads) must use instead of a raw ``spark.read.parquet``
+        so merge-on-read deletes are invisible everywhere. Select the
+        needed columns AFTER (Catalyst prunes them through the anti-join;
+        projecting first would drop the virtual ``_metadata`` column the
+        join keys on). ``file_col`` materializes each row's source-file URI
+        (``_metadata.file_path``) — the probe scans' replacement for
+        ``input_file_name()``, which does not survive the anti-join."""
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(*paths)
+        if file_col is not None:
+            df = df.withColumn(file_col, F.col("_metadata.file_path"))
+        return self._apply_delete_files(spark, df, paths, m)
 
     # -- reads -----------------------------------------------------------------
     def files_for(
@@ -1568,7 +1795,10 @@ class SnapshotStore:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*kept)
+        df = reader.parquet(*kept)
+        return self._apply_delete_files(
+            spark, df, kept, self.manifest(snapshot_id) or {}
+        )
 
     def changed_partitions(
         self,
@@ -1634,7 +1864,7 @@ class SnapshotStore:
         if not changed:
             return None, []
         files = [f for part in changed for f in m["files"][part]]
-        return spark.read.parquet(*files), changed
+        return self._scan_live(spark, files, m), changed
 
     def follow(
         self,
