@@ -269,6 +269,64 @@ def q_delete_rows(spark, sf_dir):
     )
 
 
+def q_mor_delete(spark, sf_dir):
+    """Merge-on-read row-level DELETE (`sources/snapshots.py`
+    `delete_where(mode="merge-on-read")`, the Iceberg v2 positional-delete
+    shape): commit events user-range-clustered, purge one user as a
+    metadata-only commit (tiny (file, row_index) delete parquet; data files
+    carried verbatim), then stack a SECOND MoR delete whose predicate
+    grazes most files — exactly the case where copy-on-write would rewrite
+    the world for a sliver of rows. The read applies both outstanding
+    delete files via a broadcast anti-join on parquet `_metadata`; the
+    oracle is the plain two-term complement WHERE, so equality proves the
+    stacked deletes dropped exactly the matching rows and nothing else.
+    Raises unless both commits were metadata-only (no data file rewritten)
+    and the delete payload stayed tiny relative to the table."""
+    import os
+    import tempfile
+
+    from streamchange_spark.sources import SnapshotStore
+
+    _configure(spark)
+    ev = _t(spark, sf_dir, "events")
+    store = SnapshotStore(tempfile.mkdtemp(prefix="spark_graft_mor_"))
+    s1 = store.commit_partitions(
+        {"ev/all": ev},
+        stat_cols=["user_id"],
+        cluster_by=["user_id"],
+        cluster_files=8,
+    )
+    files_before = store.manifest(s1)["files"]
+    _, r1 = store.delete_where(
+        spark,
+        "user_id = 7",
+        prefix="ev/",
+        ranges={"user_id": (7, 7)},
+        mode="merge-on-read",
+    )
+    _, r2 = store.delete_where(
+        spark, "event_id % 97 = 0", prefix="ev/", mode="merge-on-read"
+    )
+    m = store.manifest()
+    if m["files"] != files_before:
+        raise AssertionError("MoR delete rewrote data files (must be metadata-only)")
+    if r1["deleted_rows"] == 0 or r1["pruned_files"] < 5 or r2["touched_files"] < 2:
+        raise AssertionError(f"MoR delete planning regressed: {r1} {r2}")
+    table_bytes = sum(os.path.getsize(f) for pf in files_before.values() for f in pf)
+    del_bytes = r1["delete_bytes"] + r2["delete_bytes"]
+    if del_bytes * 10 > table_bytes:
+        raise AssertionError(
+            f"delete payload {del_bytes}B not small vs table {table_bytes}B"
+        )
+    return store.read(spark, prefix="ev/").select(
+        "event_id",
+        _epoch("ts").alias("ts_epoch"),
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
 def q_zorder_read(spark, sf_dir):
     """Z-order clustered commit + trailing-dimension pruned read
     (`sources/snapshots.py` `zorder_column` / `cluster_mode="zorder"`):
@@ -2163,10 +2221,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # detect.py's grouped-UDF closures were edited late in round 5 (opt-in
     # per-key standardization), so the shared standardize plumbing is
     # exercised in-window by freq_changepoints (the one in-UDF
-    # standardize=True row) plus window_segmentor, which runs the same
-    # grouped_apply/standardize plumbing. pelt_segments sits first
-    # past the window edge: the round-5 store rows (merge_upsert,
-    # delete_rows, zorder_read — never driver-checked) and real_time_1h
+    # standardize=True row); window_segmentor sits at the window edge and
+    # runs the same grouped_apply/standardize plumbing.
+    # pelt_segments sits past the window edge: the round-5 store rows
+    # (merge_upsert, delete_rows, mor_delete, zorder_read — snapshots.py
+    # changed again late in round 5 for merge-on-read deletes, so every
+    # store row must stay checked) and real_time_1h
     # (new this round) outrank it, and its
     # kernel exactness keeps three other evidence layers (ported-test
     # pytest, tools/reference_parity.py, and the bit-equal
@@ -2241,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         # round-5 store layer: copy-on-write row-level DELETE
         "delete_rows": q_delete_rows,
+        # round-5 store layer: merge-on-read positional-delete DELETE
+        "mor_delete": q_mor_delete,
         # round-5 store layer: z-order trailing-dimension pruned read
         "zorder_read": q_zorder_read,
         # round-5 store layer: bloom-pruned point lookup (hash layout)
@@ -3400,6 +3462,15 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
                    round(value, 4) AS value
             FROM events
             WHERE user_id <> 7
+        """,
+        "mor_delete": """
+            SELECT event_id,
+                   floor(epoch(ts))::BIGINT AS ts_epoch,
+                   user_id,
+                   event_type,
+                   round(value, 4) AS value
+            FROM events
+            WHERE user_id <> 7 AND event_id % 97 <> 0
         """,
         "merge_upsert": """
             WITH src AS (

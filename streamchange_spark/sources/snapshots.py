@@ -16,9 +16,14 @@ store with the same *semantics* over a directory layout a real
   expiry (``expire_snapshots``), grace-period orphan sweep
   (``remove_orphan_files``), composed nightly by ``maintain()``;
 - incremental consumption: changed-partitions-since-a-snapshot reads
-  (``read_incremental`` — appends and refreshes count, byte compactions
-  don't) and the polling change feed (``follow``);
-- additive schema evolution on read (``read(merge_schema=True)``).
+  (``read_incremental`` — appends, refreshes, and row-level deletes count,
+  byte compactions don't) and the polling change feed (``follow``);
+- additive schema evolution on read (``read(merge_schema=True)``);
+- row-level DML: copy-on-write ``merge_into`` / ``delete_where`` (touched
+  files only, stats-pruned probe) and merge-on-read
+  ``delete_where(mode="merge-on-read")`` — Iceberg-v2-style positional
+  delete files applied at read via a broadcast anti-join on parquet
+  ``_metadata`` and folded back into plain files by compaction.
 
     table_dir/
       data/<snapshot_id>/<partition>/...parquet   (immutable once committed)
@@ -1570,7 +1575,10 @@ class SnapshotStore:
             .where(cond)
             .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
         )
-        del_dir = os.path.join(self.table_dir, "data", snapshot_id, "__deletes__")
+        # NOT "__deletes__": Spark's file index silently filters
+        # underscore-prefixed path segments, so a reserved-looking name
+        # would make the read-back warn "All paths were ignored".
+        del_dir = os.path.join(self.table_dir, "data", snapshot_id, "deletes")
         t0 = time.time()
         hits.coalesce(1).write.mode("overwrite").parquet(del_dir)
         delete_paths = sorted(
@@ -1578,7 +1586,11 @@ class SnapshotStore:
             for f in os.listdir(del_dir)
             if f.endswith(".parquet")
         )
-        per_file = spark.read.parquet(del_dir).groupBy("file").count().collect()
+        per_file = (
+            spark.read.parquet(*delete_paths).groupBy("file").count().collect()
+            if delete_paths
+            else []
+        )
         if not per_file:
             shutil.rmtree(os.path.dirname(del_dir), ignore_errors=True)
             return None, report
