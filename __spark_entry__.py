@@ -269,6 +269,49 @@ def q_delete_rows(spark, sf_dir):
     )
 
 
+def q_update_rows(spark, sf_dir):
+    """Row-level UPDATE ... SET with copy-on-write rewrite
+    (`sources/snapshots.py` `update_where`, the third DML verb): commit
+    events user-range-clustered, then fix one user's rows in place —
+    assignments evaluated against the OLD row (`value` references itself)
+    and cast back to the column type. The oracle is the plain CASE WHEN
+    projection over the source table — equality proves exactly the
+    matching rows changed, by exactly the SET expressions, with
+    cardinality preserved. Raises unless the ranges hint pruned files and
+    only a minority were rewritten."""
+    import tempfile
+
+    from streamchange_spark.sources import SnapshotStore
+
+    _configure(spark)
+    ev = _t(spark, sf_dir, "events")
+    store = SnapshotStore(tempfile.mkdtemp(prefix="spark_graft_upd_"))
+    store.commit_partitions(
+        {"ev/all": ev},
+        stat_cols=["user_id"],
+        cluster_by=["user_id"],
+        cluster_files=8,
+    )
+    _, report = store.update_where(
+        spark,
+        "user_id = 7",
+        {"value": "value * 2 + 1", "event_type": F.lit("corrected")},
+        prefix="ev/",
+        ranges={"user_id": (7, 7)},
+    )
+    if report["updated_rows"] == 0 or report["pruned_files"] < 5:
+        raise AssertionError(f"update scan planning regressed: {report}")
+    if report["touched_files"] * 2 > report["candidate_files"] + report["pruned_files"]:
+        raise AssertionError(f"update rewrote too many files: {report}")
+    return store.read(spark, prefix="ev/").select(
+        "event_id",
+        _epoch("ts").alias("ts_epoch"),
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
 def q_mor_delete(spark, sf_dir):
     """Merge-on-read row-level DELETE (`sources/snapshots.py`
     `delete_where(mode="merge-on-read")`, the Iceberg v2 positional-delete
@@ -2224,10 +2267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # standardize=True row); window_segmentor sits at the window edge and
     # runs the same grouped_apply/standardize plumbing.
     # pelt_segments sits past the window edge: the round-5 store rows
-    # (merge_upsert, delete_rows, mor_delete, zorder_read — snapshots.py
-    # changed again late in round 5 for merge-on-read deletes, so every
-    # store row must stay checked) and real_time_1h
-    # (new this round) outrank it, and its
+    # (merge_upsert, delete_rows, mor_delete, update_rows, zorder_read —
+    # snapshots.py changed again late in round 5 for merge-on-read deletes
+    # and UPDATE ... SET, so every store row must stay checked) and
+    # real_time_1h (new this round) outrank it, and its
     # kernel exactness keeps three other evidence layers (ported-test
     # pytest, tools/reference_parity.py, and the bit-equal
     # pelt_segments_pruned twin pinned in pytest).
@@ -2264,7 +2307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
-        "multimodal_meta": q_multimodal_meta,
         # --- new round-5: incremental dedup against persisted state ---
         "dedup_incremental": q_dedup_incremental,
         # --- new round-5: line-level corpus dedup (C4 boilerplate step) ---
@@ -2303,6 +2345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_rows": q_delete_rows,
         # round-5 store layer: merge-on-read positional-delete DELETE
         "mor_delete": q_mor_delete,
+        # round-5 store layer: copy-on-write row-level UPDATE ... SET
+        "update_rows": q_update_rows,
         # round-5 store layer: z-order trailing-dimension pruned read
         "zorder_read": q_zorder_read,
         # round-5 store layer: bloom-pruned point lookup (hash layout)
@@ -2324,7 +2368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity.py and qsketch.py changed this round — every query on
         # those files stays inside the checked window:
         "sketch_percentiles_1d": q_sketch_percentiles_1d,
-        "ann_topk_ivf": q_ann_topk_ivf,
         # --- detect.py changed this round (standardize flag): every query
         # executing an edited grouped-UDF closure stays in the window ---
         # freq_changepoints is the ONLY driver row exercising the in-UDF
@@ -2333,6 +2376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # it shares with ann_topk_gemm stays covered by the gemm row.
         "freq_changepoints": q_freq_changepoints,
         "window_segmentor": q_window_segmentor,
+        # evicted to the window edge for the two new DML rows: r4/r3
+        # hash-exact, and their round-5 file edits are exercised in-window
+        # (multimodal's mixed-size fallback is pytest-covered and not on the
+        # meta path; similarity's cache-release fix rides ann_lsh)
+        "multimodal_meta": q_multimodal_meta,
+        "ann_topk_ivf": q_ann_topk_ivf,
         # gemm shares ann_topk's oracle and, with the indexed-IVF variant
         # (partition-pruned serving plan-asserted in pytest; base IVF row
         # in-window), yields the edge slots so the detector rows above —
@@ -3471,6 +3520,16 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
                    round(value, 4) AS value
             FROM events
             WHERE user_id <> 7 AND event_id % 97 <> 0
+        """,
+        "update_rows": """
+            SELECT event_id,
+                   floor(epoch(ts))::BIGINT AS ts_epoch,
+                   user_id,
+                   CASE WHEN user_id = 7 THEN 'corrected'
+                        ELSE event_type END AS event_type,
+                   round(CASE WHEN user_id = 7 THEN value * 2 + 1
+                              ELSE value END, 4) AS value
+            FROM events
         """,
         "merge_upsert": """
             WITH src AS (

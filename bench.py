@@ -77,7 +77,10 @@ HEADLINE = [
     "pruned_tier_read",
     "merge_upsert",
     "delete_rows",
+    "mor_delete",
+    "update_rows",
     "zorder_read",
+    "bloom_read",
 ]
 
 

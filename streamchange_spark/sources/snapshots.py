@@ -19,11 +19,11 @@ store with the same *semantics* over a directory layout a real
   (``read_incremental`` — appends, refreshes, and row-level deletes count,
   byte compactions don't) and the polling change feed (``follow``);
 - additive schema evolution on read (``read(merge_schema=True)``);
-- row-level DML: copy-on-write ``merge_into`` / ``delete_where`` (touched
-  files only, stats-pruned probe) and merge-on-read
-  ``delete_where(mode="merge-on-read")`` — Iceberg-v2-style positional
-  delete files applied at read via a broadcast anti-join on parquet
-  ``_metadata`` and folded back into plain files by compaction.
+- row-level DML: copy-on-write ``merge_into`` / ``delete_where`` /
+  ``update_where`` (touched files only, stats-pruned probe) and
+  merge-on-read ``delete_where(mode="merge-on-read")`` — Iceberg-v2-style
+  positional delete files applied at read via a broadcast anti-join on
+  parquet ``_metadata`` and folded back into plain files by compaction.
 
     table_dir/
       data/<snapshot_id>/<partition>/...parquet   (immutable once committed)
@@ -1393,6 +1393,165 @@ class SnapshotStore:
                 "delete_condition": str(condition),
                 "deleted_partitions": sorted(touched_by_part),
                 "dropped_partitions": dropped_parts,
+            },
+            "files": files,
+            "metrics": metrics,
+            "file_stats": {f: s for f, s in file_stats.items() if f in live},
+        }
+        self._commit_manifest(manifest)
+        return snapshot_id, report
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        set: dict,
+        prefix: str | None = None,
+        ranges: dict[str, tuple] | None = None,
+        properties: dict | None = None,
+    ) -> tuple[str | None, dict]:
+        """Row-level ``UPDATE t SET col = expr, ... WHERE ...`` with
+        copy-on-write rewrite — the third DML verb next to
+        :meth:`merge_into` and :meth:`delete_where`, for in-place fixes
+        that have no natural source table (backfilling a parsed field,
+        correcting a mislabeled language, clamping a bad sensor range).
+        ``set`` maps column name → Column or SQL expression string; every
+        assignment is evaluated against the OLD row (standard SQL UPDATE:
+        ``SET a = b, b = a`` swaps), cast back to the column's existing
+        type so the table schema never drifts, and applied only where
+        ``condition`` is TRUE (NULL-predicate rows keep their values).
+
+        Scale shape is :meth:`delete_where`'s: ``ranges`` prunes candidate
+        files from the manifest stats, one live probe scan finds the files
+        with a hit, only those are rewritten (ONE dynamic-partition Spark
+        job), everything else is carried by reference and keeps its
+        positional-delete entries. Updating a cluster-key column leaves the
+        rewritten files' NEW stats correct but no longer key-disjoint with
+        their neighbors — re-cluster via :meth:`compact_partitions` if
+        range pruning on that key matters. Returns
+        ``(snapshot_id | None, report)`` — ``None`` when no row matched."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        parent = self.head()
+        m = self.manifest(parent)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.table_dir}")
+        if not set:
+            raise ValueError("update_where needs at least one SET assignment")
+        assignments = {
+            c: (F.expr(v) if isinstance(v, str) else v) for c, v in set.items()
+        }
+        all_files = self.files_for(parent, prefix)
+        cand = self.files_for(parent, prefix, ranges)
+        abs_to_manifest = {
+            os.path.abspath(f): (f, p)
+            for p, pf in m["files"].items()
+            for f in pf
+        }
+        report = {
+            "updated_rows": 0,
+            "touched_files": 0,
+            "candidate_files": len(cand),
+            "pruned_files": len(all_files) - len(cand),
+        }
+        if not cand:
+            return None, report
+        touched_by_part: dict[str, set] = {}
+        for r in (
+            self._scan_live(spark, cand, m, file_col="__file")
+            .where(cond)
+            .groupBy("__file")
+            .count()
+            .collect()
+        ):
+            path = unquote(urlparse(r["__file"]).path) or r["__file"]
+            hit = abs_to_manifest.get(os.path.abspath(path))
+            if hit is None:
+                raise RuntimeError(f"probe saw unmanifested file {path}")
+            manifest_path, part = hit
+            # {literal} instead of set(): the SET-clause parameter shadows
+            # the builtin in this scope
+            touched_by_part.setdefault(part, {manifest_path}).add(manifest_path)
+            report["updated_rows"] += r["count"]
+            report["touched_files"] += 1
+        if not touched_by_part:
+            return None, report
+
+        snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        files = dict(m["files"])
+        metrics = dict(m.get("metrics", {}))
+        file_stats = dict(m.get("file_stats", {}))
+        union_df = None
+        plan: list[tuple[str, list[str]]] = []
+        matched = F.coalesce(cond, F.lit(False))
+        for part_key, touched in sorted(touched_by_part.items()):
+            touched = sorted(touched)
+            cur = self._scan_live(spark, touched, m)
+            types = dict(cur.dtypes)
+            # NB: the parameter named ``set`` shadows the builtin in here
+            unknown = [c for c in assignments if c not in types]
+            if unknown:
+                raise ValueError(f"SET references unknown columns {sorted(unknown)}")
+            rewritten = cur.select(
+                *[
+                    (
+                        F.when(matched, assignments[c].cast(types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in assignments
+                        else F.col(c)
+                    )
+                    for c in cur.columns
+                ]
+            ).withColumn("__cowpart", F.lit(part_key))
+            union_df = (
+                rewritten if union_df is None else union_df.unionByName(rewritten)
+            )
+            plan.append((part_key, touched))
+        cow_dir = os.path.join(self.table_dir, "data", snapshot_id, "__cow__")
+        t0 = time.time()
+        n_out = max(1, sum(len(t) for _, t in plan))
+        with _stats_friendly_writes(spark):
+            union_df.coalesce(n_out).write.partitionBy("__cowpart").mode(
+                "overwrite"
+            ).parquet(cow_dir)
+        sub_by_part = {
+            unquote(d.split("=", 1)[1]): os.path.join(cow_dir, d)
+            for d in os.listdir(cow_dir)
+            if d.startswith("__cowpart=")
+        }
+        for part_key, touched in plan:
+            touched_set = frozenset(touched)
+            kept_files = [f for f in files[part_key] if f not in touched_set]
+            stat_cols = {c for f in touched for c in file_stats.get(f, {})}
+            for f in touched:
+                file_stats.pop(f, None)
+            self._register_part_files(
+                files,
+                metrics,
+                file_stats,
+                snapshot_id,
+                part_key,
+                kept_files,
+                sub_by_part[part_key],
+                stat_cols,
+                t0,
+                {"updated_from_files": len(touched)},
+            )
+        live = {f for pf in files.values() for f in pf}
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent": parent,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "watermark": m.get("watermark"),
+            "properties": {
+                **(properties or {}),
+                "update_condition": str(condition),
+                "update_set": {c: str(v) for c, v in set.items()},
+                "updated_partitions": sorted(touched_by_part),
             },
             "files": files,
             "metrics": metrics,

@@ -732,6 +732,29 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         out["dml_delete_sec"] = round(time.time() - t0, 2)
         out["dml_delete_rows"] = drep["deleted_rows"]
         out["dml_delete_pruned_files"] = drep["pruned_files"]
+
+        # Same purge as a merge-on-read positional delete (second victim
+        # url — the first is gone): the commit writes O(deleted rows)
+        # bytes instead of rewriting the touched file, which is the only
+        # viable delete shape when a compliance sweep grazes thousands of
+        # 100 TB-table files. Report payload bytes so the O(rows)-not-
+        # O(file) claim is a measured number.
+        victim2 = (
+            metrics.where(F.col("url") > F.lit(victim))
+            .agg(F.min("url"))
+            .collect()[0][0]
+        )
+        t0 = time.time()
+        _, mrep = store.delete_where(
+            spark,
+            F.col("url") == F.lit(victim2),
+            prefix="raw/",
+            ranges={"url": (victim2, victim2)},
+            mode="merge-on-read",
+        )
+        out["dml_mor_delete_sec"] = round(time.time() - t0, 2)
+        out["dml_mor_delete_rows"] = mrep["deleted_rows"]
+        out["dml_mor_delete_bytes"] = mrep["delete_bytes"]
         for p in (store_path, scratch, part_path, src_path):
             shutil.rmtree(p, ignore_errors=True)
 
