@@ -312,6 +312,65 @@ def q_update_rows(spark, sf_dir):
     )
 
 
+def q_eq_delete(spark, sf_dir):
+    """Equality DELETE (`sources/snapshots.py` `delete_keys`, the Iceberg
+    v2 equality-delete-file shape): tombstone one user with NO probe scan
+    (the commit writes only the key set), tombstone a composite
+    (user_id, event_type) key, then RE-INSERT the purged user's rows as a
+    later commit — sequence semantics mean the tombstone kills only rows
+    from files strictly older than it, so the re-inserted rows survive
+    (the CDC delete+insert ordering). The oracle replays all three steps
+    relationally: complement WHERE for the tombstones UNION ALL the
+    re-inserted slice. Raises unless every tombstone commit carried the
+    data files verbatim."""
+    import tempfile
+
+    from streamchange_spark.sources import SnapshotStore
+
+    _configure(spark)
+    ev = _t(spark, sf_dir, "events")
+    store = SnapshotStore(tempfile.mkdtemp(prefix="spark_graft_eq_"))
+    s1 = store.commit_partitions(
+        {"ev/all": ev},
+        stat_cols=["user_id"],
+        cluster_by=["user_id"],
+        cluster_files=8,
+    )
+    files_before = store.manifest(s1)["files"]
+    _, r1 = store.delete_keys(
+        spark, spark.createDataFrame([(5,)], "user_id bigint"), prefix="ev/"
+    )
+    min_et = (
+        ev.where("user_id = 3").agg(F.min("event_type")).collect()[0][0]
+    )
+    _, r2 = store.delete_keys(
+        spark,
+        spark.createDataFrame([(3, min_et)], "user_id bigint, event_type string"),
+        prefix="ev/",
+    )
+    offset = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    reinserted = ev.where("user_id = 5").select(
+        (F.col("event_id") + F.lit(offset)).alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("reinserted").alias("event_type"),
+        "value",
+        "props",
+    )
+    s4 = store.commit_partitions({"ev/re": reinserted})
+    if store.manifest(s4)["files"]["ev/all"] != files_before["ev/all"]:
+        raise AssertionError("equality delete rewrote data files")
+    if r1["n_keys"] != 1 or r2["n_keys"] != 1:
+        raise AssertionError(f"tombstone bookkeeping regressed: {r1} {r2}")
+    return store.read(spark, prefix="ev/").select(
+        "event_id",
+        _epoch("ts").alias("ts_epoch"),
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
 def q_mor_delete(spark, sf_dir):
     """Merge-on-read row-level DELETE (`sources/snapshots.py`
     `delete_where(mode="merge-on-read")`, the Iceberg v2 positional-delete
@@ -2267,9 +2326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # standardize=True row); window_segmentor sits at the window edge and
     # runs the same grouped_apply/standardize plumbing.
     # pelt_segments sits past the window edge: the round-5 store rows
-    # (merge_upsert, delete_rows, mor_delete, update_rows, zorder_read —
-    # snapshots.py changed again late in round 5 for merge-on-read deletes
-    # and UPDATE ... SET, so every store row must stay checked) and
+    # (merge_upsert, delete_rows, mor_delete, update_rows, eq_delete,
+    # zorder_read — snapshots.py changed again late in round 5 for
+    # merge-on-read deletes, UPDATE ... SET, and equality tombstones, so
+    # every store row must stay checked) and
     # real_time_1h (new this round) outrank it, and its
     # kernel exactness keeps three other evidence layers (ported-test
     # pytest, tools/reference_parity.py, and the bit-equal
@@ -2347,6 +2407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_delete": q_mor_delete,
         # round-5 store layer: copy-on-write row-level UPDATE ... SET
         "update_rows": q_update_rows,
+        # round-5 store layer: equality tombstones + CDC re-insert epochs
+        "eq_delete": q_eq_delete,
         # round-5 store layer: z-order trailing-dimension pruned read
         "zorder_read": q_zorder_read,
         # round-5 store layer: bloom-pruned point lookup (hash layout)
@@ -3530,6 +3592,25 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
                    round(CASE WHEN user_id = 7 THEN value * 2 + 1
                               ELSE value END, 4) AS value
             FROM events
+        """,
+        "eq_delete": """
+            SELECT event_id,
+                   floor(epoch(ts))::BIGINT AS ts_epoch,
+                   user_id,
+                   event_type,
+                   round(value, 4) AS value
+            FROM events
+            WHERE user_id <> 5
+              AND NOT (user_id = 3 AND event_type =
+                       (SELECT min(event_type) FROM events WHERE user_id = 3))
+            UNION ALL
+            SELECT event_id + (SELECT max(event_id) + 1 FROM events),
+                   floor(epoch(ts))::BIGINT,
+                   user_id,
+                   'reinserted',
+                   round(value, 4)
+            FROM events
+            WHERE user_id = 5
         """,
         "merge_upsert": """
             WITH src AS (

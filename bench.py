@@ -79,6 +79,7 @@ HEADLINE = [
     "delete_rows",
     "mor_delete",
     "update_rows",
+    "eq_delete",
     "zorder_read",
     "bloom_read",
 ]

@@ -20,10 +20,12 @@ store with the same *semantics* over a directory layout a real
   byte compactions don't) and the polling change feed (``follow``);
 - additive schema evolution on read (``read(merge_schema=True)``);
 - row-level DML: copy-on-write ``merge_into`` / ``delete_where`` /
-  ``update_where`` (touched files only, stats-pruned probe) and
+  ``update_where`` (touched files only, stats-pruned probe),
   merge-on-read ``delete_where(mode="merge-on-read")`` — Iceberg-v2-style
   positional delete files applied at read via a broadcast anti-join on
-  parquet ``_metadata`` and folded back into plain files by compaction.
+  parquet ``_metadata`` and folded back into plain files by compaction —
+  and probe-free equality tombstones ``delete_keys`` with sequence-epoch
+  semantics (a key re-inserted after its tombstone is alive again).
 
     table_dir/
       data/<snapshot_id>/<partition>/...parquet   (immutable once committed)
@@ -357,12 +359,14 @@ def zorder_column(df: DataFrame, cols, bits_per_col: int | None = None):
 
 
 def _manifest_all_paths(m: dict) -> set[str]:
-    """Every file a manifest pins as live: data files AND the positional
-    delete files attached to them — both must survive orphan sweeps and
-    snapshot expiry while this manifest exists."""
+    """Every file a manifest pins as live: data files AND the positional /
+    equality delete files attached to them — all must survive orphan sweeps
+    and snapshot expiry while this manifest exists."""
     paths = {f for pf in m.get("files", {}).values() for f in pf}
     for dels in m.get("delete_files", {}).values():
         paths.update(dels)
+    for e in m.get("eq_delete_files", []):
+        paths.update(e.get("paths", []))
     return paths
 
 
@@ -398,6 +402,9 @@ class SnapshotStore:
                 f"HEAD moved from {manifest['parent']!r} to {current!r} while "
                 f"building snapshot {manifest['snapshot_id']!r}; re-read and retry"
             )
+        parent_m = (
+            self.manifest(manifest["parent"]) if manifest["parent"] else None
+        )
         if "delete_files" not in manifest:
             # Merge-on-read positional deletes follow the data files they
             # cover: carried files keep their entries, rewritten/dropped
@@ -406,14 +413,35 @@ class SnapshotStore:
             # rewrite itself purges the entries). Centralized here so every
             # writer — append, compact, merge, CoW delete, recluster —
             # inherits the contract without repeating it.
-            carried = self._live_delete_files(
-                self.manifest(manifest["parent"]) if manifest["parent"] else None,
-                manifest["files"],
-            )
+            carried = self._live_delete_files(parent_m, manifest["files"])
             if carried:
                 manifest["delete_files"] = carried
         elif not manifest["delete_files"]:
             del manifest["delete_files"]
+        # Sequence numbers (the Iceberg data-sequence-number analogue):
+        # every commit increments the table sequence, every data file is
+        # stamped with the sequence it was born in, and equality deletes
+        # apply only to rows from files STRICTLY OLDER than the delete —
+        # a key re-inserted after its tombstone is alive again (the CDC
+        # upsert contract). Centralized so every writer inherits it.
+        seq = (parent_m or {}).get("seq", 0) + 1
+        manifest["seq"] = seq
+        prev_seq = (parent_m or {}).get("file_seq", {})
+        manifest["file_seq"] = {
+            f: prev_seq.get(f, seq)
+            for pf in manifest["files"].values()
+            for f in pf
+        }
+        if "eq_delete_files" not in manifest:
+            kept = self._live_eq_deletes(
+                (parent_m or {}).get("eq_delete_files", []),
+                manifest["files"],
+                manifest["file_seq"],
+            )
+            if kept:
+                manifest["eq_delete_files"] = kept
+        elif not manifest["eq_delete_files"]:
+            del manifest["eq_delete_files"]
         _atomic_write(
             self._manifest_path(manifest["snapshot_id"]),
             json.dumps(manifest, indent=1),
@@ -752,14 +780,27 @@ class SnapshotStore:
         m = self.manifest(parent)
         if m is None:
             raise FileNotFoundError(f"no snapshot in {self.table_dir}")
-        # Partitions carrying merge-on-read positional deletes are always
-        # rewritten (even when already bin-packed): compaction is the purge
-        # step that folds outstanding deletes back into plain data files so
-        # the read-side anti-join stays bounded.
+        # Partitions carrying merge-on-read positional deletes or covered
+        # by equality tombstones are always rewritten (even when already
+        # bin-packed): compaction is the purge step that folds outstanding
+        # deletes back into plain data files so the read-side anti-joins
+        # stay bounded.
         dmap = m.get("delete_files", {})
+        eq_entries = m.get("eq_delete_files", [])
+        fseq = m.get("file_seq", {})
         parts_with_deletes = {
             p for p, pf in m["files"].items() if any(f in dmap for f in pf)
         }
+        for p, pf in m["files"].items():
+            if p in parts_with_deletes:
+                continue
+            for e in eq_entries:
+                pfx = e.get("prefix")
+                if pfx is not None and not p.startswith(pfx):
+                    continue
+                if any(fseq.get(f, 0) < e["seq"] for f in pf):
+                    parts_with_deletes.add(p)
+                    break
         todo: dict[str, int] = {}
         for part_key, part_files in m["files"].items():
             if predicate is not None and not predicate(part_key):
@@ -1724,13 +1765,8 @@ class SnapshotStore:
         from pyspark.sql import functions as F
 
         snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
-        probe = (
-            spark.read.parquet(*cand)
-            .withColumn("__file", F.col("_metadata.file_path"))
-            .withColumn("__pos", F.col("_metadata.row_index"))
-        )
         hits = (
-            self._apply_delete_files(spark, probe, cand, m)
+            self._scan_live(spark, cand, m, file_col="__file", pos_col="__pos")
             .where(cond)
             .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
         )
@@ -1799,6 +1835,93 @@ class SnapshotStore:
         self._commit_manifest(manifest)
         return snapshot_id, report
 
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        prefix: str | None = None,
+        properties: dict | None = None,
+    ) -> tuple[str | None, dict]:
+        """Equality DELETE (the Iceberg v2 equality-delete-file shape): drop
+        every row whose key columns match a row of ``keys`` — WITHOUT any
+        probe scan of the table. The commit writes only the deduplicated
+        key set as a tombstone parquet and is O(keys): the right verb for
+        CDC tombstones and purge lists arriving faster than a probe could
+        run (a positional delete must first FIND the rows; an equality
+        delete just declares the keys dead). ``keys``' column names select
+        the key columns; NULL key values match NULL row values (null-safe
+        equality, the Iceberg convention).
+
+        Sequence semantics: the tombstone applies only to rows from data
+        files with a strictly older sequence number, so a key re-inserted
+        by a LATER commit is alive again — exactly the delete+insert
+        ordering a CDC upsert stream needs. Reads anti-join the broadcast
+        key set per sequence epoch (:meth:`_scan_live`);
+        :meth:`compact_partitions` folds tombstones into plain files and
+        sheds the entry once no older file survives. ``prefix`` scopes the
+        tombstone to a partition family (and marks those partitions
+        changed for incremental consumers — an equality delete cannot know
+        which partitions actually held matches without the probe it
+        exists to avoid, so consumers conservatively reprocess the
+        family). Returns ``(snapshot_id | None, report)``."""
+        parent = self.head()
+        m = self.manifest(parent)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.table_dir}")
+        key_cols = list(keys.columns)
+        if not key_cols:
+            raise ValueError("delete_keys needs at least one key column")
+        snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        eq_dir = os.path.join(self.table_dir, "data", snapshot_id, "eq_deletes")
+        t0 = time.time()
+        keys.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(eq_dir)
+        paths = sorted(
+            os.path.join(eq_dir, f)
+            for f in os.listdir(eq_dir)
+            if f.endswith(".parquet")
+        )
+        n_keys = sum(_rows_per_file(paths).values()) if paths else 0
+        report = {
+            "n_keys": n_keys,
+            "eq_delete_bytes": sum(os.path.getsize(p) for p in paths),
+            "write_seconds": round(time.time() - t0, 3),
+        }
+        if n_keys == 0:
+            shutil.rmtree(os.path.dirname(eq_dir), ignore_errors=True)
+            return None, report
+        seq = m.get("seq", 0) + 1  # matches _commit_manifest's assignment
+        entry = {"paths": paths, "cols": key_cols, "seq": seq, "prefix": prefix}
+        kept = self._live_eq_deletes(
+            m.get("eq_delete_files", []), m["files"], m.get("file_seq", {})
+        )
+        marked = [
+            p for p in m["files"] if prefix is None or p.startswith(prefix)
+        ]
+        metrics = dict(m.get("metrics", {}))
+        for p in marked:
+            bumped = {**metrics.get(p, {}), "snapshot_id": snapshot_id}
+            bumped.pop("data_snapshot_id", None)
+            metrics[p] = bumped
+        report["partitions_marked"] = len(marked)
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent": parent,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "watermark": m.get("watermark"),
+            "properties": {
+                **(properties or {}),
+                "delete_mode": "equality",
+                "delete_key_cols": key_cols,
+                "delete_prefix": prefix,
+            },
+            "files": dict(m["files"]),
+            "metrics": metrics,
+            "file_stats": dict(m.get("file_stats", {})),
+            "eq_delete_files": kept + [entry],
+        }
+        self._commit_manifest(manifest)
+        return snapshot_id, report
+
     @staticmethod
     def _live_delete_files(m: dict | None, files: dict) -> dict:
         """The parent's positional-delete map restricted to data files still
@@ -1846,24 +1969,115 @@ class SnapshotStore:
         )
         return survivors.drop("__row_file", "__row_pos")
 
-    def _scan_live(
-        self, spark: SparkSession, paths, m: dict, file_col: str | None = None
+    @staticmethod
+    def _live_eq_deletes(entries: list, files: dict, file_seq: dict) -> list:
+        """Parent equality-delete entries still needed by the child
+        manifest: an entry can be dropped once every live file it could
+        apply to (strictly older sequence, under the entry's partition
+        prefix) has been rewritten or removed — the rewrites scanned live,
+        so the tombstoned rows are physically gone."""
+        kept = []
+        for e in entries:
+            pfx = e.get("prefix")
+            for part, pf in files.items():
+                if pfx is not None and not part.startswith(pfx):
+                    continue
+                if any(file_seq.get(f, 0) < e["seq"] for f in pf):
+                    kept.append(e)
+                    break
+        return kept
+
+    def _apply_eq_deletes(
+        self, spark: SparkSession, df: DataFrame, entry: dict
     ) -> DataFrame:
-        """Scan manifest data files with outstanding position deletes
-        applied — what every internal reader (probe scans, rewrites,
-        incremental reads) must use instead of a raw ``spark.read.parquet``
-        so merge-on-read deletes are invisible everywhere. Select the
-        needed columns AFTER (Catalyst prunes them through the anti-join;
-        projecting first would drop the virtual ``_metadata`` column the
-        join keys on). ``file_col`` materializes each row's source-file URI
-        (``_metadata.file_path``) — the probe scans' replacement for
-        ``input_file_name()``, which does not survive the anti-join."""
+        """Anti-join one equality-delete entry's key set against a scan.
+        Null-safe equality per key column (the Iceberg equality-delete
+        convention: NULL is a value, so a NULL-keyed tombstone kills
+        NULL-keyed rows). The key set rides a broadcast — equality deletes
+        are tombstone-sized by construction (a CDC batch, a purge list),
+        and compaction folds them into plain files before they grow."""
+        import functools
+
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(*paths)
-        if file_col is not None:
-            df = df.withColumn(file_col, F.col("_metadata.file_path"))
-        return self._apply_delete_files(spark, df, paths, m)
+        keys = spark.read.parquet(*entry["paths"]).dropDuplicates()
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [df[c].eqNullSafe(keys[c]) for c in entry["cols"]],
+        )
+        return df.join(F.broadcast(keys), cond, "left_anti")
+
+    def _scan_live(
+        self,
+        spark: SparkSession,
+        paths,
+        m: dict,
+        file_col: str | None = None,
+        pos_col: str | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Scan manifest data files with every outstanding delete applied —
+        positional (merge-on-read DELETE) and equality (tombstones) — what
+        every reader, internal or external, must use instead of a raw
+        ``spark.read.parquet`` so row-level deletes are invisible
+        everywhere. Select the needed columns AFTER (Catalyst prunes them
+        through the anti-joins; projecting first would drop the virtual
+        ``_metadata`` column the positional join keys on). ``file_col`` /
+        ``pos_col`` materialize each row's source-file URI and row index —
+        the probe scans' replacement for ``input_file_name()``, which does
+        not survive the anti-join.
+
+        Equality deletes respect sequence epochs: the scanned paths are
+        grouped by WHICH tombstone entries postdate their birth sequence
+        (at most #entries+1 groups, each one scan + broadcast anti-joins,
+        unioned) so a key re-inserted after its tombstone survives. No
+        per-row file-path lookup table is ever built — epoch membership is
+        decided at plan time from the manifest."""
+        from pyspark.sql import functions as F
+
+        paths = list(paths)
+
+        def build(group_paths):
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*group_paths)
+            if file_col is not None:
+                df = df.withColumn(file_col, F.col("_metadata.file_path"))
+            if pos_col is not None:
+                df = df.withColumn(pos_col, F.col("_metadata.row_index"))
+            return self._apply_delete_files(spark, df, group_paths, m)
+
+        entries = m.get("eq_delete_files", [])
+        if not entries:
+            return build(paths)
+        part_of = {
+            f: part for part, pf in m.get("files", {}).items() for f in pf
+        }
+        fseq = m.get("file_seq", {})
+        groups: dict[tuple, list] = {}
+        for p in paths:
+            s = fseq.get(p, 0)
+            part = part_of.get(p, "")
+            applicable = tuple(
+                i
+                for i, e in enumerate(entries)
+                if s < e["seq"]
+                and (e.get("prefix") is None or part.startswith(e["prefix"]))
+            )
+            groups.setdefault(applicable, []).append(p)
+        out = None
+        for applicable in sorted(groups):
+            df = build(groups[applicable])
+            for i in applicable:
+                df = self._apply_eq_deletes(spark, df, entries[i])
+            out = (
+                df
+                if out is None
+                # an epoch group may lack columns newer files added
+                else out.unionByName(df, allowMissingColumns=merge_schema)
+            )
+        return out
 
     # -- reads -----------------------------------------------------------------
     def files_for(
@@ -1963,12 +2177,11 @@ class SnapshotStore:
                 f"every data file pruned for prefix={prefix!r} "
                 f"ranges={ranges!r} eq={eq!r}"
             )
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*kept)
-        return self._apply_delete_files(
-            spark, df, kept, self.manifest(snapshot_id) or {}
+        return self._scan_live(
+            spark,
+            kept,
+            self.manifest(snapshot_id) or {},
+            merge_schema=merge_schema,
         )
 
     def changed_partitions(
