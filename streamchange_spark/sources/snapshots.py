@@ -1183,8 +1183,21 @@ class SnapshotStore:
 
         if when_not_matched == "insert":
             existing = files.get(insert_partition, [])
-            if existing:
-                tgt_cols = spark.read.parquet(existing[0]).columns
+            # Align inserts to the table's schema: the insert partition's
+            # own files if it exists, else any file under the MERGE prefix
+            # (one table, one schema — source-only columns like a CDC
+            # version/op column must not leak into the store), else (truly
+            # empty table) the source verbatim.
+            schema_file = existing[0] if existing else next(
+                (
+                    pf[0]
+                    for part, pf in sorted(files.items())
+                    if pf and (prefix is None or part.startswith(prefix))
+                ),
+                None,
+            )
+            if schema_file is not None:
+                tgt_cols = spark.read.parquet(schema_file).columns
                 missing = set(tgt_cols) - set(source.columns)
                 if missing:
                     raise ValueError(

@@ -41,6 +41,8 @@ def run_streaming_upsert(
     prefix: str | None = None,
     insert_partition: str = "raw/inserts",
     latest_by: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "delete",
     max_files_per_trigger: int | None = None,
     timeout_sec: int = 600,
 ) -> None:
@@ -49,7 +51,22 @@ def run_streaming_upsert(
     the stream checkpoint skips finished files, and a replayed batch
     re-merges idempotently (see module docstring). Each micro-batch commits
     ONE store snapshot, so the store's lineage/metrics tables double as the
-    stream's progress log and ``rollback`` undoes a bad batch."""
+    stream's progress log and ``rollback`` undoes a bad batch.
+
+    ``op_col`` turns the feed into full CDC: rows whose ``op_col`` equals
+    ``delete_op`` become an equality tombstone
+    (:meth:`SnapshotStore.delete_keys` — probe-free, O(keys) per batch)
+    committed BEFORE the batch's merge, every other row upserts with the
+    op column stripped. ``latest_by`` resolves per-key op races WITHIN a
+    batch first (a delete and a re-insert of the same key in one batch
+    keep only the newest op), and the store's sequence epochs order them
+    ACROSS commits: the merge's files postdate the tombstone, so a key
+    re-inserted by a later batch is alive while older rows stay dead.
+    Replay safety: foreachBatch only ever replays the newest uncommitted
+    batch, so a replayed tombstone re-kills rows that are already dead
+    and a replayed merge rewrites to the same values — state converges.
+    Tombstone entries accumulate one per deleting batch; the nightly
+    ``maintain()`` compaction folds them into plain files."""
     key_cols = list(key_cols)
     store = SnapshotStore(store_dir)
     reader = spark.readStream.schema(schema)
@@ -66,8 +83,22 @@ def run_streaming_upsert(
                 .where(F.col("__rn") == 1)
                 .drop("__rn")
             )
+        sess = batch_df.sparkSession
+        if op_col is not None:
+            dels = src.where(F.col(op_col) == delete_op).select(*key_cols)
+            src = src.where(
+                F.col(op_col).isNull() | (F.col(op_col) != delete_op)
+            ).drop(op_col)
+            # Tombstone first: the merge's data files then postdate it
+            # (sequence epochs), so this batch's own upserts survive.
+            store.delete_keys(
+                sess, dels, prefix=prefix,
+                properties={"stream_batch_id": batch_id},
+            )
+        if not src.take(1):
+            return
         store.merge_into(
-            batch_df.sparkSession,
+            sess,
             src,
             key_cols,
             prefix=prefix,

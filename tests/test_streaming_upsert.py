@@ -118,3 +118,62 @@ def test_streaming_upsert_latest_by_resolves_in_batch_dups(spark, tmp_path):
     got = {r["id"]: (r["v"], r["tag"]) for r in store.read(spark, prefix="raw/").collect()}
     assert got[7] == (200, "late")
     assert got[8] == (300, "only")
+
+
+def test_streaming_cdc_deletes_and_reinserts(spark, tmp_path):
+    """op_col turns the feed into full CDC: tombstones first, then the
+    merge — within a batch latest_by picks each key's newest op, across
+    batches sequence epochs keep re-inserts alive and older rows dead."""
+    store = _seed(spark, tmp_path)
+    schema = "id long, v long, tag string, op string, ver long"
+    feed = tmp_path / "cdc_feed"
+    feed.mkdir()
+
+    def ship(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(feed / name))
+
+    def run():
+        run_streaming_upsert(
+            spark,
+            str(feed) + "/*",
+            store.table_dir,
+            str(tmp_path / "cdc_ckpt"),
+            schema,
+            ["id"],
+            prefix="raw/",
+            insert_partition="raw/inserts",
+            latest_by="ver",
+            op_col="op",
+        )
+
+    # batch 1: plain deletes, an update, and two in-batch op races —
+    # id 30 delete(ver1)+upsert(ver2) -> upsert wins; id 40 the reverse
+    ship("b1", (
+        [(i, 0, None, "delete", 1) for i in (0, 1, 2, 3, 4, 20)]
+        + [(10, 111, "cdc", "upsert", 1)]
+        + [(30, 0, None, "delete", 1), (30, 333, "cdc", "upsert", 2)]
+        + [(40, 444, "cdc", "upsert", 1), (40, 0, None, "delete", 2)]
+    ))
+    run()
+    got = {r["id"]: r["v"] for r in store.read(spark, prefix="raw/").collect()}
+    assert len(got) == 293  # 300 - 7 tombstoned (0..4, 20, 40)
+    for dead in (0, 1, 2, 3, 4, 20, 40):
+        assert dead not in got
+    assert got[10] == 111 and got[30] == 333
+
+    # batch 2: CDC re-insert of a tombstoned key + a fresh delete — the
+    # re-insert postdates batch 1's tombstone, so it must survive
+    ship("b2", [(0, 999, "re", "upsert", 1), (10, 0, None, "delete", 1)])
+    run()
+    got = {r["id"]: r["v"] for r in store.read(spark, prefix="raw/").collect()}
+    assert got[0] == 999 and 10 not in got
+    assert len(got) == 293  # -1 (id 10) +1 (id 0 re-inserted)
+
+    # nightly maintenance folds the tombstones into plain files
+    store.maintain(spark, keep_last=1, orphan_grace_seconds=0)
+    m = store.manifest()
+    assert "eq_delete_files" not in m
+    after = {r["id"]: r["v"] for r in store.read(spark, prefix="raw/").collect()}
+    assert after == got
