@@ -2332,12 +2332,18 @@ class SnapshotStore:
                     "stage": (m.get("properties") or {}).get("stage"),
                     "n_partitions": len(m["files"]),
                     "n_files": sum(len(v) for v in m["files"].values()),
+                    "seq": m.get("seq"),
+                    "n_pos_delete_files": len(
+                        {d for v in m.get("delete_files", {}).values() for d in v}
+                    ),
+                    "n_eq_tombstones": len(m.get("eq_delete_files", [])),
                 }
             )
         return spark.createDataFrame(
             rows or [],
             "snapshot_id string, parent string, created_at string, "
-            "watermark string, stage string, n_partitions long, n_files long",
+            "watermark string, stage string, n_partitions long, n_files long, "
+            "seq long, n_pos_delete_files long, n_eq_tombstones long",
         )
 
     def files_table(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:

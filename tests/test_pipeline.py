@@ -483,6 +483,16 @@ def test_metadata_tables_reflect_store_state(spark, tmp_path):
     assert list(snaps["n_files"]) == [3, 2]
     assert snaps["parent"][0] == snaps["snapshot_id"][1]
     assert snaps["stage"][1] == "tiers"
+    assert list(snaps["seq"]) == [2, 1]
+
+    # delete state surfaces in the snapshots table
+    store.delete_where(spark, "id = 1", mode="merge-on-read")
+    store.delete_keys(spark, spark.createDataFrame([(2,)], "id long"))
+    snaps = store.snapshots_table(spark).toPandas()
+    assert list(snaps["seq"]) == [4, 3, 2, 1]
+    assert snaps["n_pos_delete_files"][0] == 1
+    assert snaps["n_eq_tombstones"][0] == 1
+    assert snaps["n_pos_delete_files"][3] == 0 == snaps["n_eq_tombstones"][3]
 
     files = store.files_table(spark).toPandas()
     assert len(files) == 3
