@@ -382,6 +382,13 @@ class SnapshotStore:
         self.table_dir = table_dir
         os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
         os.makedirs(os.path.join(table_dir, "snapshots"), exist_ok=True)
+        # (path -> ((mtime_ns, size), parsed)) — manifests are immutable
+        # once written (the two same-id rewrites, expire's root re-parent
+        # and publish's staged-flag drop, change the file and therefore the
+        # key), so parse each at most once per process. At 10^12-doc scale
+        # a manifest is MBs of JSON and every read/plan call consults it —
+        # re-parsing per call would dominate driver-side planning.
+        self._manifest_cache: dict[str, tuple[tuple, dict]] = {}
 
     # -- manifest plumbing ---------------------------------------------------
     def _manifest_path(self, snapshot_id: str) -> str:
@@ -456,11 +463,24 @@ class SnapshotStore:
             return fh.read().strip() or None
 
     def manifest(self, snapshot_id: str | None = None) -> dict | None:
+        """Load a snapshot manifest (cached per (mtime, size) — treat the
+        returned dict as immutable; writers copy the containers they
+        change before mutating)."""
         snapshot_id = self._resolve_ref(snapshot_id) if snapshot_id else self.head()
         if snapshot_id is None:
             return None
-        with open(self._manifest_path(snapshot_id)) as fh:
-            return json.load(fh)
+        path = self._manifest_path(snapshot_id)
+        st = os.stat(path)
+        key = (st.st_mtime_ns, st.st_size)
+        hit = self._manifest_cache.get(path)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        with open(path) as fh:
+            m = json.load(fh)
+        self._manifest_cache[path] = (key, m)
+        while len(self._manifest_cache) > 16:  # bound driver memory
+            self._manifest_cache.pop(next(iter(self._manifest_cache)))
+        return m
 
     # -- refs: tags + timestamp travel -----------------------------------------
     def _resolve_ref(self, ref: str) -> str:
