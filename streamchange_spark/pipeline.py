@@ -251,6 +251,80 @@ def run_pipeline(
     }
 
 
+def purge_url(
+    spark: SparkSession,
+    store: SnapshotStore,
+    url: str,
+    pages: DataFrame | None = None,
+    mode: str = "merge-on-read",
+) -> dict:
+    """Right-to-be-forgotten across EVERY committed tier family — the
+    composite delete the north-star crawl table actually needs: dropping a
+    url from the raw pages alone leaves its rolled-up points, Gorilla
+    blobs, percentile sketches, and minhash signatures queryable.
+
+    Row-keyed families (``tier1h/``, ``gorilla1h/``, ``qsketch1h/``,
+    ``sig/`` — every row carries the url, blobs and sketches are per-url)
+    purge with ONE :meth:`SnapshotStore.delete_where` each, url-range hint
+    pruning the probe to the files whose stats cover the url;
+    ``mode="merge-on-read"`` (default) makes each a metadata-only commit
+    (the compliance sweep writes KBs, the nightly ``maintain()`` pays the
+    rewrite).
+
+    The keyless ``kmv1h/`` family aggregates ALL urls into one bottom-k
+    sketch per hour — a member cannot be removed from a mergeable sketch
+    without breaking its estimator contract (and the array retains the
+    url's 60-bit hash). With ``pages`` (the source table; rows of the
+    purged url may be present or already dropped — they are filtered
+    here), the affected day partitions are REBUILT from the purged source
+    in one commit; without it they are reported in
+    ``report["kmv_skipped_days"]`` for the caller to rebuild — the purge
+    is NOT complete until they do. Returns per-family deleted-row counts
+    and snapshot ids."""
+    report: dict = {"url": url, "families": {}}
+    for fam in ("tier1h/", "gorilla1h/", "qsketch1h/", "sig/"):
+        snap, rep = store.delete_where(
+            spark,
+            F.col("url") == F.lit(url),
+            prefix=fam,
+            ranges={"url": (url, url)},
+            mode=mode,
+            properties={"stage": "purge", "url": url},
+        )
+        report["families"][fam] = {
+            "snapshot_id": snap,
+            "deleted_rows": rep["deleted_rows"],
+            "pruned_files": rep["pruned_files"],
+        }
+    m = store.manifest() or {"files": {}}
+    kmv_days = sorted(
+        k.split("/", 1)[1] for k in m["files"] if k.startswith("kmv1h/")
+    )
+    if pages is None:
+        report["kmv_skipped_days"] = kmv_days
+        return report
+    purged = extract_metrics(pages.where(F.col("url") != F.lit(url)))
+    partitions = {
+        f"kmv1h/{day}": kmv_tier(
+            purged.where(F.to_date("warc_ts") == F.lit(day)),
+            [],
+            "warc_ts",
+            "url",
+            tier="1h",
+        )
+        for day in kmv_days
+    }
+    if partitions:
+        report["kmv_rebuild_snapshot"] = store.commit_partitions(
+            partitions,
+            watermark=(m.get("watermark")),
+            properties={"stage": "purge-kmv-rebuild", "url": url},
+            stat_cols=["bucket_start"],
+        )
+        report["kmv_rebuilt_days"] = kmv_days
+    return report
+
+
 def apply_retention_policy(
     store: SnapshotStore,
     policy: dict[str, int],

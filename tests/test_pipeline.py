@@ -1229,3 +1229,79 @@ def test_files_table_renders_bloom_size_not_payload(spark, tmp_path):
     stats = _json.loads(row.column_stats)
     assert stats["k"] == [0, 499]
     assert set(stats["bloom:k"]) == {"m"} and stats["bloom:k"]["m"] >= 256
+
+
+def test_purge_url_across_all_tiers_equals_rebuild(spark, tmp_path, pages):
+    """purge_url == running the pipeline on a source that never had the
+    url: row-keyed families purge by delete, the keyless KMV family
+    rebuilds, and every family's queryable content matches the
+    from-scratch store."""
+    from streamchange_spark.operators import (
+        decompress_series,
+        kmv_distinct,
+        kmv_rollup,
+        sketch_percentiles,
+        sketch_rollup,
+    )
+    from streamchange_spark.pipeline import purge_url
+
+    store_dir = str(tmp_path / "purged")
+    run_pipeline(spark, pages, store_dir)
+    store = SnapshotStore(store_dir)
+    victim = pages.select("url").distinct().orderBy("url").limit(1).collect()[0][
+        "url"
+    ]
+
+    report = purge_url(spark, store, victim, pages=pages)
+    assert report["families"]["tier1h/"]["deleted_rows"] > 0
+    assert report["families"]["sig/"]["deleted_rows"] > 0
+    assert report.get("kmv_rebuilt_days")
+
+    clean_pages = pages.where(F.col("url") != victim)
+    clean_dir = str(tmp_path / "clean")
+    run_pipeline(spark, clean_pages, clean_dir)
+    clean = SnapshotStore(clean_dir)
+
+    # no family still answers for the url
+    for fam in ("tier1h/", "gorilla1h/", "qsketch1h/", "sig/"):
+        assert store.read(spark, prefix=fam).where(
+            F.col("url") == victim
+        ).count() == 0
+
+    # tier rows and signature rows: exact equality with the clean store
+    for fam, cols in (("tier1h/", ["url", "bucket_start"]), ("sig/", ["url", "warc_ts"])):
+        a = store.read(spark, prefix=fam).orderBy(*cols).collect()
+        b = clean.read(spark, prefix=fam).orderBy(*cols).collect()
+        assert a == b, fam
+
+    # gorilla: decoded series equal
+    dec = lambda s: sorted(
+        (r["url"], r["bucket_start"], round(r["sum_v"], 6))
+        for r in decompress_series(
+            s.read(spark, prefix="gorilla1h/"), ["url"], "bucket_start", "sum_v"
+        ).collect()
+    )
+    assert dec(store) == dec(clean)
+
+    # percentile sketches: merged 1d percentiles equal
+    pct = lambda s: sorted(
+        tuple(r) for r in sketch_percentiles(
+            sketch_rollup(s.read(spark, prefix="qsketch1h/"), ["url"], "1d"),
+            ["url"],
+        ).collect()
+    )
+    assert pct(store) == pct(clean)
+
+    # crawl breadth: rebuilt KMV tiers give the clean store's estimates
+    kmv = lambda s: sorted(
+        tuple(r) for r in kmv_distinct(
+            kmv_rollup(s.read(spark, prefix="kmv1h/"), [], "1d")
+        ).collect()
+    )
+    assert kmv(store) == kmv(clean)
+
+    # the purge survives the nightly maintenance rewrite
+    store.maintain(spark, keep_last=1, orphan_grace_seconds=0)
+    assert store.read(spark, prefix="tier1h/").where(
+        F.col("url") == victim
+    ).count() == 0
