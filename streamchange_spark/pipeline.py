@@ -304,6 +304,21 @@ def purge_url(
         report["kmv_skipped_days"] = kmv_days
         return report
     purged = extract_metrics(pages.where(F.col("url") != F.lit(url)))
+    # Rebuild ONLY the days the supplied source covers: a caller holding
+    # just the newest crawl batch must not overwrite older days' sketches
+    # with empty ones. Days the source lacks stay outstanding and are
+    # reported for a later purge call that has them.
+    # coverage comes from the UNFILTERED source (a day whose every row was
+    # the victim's still counts as covered — its rebuilt sketch is empty)
+    src_days = {
+        str(r["day"])
+        for r in pages.select(F.to_date("warc_ts").alias("day"))
+        .distinct()
+        .collect()
+    }
+    outstanding = [d for d in kmv_days if d not in src_days]
+    if outstanding:
+        report["kmv_skipped_days"] = outstanding
     partitions = {
         f"kmv1h/{day}": kmv_tier(
             purged.where(F.to_date("warc_ts") == F.lit(day)),
@@ -313,6 +328,7 @@ def purge_url(
             tier="1h",
         )
         for day in kmv_days
+        if day in src_days
     }
     if partitions:
         report["kmv_rebuild_snapshot"] = store.commit_partitions(
@@ -321,7 +337,7 @@ def purge_url(
             properties={"stage": "purge-kmv-rebuild", "url": url},
             stat_cols=["bucket_start"],
         )
-        report["kmv_rebuilt_days"] = kmv_days
+        report["kmv_rebuilt_days"] = [d for d in kmv_days if d in src_days]
     return report
 
 

@@ -409,6 +409,21 @@ class SnapshotStore:
                 f"HEAD moved from {manifest['parent']!r} to {current!r} while "
                 f"building snapshot {manifest['snapshot_id']!r}; re-read and retry"
             )
+        self._finalize_manifest(manifest)
+        _atomic_write(
+            self._manifest_path(manifest["snapshot_id"]),
+            json.dumps(manifest, indent=1),
+        )
+        _atomic_write(os.path.join(self.table_dir, "HEAD"), manifest["snapshot_id"])
+
+    def _finalize_manifest(self, manifest: dict) -> None:
+        """Stamp the cross-commit invariants every manifest must carry —
+        positional-delete carry-forward, sequence numbers, equality
+        tombstone retention. Called by :meth:`_commit_manifest` AND by the
+        staged-commit path (``commit_partitions(stage=True)`` writes the
+        manifest directly so HEAD doesn't move until :meth:`publish`):
+        skipping it there would strip outstanding deletes from the staged
+        snapshot and resurrect purged rows at publish time."""
         parent_m = (
             self.manifest(manifest["parent"]) if manifest["parent"] else None
         )
@@ -449,11 +464,6 @@ class SnapshotStore:
                 manifest["eq_delete_files"] = kept
         elif not manifest["eq_delete_files"]:
             del manifest["eq_delete_files"]
-        _atomic_write(
-            self._manifest_path(manifest["snapshot_id"]),
-            json.dumps(manifest, indent=1),
-        )
-        _atomic_write(os.path.join(self.table_dir, "HEAD"), manifest["snapshot_id"])
 
     def head(self) -> str | None:
         head_path = os.path.join(self.table_dir, "HEAD")
@@ -680,6 +690,10 @@ class SnapshotStore:
         }
         if stage:
             manifest["properties"]["staged"] = True
+            # Same invariants as a direct commit (delete carry, sequence
+            # stamps): a staged manifest missing them would resurrect
+            # purged rows the moment it publishes.
+            self._finalize_manifest(manifest)
             _atomic_write(
                 self._manifest_path(snapshot_id), json.dumps(manifest, indent=1)
             )
@@ -703,7 +717,12 @@ class SnapshotStore:
                 f"HEAD moved from {m['parent']!r} to {current!r} since "
                 f"{snapshot_id!r} was staged; re-stage or abandon"
             )
-        if m["properties"].pop("staged", None):
+        if m["properties"].get("staged"):
+            # copy before mutating: manifest() returns the shared cached
+            # dict — popping in place would diverge cache from disk if the
+            # rewrite below failed
+            m = {**m, "properties": dict(m["properties"])}
+            m["properties"].pop("staged")
             _atomic_write(
                 self._manifest_path(snapshot_id), json.dumps(m, indent=1)
             )
@@ -959,12 +978,21 @@ class SnapshotStore:
         files[part_key] = sorted(kept_files) + kept_new
         if stat_cols:
             file_stats.update(_collect_file_stats(kept_new, stat_cols))
+        # Carry the recorded cluster layout through DML rewrites: dropping
+        # it would make the next compaction fall back to plain coalesce and
+        # silently de-cluster the partition (compact_partitions re-clusters
+        # on exactly these recorded keys).
+        prev = metrics.get(part_key, {})
+        layout = {
+            k: prev[k] for k in ("cluster_by", "cluster_mode") if k in prev
+        }
         metrics[part_key] = {
             "n_files": len(files[part_key]),
             "n_rows": sum(_rows_per_file(files[part_key]).values()),
             "bytes": sum(os.path.getsize(f) for f in files[part_key]),
             "write_seconds": round(time.time() - t0, 3),
             "snapshot_id": snapshot_id,
+            **layout,
             **extra,
         }
 
@@ -1007,6 +1035,13 @@ class SnapshotStore:
 
         The source must be unique on ``key_cols`` (checked; the SQL MERGE
         cardinality rule) and its schema must cover the target's columns.
+        Inserts are PROJECTED to the table's schema (the insert partition's
+        own files, else any partition under ``prefix``): source-only
+        columns — a CDC version/op column — never leak into the store as a
+        divergent file schema. The flip side: MERGE does not perform
+        additive schema evolution; to add a column, commit the widened
+        partitions via :meth:`commit_partitions` and read with
+        ``merge_schema=True``, then MERGE.
         A key present in several partitions is updated in each (standard
         MERGE updates every matching target row). Rewritten/inserted files
         inherit manifest stats for the union of the stat columns the
@@ -1904,6 +1939,26 @@ class SnapshotStore:
         key_cols = list(keys.columns)
         if not key_cols:
             raise ValueError("delete_keys needs at least one key column")
+        # Validate the key columns against every covered partition NOW
+        # (one footer read per partition, no Spark job): a tombstone whose
+        # columns a covered file lacks would poison every subsequent read,
+        # probe, and compaction of the family with AnalysisException — the
+        # purge remedy itself included.
+        import pyarrow.parquet as _pq
+
+        for part, pf in sorted(m["files"].items()):
+            if prefix is not None and not part.startswith(prefix):
+                continue
+            if not pf:
+                continue
+            cols = set(_pq.read_schema(pf[0]).names)
+            missing = [c for c in key_cols if c not in cols]
+            if missing:
+                raise ValueError(
+                    f"tombstone key columns {missing} absent from partition "
+                    f"{part!r} — scope the delete with prefix= to the "
+                    "families that carry them"
+                )
         snapshot_id = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
         eq_dir = os.path.join(self.table_dir, "data", snapshot_id, "eq_deletes")
         t0 = time.time()

@@ -85,17 +85,29 @@ def run_streaming_upsert(
             )
         sess = batch_df.sparkSession
         if op_col is not None:
+            # ONE job for the op breakdown (most CDC batches are pure
+            # upserts — don't pay a tombstone write job to learn a batch
+            # held zero deletes).
+            counts = {
+                bool(r["d"]): r["count"]
+                for r in src.groupBy(
+                    (F.col(op_col) == delete_op).alias("d")
+                ).count().collect()
+            }
             dels = src.where(F.col(op_col) == delete_op).select(*key_cols)
             src = src.where(
                 F.col(op_col).isNull() | (F.col(op_col) != delete_op)
             ).drop(op_col)
-            # Tombstone first: the merge's data files then postdate it
-            # (sequence epochs), so this batch's own upserts survive.
-            store.delete_keys(
-                sess, dels, prefix=prefix,
-                properties={"stream_batch_id": batch_id},
-            )
-        if not src.take(1):
+            if counts.get(True):
+                # Tombstone first: the merge's data files then postdate it
+                # (sequence epochs), so this batch's own upserts survive.
+                store.delete_keys(
+                    sess, dels, prefix=prefix,
+                    properties={"stream_batch_id": batch_id},
+                )
+            if not counts.get(False):
+                return
+        elif not src.take(1):
             return
         store.merge_into(
             sess,

@@ -1305,3 +1305,22 @@ def test_purge_url_across_all_tiers_equals_rebuild(spark, tmp_path, pages):
     assert store.read(spark, prefix="tier1h/").where(
         F.col("url") == victim
     ).count() == 0
+
+    # partial source coverage: purging with only ONE day's pages must not
+    # wipe other days' keyless KMV sketches — uncovered days are reported
+    # outstanding and their partitions carried untouched
+    victim2 = clean_pages.select("url").distinct().orderBy("url").limit(1).collect()[
+        0
+    ]["url"]
+    m_before = store.manifest()
+    days = sorted(
+        k.split("/", 1)[1] for k in m_before["files"] if k.startswith("kmv1h/")
+    )
+    assert len(days) > 1
+    one_day = clean_pages.where(F.to_date("warc_ts") == F.lit(days[0]))
+    rep2 = purge_url(spark, store, victim2, pages=one_day)
+    assert rep2["kmv_rebuilt_days"] == [days[0]]
+    assert set(rep2["kmv_skipped_days"]) == set(days[1:])
+    m_after = store.manifest()
+    for d in days[1:]:
+        assert m_after["files"][f"kmv1h/{d}"] == m_before["files"][f"kmv1h/{d}"]

@@ -6,6 +6,7 @@ CDC delete+insert ordering)."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from streamchange_spark.sources import SnapshotStore
@@ -116,3 +117,59 @@ def test_eq_delete_files_pinned_until_unreferenced(spark, tmp_path):
     store.expire_snapshots(keep_last=1)
     assert all(not os.path.exists(p) for p in tomb)
     assert store.read(spark, prefix="t/").count() == 199
+
+
+def test_staged_commit_carries_delete_state(spark, tmp_path):
+    """commit_partitions(stage=True) writes its manifest outside the HEAD
+    flip — it must still carry outstanding positional deletes, tombstones,
+    and sequence stamps, or publishing the staged snapshot would resurrect
+    purged rows."""
+    store, _ = _fixture(spark, tmp_path)
+    store.delete_where(spark, "id = 10", mode="merge-on-read")
+    store.delete_keys(spark, spark.createDataFrame([(11,)], "id long"))
+    extra = spark.createDataFrame([(500, 1, "d3")], "id long, v long, tag string")
+    staged = store.commit_partitions({"t/d3": extra}, stage=True)
+    # the write-audit read of the staged snapshot already hides the purges
+    audit = store.read(spark, snapshot_id=staged)
+    assert audit.where("id in (10, 11)").count() == 0
+    assert audit.where("id = 500").count() == 1
+    store.publish(staged)
+    assert store.read(spark).where("id in (10, 11)").count() == 0
+    m = store.manifest()
+    assert m["delete_files"] and m["eq_delete_files"]
+    assert m["seq"] == 4  # base, MoR, tombstone, staged
+    # a LATER tombstone still applies to carried files (seq stamps intact)
+    store.delete_keys(spark, spark.createDataFrame([(12,)], "id long"))
+    assert store.read(spark).where("id = 12").count() == 0
+
+
+def test_delete_keys_validates_columns_against_covered_partitions(spark, tmp_path):
+    store, _ = _fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="absent from partition"):
+        store.delete_keys(spark, spark.createDataFrame([(1,)], "nope long"))
+    # a family lacking the key column poisons nothing when the tombstone
+    # is scoped away from it — and raises loudly when it is not
+    meta = spark.createDataFrame([("a", 1)], "name string, n long")
+    store.commit_partitions({"meta/all": meta})
+    s, _ = store.delete_keys(
+        spark, spark.createDataFrame([(5,)], "id long"), prefix="t/"
+    )
+    assert s is not None
+    assert store.read(spark, prefix="t/").where("id = 5").count() == 0
+    with pytest.raises(ValueError, match="absent from partition 'meta/all'"):
+        store.delete_keys(spark, spark.createDataFrame([(6,)], "id long"))
+
+
+def test_cluster_layout_survives_dml_and_recompaction(spark, tmp_path):
+    """A CoW rewrite must keep the partition's recorded cluster keys so the
+    nightly compaction re-clusters instead of de-clustering."""
+    store, _ = _fixture(spark, tmp_path)
+    store.update_where(spark, "id >= 40 and id < 45", {"v": "v + 1"})
+    m = store.manifest()
+    assert m["metrics"]["t/d1"].get("cluster_by") == ["id"]
+    snap, _ = store.compact_partitions(spark, target_file_bytes=1)
+    m2 = store.manifest(snap)
+    assert m2["metrics"]["t/d1"].get("cluster_by") == ["id"]
+    # the recompacted files are key-disjoint again: an id-range read skips
+    kept = store.files_for(prefix="t/d1", ranges={"id": (40, 44)})
+    assert 0 < len(kept) < len(m2["files"]["t/d1"])

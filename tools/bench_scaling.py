@@ -744,17 +744,18 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
             .agg(F.min("url"))
             .collect()[0][0]
         )
-        t0 = time.time()
-        _, mrep = store.delete_where(
-            spark,
-            F.col("url") == F.lit(victim2),
-            prefix="raw/",
-            ranges={"url": (victim2, victim2)},
-            mode="merge-on-read",
-        )
-        out["dml_mor_delete_sec"] = round(time.time() - t0, 2)
-        out["dml_mor_delete_rows"] = mrep["deleted_rows"]
-        out["dml_mor_delete_bytes"] = mrep["delete_bytes"]
+        if victim2 is not None:
+            t0 = time.time()
+            _, mrep = store.delete_where(
+                spark,
+                F.col("url") == F.lit(victim2),
+                prefix="raw/",
+                ranges={"url": (victim2, victim2)},
+                mode="merge-on-read",
+            )
+            out["dml_mor_delete_sec"] = round(time.time() - t0, 2)
+            out["dml_mor_delete_rows"] = mrep["deleted_rows"]
+            out["dml_mor_delete_bytes"] = mrep.get("delete_bytes", 0)
         for p in (store_path, scratch, part_path, src_path):
             shutil.rmtree(p, ignore_errors=True)
 
