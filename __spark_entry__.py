@@ -57,6 +57,9 @@ from streamchange_spark.operators import (
     session_stats,
     sequential_scores,
     simhash,
+    stats_eval,
+    stats_rollup,
+    stats_tier,
     time_weighted_avg,
     window_segmentor_changepoints,
 )
@@ -585,6 +588,31 @@ def q_real_time_1h(spark, sf_dir):
         "max_v",
         "first_v",
         "last_v",
+    )
+
+
+def q_trend_1d(spark, sf_dir):
+    """Daily per-user value trend from MERGED hourly regression partials
+    (`operators/statsagg.py`, the TimescaleDB `stats_agg`/`regr_*`
+    hyperfunction analogue): 1h tiers of (n, Σx, Σy, Σxx, Σxy, Σyy) are
+    summed into 1d buckets (the moments are closed under addition — the
+    continuous-aggregate contract) and only then evaluated to slope
+    (y units/hour), R², and sample stddev. The oracle computes
+    `regr_slope`/`regr_r2`/`stddev_samp` DIRECTLY over raw rows per
+    (user, day) — equality proves tier merge == direct regression. x is
+    integer-microseconds-minus-origin divided once, so both engines see
+    bit-identical x; rounding absorbs summation order."""
+    _configure(spark)
+    events = _t(spark, sf_dir, "events")
+    t1h = stats_tier(events, ["user_id"], "ts", "value", "1h")
+    t1d = stats_eval(stats_rollup(t1h, ["user_id"], "1d"))
+    return t1d.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        "n",
+        F.round(F.col("slope") - 1e-9, 4).alias("slope"),
+        F.round(F.col("r2") - 1e-9, 6).alias("r2"),
+        F.round(F.col("stddev_y") - 1e-9, 4).alias("stddev_y"),
     )
 
 
@@ -2393,10 +2421,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_1h": q_refresh_1h,
         # --- new round-5: real-time continuous aggregate (tier ∪ raw tail) ---
         "real_time_1h": q_real_time_1h,
-        # --- new round-5: hyperfunctions (time_weight / counter_agg / lttb) ---
+        # --- new round-5: hyperfunctions (time_weight / counter_agg / lttb
+        # / stats_agg regression tiers) ---
         "twa_1h": q_twa_1h,
         "counter_rate": q_counter_rate,
         "lttb": q_lttb,
+        "trend_1d": q_trend_1d,
         # round-5 store layer: stats-pruned read proven lossless in-window
         "pruned_tier_read": q_pruned_tier_read,
         # round-5 store layer: copy-on-write MERGE INTO (upsert + append)
@@ -2418,7 +2448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "corpus_verdicts": q_corpus_verdicts,
         "streaming_sessions": q_streaming_sessions,
-        "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2444,6 +2473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # meta path; similarity's cache-release fix rides ann_lsh)
         "multimodal_meta": q_multimodal_meta,
         "ann_topk_ivf": q_ann_topk_ivf,
+        # dedup_exact's md5-groupBy path is exercised in-window by
+        # corpus_verdicts' exact-dup stage; its own row yields the slot to
+        # the new trend_1d regression-tier oracle
+        "dedup_exact": q_dedup_exact,
         # gemm shares ann_topk's oracle and, with the indexed-IVF variant
         # (partition-pruned serving plan-asserted in pytest; base IVF row
         # in-window), yields the edge slots so the detector rows above —
@@ -3546,6 +3579,22 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
         "twa_1h": _TWA_ORACLE,
         "counter_rate": _COUNTER_RATE_ORACLE,
         "lttb": _lttb_fixture_sql(),
+        # direct per-(user, day) regression over raw rows; the Spark side
+        # merges persisted 1h partials first — equality proves the
+        # regression tier re-aggregates exactly
+        "trend_1d": """
+            SELECT user_id,
+                   (floor(epoch(ts))::BIGINT // 86400) * 86400 AS bucket,
+                   count(value) AS n,
+                   round(regr_slope(value, (epoch_us(ts) - 1700000000000000) / 1e6)
+                         * 3600 - 1e-9, 4) AS slope,
+                   round(regr_r2(value, (epoch_us(ts) - 1700000000000000) / 1e6)
+                         - 1e-9, 6) AS r2,
+                   round(stddev_samp(value) - 1e-9, 4) AS stddev_y
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        """,
         # full-table aggregate + plain WHERE: equality with the Spark side's
         # pruned store read proves file skipping dropped no matching row
         "zorder_read": """

@@ -74,6 +74,7 @@ HEADLINE = [
     "twa_1h",
     "counter_rate",
     "lttb",
+    "trend_1d",
     "pruned_tier_read",
     "merge_upsert",
     "delete_rows",

@@ -136,3 +136,69 @@ def test_twa_and_rate_plan_single_exchange(spark, op):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     # One sort (the window's orderBy); the hash aggregate must not add one.
     assert plan.count("Sort [") == 1, plan
+
+
+def test_stats_tier_merge_equals_direct_and_numpy(spark):
+    """Regression tiers re-aggregate: 1h partials shifted+summed into 1d
+    equal a direct 1d build, and the evaluated slope/r2/stddev match a
+    NumPy least-squares fit."""
+    from streamchange_spark.operators import stats_eval, stats_rollup, stats_tier
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for k in ("a", "b"):
+        base = 1_704_067_200  # 2024-01-01
+        for i in range(200):
+            ts = base + int(rng.integers(0, 3 * 86400))
+            rows.append((k, ts, float(i) * 0.5 + rng.normal(0, 3.0)))
+    df = _events(spark, rows)
+    direct = stats_eval(stats_tier(df, ["k"], "ts", "v", "1d"))
+    merged = stats_eval(
+        stats_rollup(stats_tier(df, ["k"], "ts", "v", "1h"), ["k"], "1d")
+    )
+    a = {(r["k"], r["bucket_start"]): r for r in direct.collect()}
+    b = {(r["k"], r["bucket_start"]): r for r in merged.collect()}
+    assert a.keys() == b.keys() and len(a) >= 6
+    for key in a:
+        for c in ("n", "slope", "r2", "stddev_y", "intercept"):
+            x, y = a[key][c], b[key][c]
+            assert (x is None) == (y is None), (key, c)
+            if x is not None:
+                assert abs(x - y) <= 1e-6 * max(1.0, abs(x)), (key, c, x, y)
+
+    # numpy cross-check on one bucket of one key
+    import datetime as dt
+
+    key, row = next((k, r) for k, r in a.items() if r["n"] >= 20)
+    b0 = row["bucket_start"].replace(tzinfo=dt.timezone.utc).timestamp()
+    pts = [
+        (ts - b0, v)
+        for kk, ts, v in rows
+        if kk == key[0] and b0 <= ts < b0 + 86400
+    ]
+    xs = np.array([p[0] for p in pts]); ys = np.array([p[1] for p in pts])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(row["slope"] - slope * 3600) < 1e-6 * max(1.0, abs(slope * 3600))
+    assert abs(row["intercept"] - intercept) < 1e-6 * max(1.0, abs(intercept))
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(row["r2"] - r * r) < 1e-9
+    assert abs(row["stddev_y"] - np.std(ys, ddof=1)) < 1e-9
+
+
+def test_stats_eval_degenerate_buckets_are_null(spark):
+    from streamchange_spark.operators import stats_eval, stats_rollup, stats_tier
+
+    rows = [
+        ("single", 0, 5.0),                      # n=1 -> NULL
+        ("dup_x", 10, 1.0), ("dup_x", 10, 9.0),  # same ts -> NULL
+        ("const_y", 20, 4.0), ("const_y", 500, 4.0),  # flat line -> r2=1
+    ]
+    df = _events(spark, rows)
+    out = stats_eval(
+        stats_rollup(stats_tier(df, ["k"], "ts", "v", "1h"), ["k"], "1d")
+    )
+    got = {r["k"]: r for r in out.collect()}
+    for k in ("single", "dup_x"):
+        assert got[k]["slope"] is None and got[k]["r2"] is None, k
+    assert got["const_y"]["slope"] == 0.0
+    assert got["const_y"]["r2"] == 1.0
