@@ -38,6 +38,9 @@ from .operators import (
     sketch_rollup,
     sketch_tier,
     snapshot_signatures,
+    stats_eval,
+    stats_rollup,
+    stats_tier,
     window_segmentor_changepoints,
 )
 from .sources.snapshots import SnapshotStore
@@ -112,6 +115,13 @@ def run_pipeline(
             # closed under union), never re-scanning the day's pages.
             partitions[f"kmv1h/{day}"] = kmv_tier(
                 day_metrics, [], "warc_ts", "url", tier="1h"
+            )
+            # Regression moments ride the same raw scan: per-(url, 1h)
+            # partial sums, closed under addition — the 1d/30d TREND of a
+            # page's text length (is it drifting between change points?)
+            # merges from these, never re-scanning raw (statsagg.py).
+            partitions[f"stats1h/{day}"] = stats_tier(
+                day_metrics, ["url"], "warc_ts", "text_len", tier="1h"
             )
             # The change-score TEXT PASS is also per-day incremental:
             # signatures depend only on each snapshot's own text, so the
@@ -204,6 +214,10 @@ def run_pipeline(
     # hourly KMV arrays the same way.
     kmv1h = store.read(spark, prefix="kmv1h/")
     uniq_urls_1d_rows = kmv_distinct(kmv_rollup(kmv1h, [], "1d")).count()
+    # ... and the daily text-length trend surface merged from the hourly
+    # regression moments (slope/R² per url per day, no raw re-scan).
+    stats1h = store.read(spark, prefix="stats1h/")
+    trend_1d_rows = stats_eval(stats_rollup(stats1h, ["url"], "1d")).count()
     sketch_sec = time.time() - t0
 
     # Change-score series + churn change points from the committed per-day
@@ -243,6 +257,7 @@ def run_pipeline(
         "freq_sec": round(freq_sec, 2),
         "pctl_1d_rows": pctl_1d_rows,
         "uniq_urls_1d_rows": uniq_urls_1d_rows,
+        "trend_1d_rows": trend_1d_rows,
         "churn_changepoints": churn_cpts,
         "churn_sec": round(churn_sec, 2),
         "tiers_sec": round(tiers_sec, 2),
@@ -264,7 +279,8 @@ def purge_url(
     blobs, percentile sketches, and minhash signatures queryable.
 
     Row-keyed families (``tier1h/``, ``gorilla1h/``, ``qsketch1h/``,
-    ``sig/`` — every row carries the url, blobs and sketches are per-url)
+    ``stats1h/``, ``sig/`` — every row carries the url, blobs and sketches
+    are per-url)
     purge with ONE :meth:`SnapshotStore.delete_where` each, url-range hint
     pruning the probe to the files whose stats cover the url;
     ``mode="merge-on-read"`` (default) makes each a metadata-only commit
@@ -282,7 +298,7 @@ def purge_url(
     is NOT complete until they do. Returns per-family deleted-row counts
     and snapshot ids."""
     report: dict = {"url": url, "families": {}}
-    for fam in ("tier1h/", "gorilla1h/", "qsketch1h/", "sig/"):
+    for fam in ("tier1h/", "gorilla1h/", "qsketch1h/", "stats1h/", "sig/"):
         snap, rep = store.delete_where(
             spark,
             F.col("url") == F.lit(url),
@@ -453,6 +469,9 @@ def refresh_pipeline(
             day_metrics, ["url"], "warc_ts", "text_len", tier="1h"
         )
         kmv_1h = kmv_tier(day_metrics, [], "warc_ts", "url", tier="1h")
+        stats_1h = stats_tier(
+            day_metrics, ["url"], "warc_ts", "text_len", tier="1h"
+        )
         sig = snapshot_signatures(
             day_pages, "url", "warc_ts", "text",
             num_hashes=SIG_HASHES, hash_fn="xxhash",
@@ -475,12 +494,22 @@ def refresh_pipeline(
                 "1h",
             )
             sig = store.read(spark, prefix=f"sig/{day}").unionByName(sig)
+            # regression moments are additive: re-bucketing at the same
+            # tier is a pure per-(url, bucket) SUM (origin shift c = 0)
+            stats_1h = stats_rollup(
+                store.read(spark, prefix=f"stats1h/{day}").unionByName(
+                    stats_1h
+                ),
+                ["url"],
+                "1h",
+            )
         partitions[f"tier1h/{day}"] = tier_1h
         partitions[f"gorilla1h/{day}"] = compress_series(
             tier_1h, ["url"], "bucket_start", "sum_v", chunk_points=chunk_points
         )
         partitions[f"qsketch1h/{day}"] = sketch_1h
         partitions[f"kmv1h/{day}"] = kmv_1h
+        partitions[f"stats1h/{day}"] = stats_1h
         partitions[f"sig/{day}"] = sig
 
     prior_watermark = store.manifest().get("watermark")

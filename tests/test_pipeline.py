@@ -28,10 +28,11 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path, pages):
     assert r2["changepoints"] == r1["changepoints"]
 
     # Lineage: one row per committed partition (tier + gorilla + qsketch
-    # + kmv + sig per day).
+    # + kmv + stats + sig per day).
     store = SnapshotStore(store_dir)
     lineage = store.lineage(spark).toPandas()
-    assert len(lineage) == 5 * r1["days_total"]
+    assert len(lineage) == 6 * r1["days_total"]
+    assert r1["trend_1d_rows"] > 0 and r2["trend_1d_rows"] == r1["trend_1d_rows"]
     assert r1["pctl_1d_rows"] > 0 and r2["pctl_1d_rows"] == r1["pctl_1d_rows"]
     assert r1["uniq_urls_1d_rows"] > 0
     assert r2["uniq_urls_1d_rows"] == r1["uniq_urls_1d_rows"]
@@ -1263,7 +1264,7 @@ def test_purge_url_across_all_tiers_equals_rebuild(spark, tmp_path, pages):
     clean = SnapshotStore(clean_dir)
 
     # no family still answers for the url
-    for fam in ("tier1h/", "gorilla1h/", "qsketch1h/", "sig/"):
+    for fam in ("tier1h/", "gorilla1h/", "qsketch1h/", "stats1h/", "sig/"):
         assert store.read(spark, prefix=fam).where(
             F.col("url") == victim
         ).count() == 0
@@ -1291,6 +1292,24 @@ def test_purge_url_across_all_tiers_equals_rebuild(spark, tmp_path, pages):
         ).collect()
     )
     assert pct(store) == pct(clean)
+
+    # regression tiers: evaluated daily trends equal (rounded — the two
+    # stores sum the same rows in different orders)
+    from streamchange_spark.operators import stats_eval, stats_rollup
+
+    trend = lambda s: sorted(
+        (
+            r["url"],
+            r["bucket_start"],
+            r["n"],
+            None if r["slope"] is None else round(r["slope"], 6),
+            None if r["r2"] is None else round(r["r2"], 6),
+        )
+        for r in stats_eval(
+            stats_rollup(s.read(spark, prefix="stats1h/"), ["url"], "1d")
+        ).collect()
+    )
+    assert trend(store) == trend(clean)
 
     # crawl breadth: rebuilt KMV tiers give the clean store's estimates
     kmv = lambda s: sorted(

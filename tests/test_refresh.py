@@ -174,7 +174,7 @@ def test_refresh_new_day_and_empty_store(spark, tmp_path, pages):
     r = refresh_pipeline(spark, future, store_dir)
     assert r["merged_days"] == []
     assert len(r["invalidated_days"]) >= 1
-    assert len(store.completed_partitions()) == n_parts_before + 5 * len(
+    assert len(store.completed_partitions()) == n_parts_before + 6 * len(
         r["invalidated_days"]
     )
 
