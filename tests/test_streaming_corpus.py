@@ -408,3 +408,63 @@ def test_streaming_signature_ingest_scores_bit_equal_batch(spark, tmp_path):
     got = streamed.toPandas()
     assert (got["change_score"].dropna() > 0).any()
     assert (got["change_score"].dropna() == 0).any()
+
+
+def test_streaming_stats_tier_matches_batch(spark, tmp_path):
+    """Two dumps streamed into partial regression moments, merged into a
+    queryable 1d trend tier == stats_tier run in BATCH over the union —
+    the evaluated surface (slope/r2/stddev) equal after rounding (moments
+    are additive; only float summation order differs)."""
+    from streamchange_spark.operators import stats_eval, stats_rollup, stats_tier
+    from streamchange_spark.streaming import (
+        run_streaming_stats_ingest,
+        stats_tier_from_ingest,
+    )
+
+    rng = np.random.RandomState(29)
+    src = tmp_path / "stats_events"
+    src.mkdir()
+    frames = []
+    base = pd.Timestamp("2024-03-01").value // 10**9
+    for dump in range(2):
+        n = 2500
+        pdf = pd.DataFrame(
+            {
+                "key": np.where(rng.rand(n) < 0.5, "a", "b"),
+                "ts": pd.to_datetime(
+                    base + dump * 43200 + rng.randint(0, 86400 * 2, n), unit="s"
+                ),
+                "v": rng.randn(n) * 5.0 + np.arange(n) * 0.01,
+            }
+        )
+        pdf.to_parquet(src / f"dump{dump}.parquet", coerce_timestamps="us")
+        frames.append(pdf)
+
+    stats_path = str(tmp_path / "stats_parts")
+    ckpt = str(tmp_path / "ckpt_stats")
+    run_streaming_stats_ingest(
+        spark, str(src), stats_path, ckpt,
+        "key string, ts timestamp, v double",
+        ["key"], "ts", "v", tier="1h",
+        max_files_per_trigger=1, timeout_sec=300,
+    )
+    streamed = stats_eval(stats_tier_from_ingest(spark, stats_path, ["key"], "1d"))
+
+    union = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    batch = stats_eval(
+        stats_rollup(stats_tier(union, ["key"], "ts", "v", "1h"), ["key"], "1d")
+    )
+
+    def snap(df):
+        return sorted(
+            (
+                r["key"], r["bucket_start"], r["n"],
+                None if r["slope"] is None else round(r["slope"], 6),
+                None if r["r2"] is None else round(r["r2"], 8),
+                None if r["stddev_y"] is None else round(r["stddev_y"], 8),
+            )
+            for r in df.collect()
+        )
+
+    a, b = snap(streamed), snap(batch)
+    assert a == b and len(a) >= 4
