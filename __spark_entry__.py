@@ -652,6 +652,51 @@ def q_counter_rate(spark, sf_dir):
     )
 
 
+def q_state_durations_1d(spark, sf_dir):
+    """Daily per-user time-in-state from MERGED hourly state partials
+    (`operators/stateagg.py`, the TimescaleDB `state_agg` hyperfunction
+    analogue): each event_type holds LOCF until the next event, held spans
+    are SPLIT exactly across bucket boundaries (integer microseconds), so
+    the 1d tier is a pure GROUP-BY SUM over the persisted 1h partials. The
+    oracle computes the 1d durations DIRECTLY from raw with the same
+    span-splitting in SQL — equality proves tier merge == direct build,
+    exactly (held_us stays integral end to end; no float rounding)."""
+    _configure(spark)
+    from streamchange_spark.operators import state_rollup, state_tier
+
+    events = _t(spark, sf_dir, "events")
+    t1h = state_tier(events, ["user_id"], "ts", "event_type", "1h")
+    t1d = state_rollup(t1h, ["user_id"], "1d")
+    return t1d.select(
+        "user_id",
+        F.col("state"),
+        _epoch("bucket_start").alias("bucket"),
+        "held_us",
+        "n_spans",
+    )
+
+
+def q_uptime_1h(spark, sf_dir):
+    """Hourly per-user liveness from heartbeats (`operators/stateagg.py`,
+    the TimescaleDB `heartbeat_agg` analogue, tolerance 600 s): up time is
+    the UNION of per-heartbeat tolerance windows (a heartbeat inside its
+    predecessor's window extends it, never double counts), n_gaps counts
+    downtime onsets at the bucket where the up-span ends. All integer
+    microseconds — the oracle replays the identical span algebra in SQL."""
+    _configure(spark)
+    from streamchange_spark.operators import heartbeat_tier
+
+    events = _t(spark, sf_dir, "events")
+    t = heartbeat_tier(events, ["user_id"], "ts", "1h", tolerance_s=600.0)
+    return t.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        "up_us",
+        "n_heartbeats",
+        "n_gaps",
+    )
+
+
 def q_lttb(spark, sf_dir):
     """LTTB downsample (`operators/hyper.py:lttb`, Steinarsson 2013): each
     user's event series reduced to 24 visually-representative points via a
@@ -2404,10 +2449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_1d": q_distinct_sketch_1d,
         # --- new round-5: mergeable heavy-hitters tier (heavy_hitters.py) ---
         "heavy_hitters_1d": q_heavy_hitters_1d,
-        # --- new round-5: sliding distinct windows off the kmv tier ---
-        "hopping_distinct": q_hopping_distinct,
-        # --- new round-5: trending top-k off the heavy-hitters tier ---
-        "hopping_topk": q_hopping_topk,
         # --- new round-5: sliding percentiles off the rank-sketch tier ---
         "hopping_percentiles": q_hopping_percentiles,
         # --- new round-5: inter-snapshot change-score series ---
@@ -2427,6 +2468,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "lttb": q_lttb,
         "trend_1d": q_trend_1d,
+        # --- new round-5 wave 9: state_agg / heartbeat_agg tiers
+        # (operators/stateagg.py — time-in-state merged 1h->1d proves
+        # merge==direct exactly; uptime proves the liveness-union algebra).
+        # Their two in-window slots come from hopping_distinct/hopping_topk
+        # (moved to the window edge): those ride kmv.py/heavy_hitters.py,
+        # whose base-tier rows distinct_sketch_1d/heavy_hitters_1d stay
+        # checked, and both hopping compositions are pinned equal to a
+        # direct window build in pytest (test_kmv.py::
+        # test_hopping_equals_direct_window_build, test_heavy_hitters.py::
+        # test_hopping_invariant_vs_raw_windows); hopping_percentiles stays
+        # in-window to cover the hopping helper itself on the qsketch tier.
+        "state_durations_1d": q_state_durations_1d,
+        "uptime_1h": q_uptime_1h,
         # round-5 store layer: stats-pruned read proven lossless in-window
         "pruned_tier_read": q_pruned_tier_read,
         # round-5 store layer: copy-on-write MERGE INTO (upsert + append)
@@ -2466,6 +2520,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # takes ann_topk's in-window slot — the brute-force cosine scoring
         # it shares with ann_topk_gemm stays covered by the gemm row.
         "freq_changepoints": q_freq_changepoints,
+        # window edge: evicted for the two stateagg rows (see the stateagg
+        # comment above) — base-tier rows on the same files stay in-window
+        # and both compositions are pinned equal to direct builds in pytest
+        "hopping_distinct": q_hopping_distinct,
+        "hopping_topk": q_hopping_topk,
         "window_segmentor": q_window_segmentor,
         # evicted to the window edge for the two new DML rows: r4/r3
         # hash-exact, and their round-5 file edits are exercised in-window
@@ -3582,6 +3641,57 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
         # direct per-(user, day) regression over raw rows; the Spark side
         # merges persisted 1h partials first — equality proves the
         # regression tier re-aggregates exactly
+        "state_durations_1d": """
+            WITH sp AS (
+                SELECT user_id, event_type AS state,
+                       epoch_us(ts) AS s,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS e
+                FROM events WHERE event_type IS NOT NULL
+            ),
+            ex AS (
+                SELECT user_id, state, s, e,
+                       unnest(generate_series(
+                           s // 86400000000, (e - 1) // 86400000000)) AS b
+                FROM sp WHERE e > s
+            )
+            SELECT user_id, state, b * 86400 AS bucket,
+                   CAST(SUM(LEAST(e, (b + 1) * 86400000000)
+                            - GREATEST(s, b * 86400000000)) AS BIGINT)
+                       AS held_us,
+                   CAST(SUM(CASE WHEN b * 86400000000 <= s
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+            FROM ex GROUP BY 1, 2, 3
+        """,
+        "uptime_1h": """
+            WITH sp AS (
+                SELECT user_id,
+                       epoch_us(ts) AS s,
+                       LEAST(COALESCE(lead(epoch_us(ts)) OVER (
+                                 PARTITION BY user_id ORDER BY ts),
+                             epoch_us(ts) + 600000000),
+                             epoch_us(ts) + 600000000) AS e,
+                       COALESCE(lead(epoch_us(ts)) OVER (
+                                 PARTITION BY user_id ORDER BY ts)
+                             > epoch_us(ts) + 600000000, FALSE) AS gap
+                FROM events
+            ),
+            ex AS (
+                SELECT user_id, s, e, gap,
+                       unnest(generate_series(
+                           s // 3600000000, (e - 1) // 3600000000)) AS b
+                FROM sp WHERE e > s
+            )
+            SELECT user_id, b * 3600 AS bucket,
+                   CAST(SUM(LEAST(e, (b + 1) * 3600000000)
+                            - GREATEST(s, b * 3600000000)) AS BIGINT)
+                       AS up_us,
+                   CAST(SUM(CASE WHEN b * 3600000000 <= s
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_heartbeats,
+                   CAST(SUM(CASE WHEN (b + 1) * 3600000000 >= e AND gap
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+            FROM ex GROUP BY 1, 2
+        """,
         "trend_1d": """
             SELECT user_id,
                    (floor(epoch(ts))::BIGINT // 86400) * 86400 AS bucket,

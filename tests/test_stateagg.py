@@ -1,0 +1,146 @@
+"""Time-in-state and heartbeat/liveness tiers (operators/stateagg.py):
+hand-computed fixtures, merge==direct across tiers (the continuous-aggregate
+contract), repartition invariance, and the explode guard."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from streamchange_spark.operators import (
+    heartbeat_eval,
+    heartbeat_rollup,
+    heartbeat_tier,
+    state_eval,
+    state_rollup,
+    state_tier,
+)
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(
+        [(k, float(s), st) for k, s, st in rows], ["k", "sec", "state"]
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "state")
+
+
+def test_state_tier_locf_and_split(spark):
+    """State holds until the next observation, split exactly across bucket
+    boundaries; the final observation holds nothing."""
+    df = _obs(
+        spark,
+        [("a", 600, "up"), ("a", 3000, "down"), ("a", 4200, "up"),
+         ("a", 7200, "down")],
+    )
+    out = {
+        (r["bucket_start"].hour, r["state"]): r
+        for r in state_tier(df, ["k"], "ts", "state", "1h").collect()
+    }
+    # bucket 0: up 600->3000 (2400s), down 3000->3600 (600s, split at boundary)
+    assert out[(0, "up")]["held_us"] == 2400 * 1_000_000
+    assert out[(0, "down")]["held_us"] == 600 * 1_000_000
+    # bucket 1: down 3600->4200 (600s), up 4200->7200 (3000s)
+    assert out[(1, "down")]["held_us"] == 600 * 1_000_000
+    assert out[(1, "up")]["held_us"] == 3000 * 1_000_000
+    # the 7200 observation holds nothing -> no hour-2 rows
+    assert not any(h == 2 for h, _ in out)
+    # span-start counts: transitions observed = 3 (final obs starts no span)
+    assert sum(r["n_spans"] for r in out.values()) == 3
+    # total held time per key == last_ts - first_ts
+    assert sum(r["held_us"] for r in out.values()) == (7200 - 600) * 1_000_000
+
+
+def test_state_merge_equals_direct(spark):
+    """1h partials summed into 1d buckets == the direct 1d build,
+    bit-for-bit (held_us are an exact partition of each span)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = 0.0
+        for _ in range(200):
+            t += rng.expovariate(1 / 5000.0)
+            rows.append((k, t, rng.choice(["up", "down", "degraded"])))
+    df = _obs(spark, rows)
+    direct = state_tier(df, ["k"], "ts", "state", "1d")
+    merged = state_rollup(state_tier(df, ["k"], "ts", "state", "1h"), ["k"], "1d")
+    key = lambda r: (r["k"], r["bucket_start"], r["state"])
+    d = sorted(direct.collect(), key=key)
+    m = sorted(merged.collect(), key=key)
+    assert [tuple(r) for r in d] == [tuple(r) for r in m]
+    # repartition invariance: the window + explode + groupBy pipeline is
+    # partitioning-independent
+    scrambled = state_tier(df.repartition(13), ["k"], "ts", "state", "1d")
+    s = sorted(scrambled.collect(), key=key)
+    assert [tuple(r) for r in s] == [tuple(r) for r in d]
+
+
+def test_state_eval_and_null_states(spark):
+    df = _obs(spark, [("a", 0, "up"), ("a", 100, None), ("a", 200, "up"),
+                      ("a", 300, "down")])
+    out = state_eval(state_tier(df, ["k"], "ts", "state", "1h")).collect()
+    # NULL-state row dropped entirely: up holds 0->200 (the next NON-NULL), no
+    # wait — NULL rows are filtered BEFORE lead, so up holds 0->200, up 200->300
+    held = {r["state"]: r["held_seconds"] for r in out}
+    assert held == {"up": pytest.approx(300.0)}
+    assert all("held_us" not in r.asDict() for r in out)
+
+
+def test_heartbeat_uptime_union_and_gaps(spark):
+    """Tolerance windows union without double counting; gaps counted at the
+    bucket where the up-span ends; final heartbeat gets its full window."""
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 300.0), ("a", 2000.0), ("a", 3550.0)], ["k", "sec"]
+    ).select("k", F.timestamp_seconds("sec").alias("ts"))
+    tiers = heartbeat_tier(df, ["k"], "ts", "1h", tolerance_s=600.0)
+    out = {r["bucket_start"].hour: r for r in heartbeat_eval(tiers, "1h").collect()}
+    # hour 0: [0,300)+[300,900) = 900, gap 900->2000, [2000,2600) = 600,
+    # [3550,3600) = 50 (split at boundary) => 1550s up; both gap onsets
+    # (spans ending at 900 and 2600) land in hour 0
+    assert out[0]["up_seconds"] == pytest.approx(1550.0)
+    assert out[0]["n_heartbeats"] == 4
+    assert out[0]["n_gaps"] == 2
+    assert out[0]["uptime_ratio"] == pytest.approx(1550.0 / 3600.0)
+    # hour 1: tail of 3550's window [3600,4150) = 550s; 2000's gap (2600->3550)
+    # ended in hour 0 (up-span end 2600) so it was counted there
+    assert out[1]["up_seconds"] == pytest.approx(550.0)
+    assert out[1]["n_heartbeats"] == 0
+    # total gaps across buckets: 900->2000 and 2600->3550
+    assert sum(r["n_gaps"] for r in out.values()) == 2
+
+
+def test_heartbeat_merge_equals_direct(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for k in ("a", "b"):
+        t = 0.0
+        for _ in range(300):
+            t += rng.expovariate(1 / 700.0)
+            rows.append((k, t))
+    df = spark.createDataFrame(rows, ["k", "sec"]).select(
+        "k", F.timestamp_seconds("sec").alias("ts")
+    )
+    direct = heartbeat_tier(df, ["k"], "ts", "1d", tolerance_s=900.0)
+    merged = heartbeat_rollup(
+        heartbeat_tier(df, ["k"], "ts", "1h", tolerance_s=900.0), ["k"], "1d"
+    )
+    key = lambda r: (r["k"], r["bucket_start"])
+    d = sorted(direct.collect(), key=key)
+    m = sorted(merged.collect(), key=key)
+    assert [tuple(r) for r in d] == [tuple(r) for r in m]
+
+
+def test_span_guard_raises(spark):
+    """A span overlapping more than max_span_buckets buckets fails loudly
+    instead of exploding (the gapfill grid-guard contract)."""
+    df = _obs(spark, [("a", 0, "up"), ("a", 400 * 3600, "down")])
+    with pytest.raises(Exception) as ei:
+        state_tier(df, ["k"], "ts", "state", "1h", max_span_buckets=100).collect()
+    assert "max_span_buckets" in str(ei.value)
+
+
+def test_heartbeat_tolerance_validation(spark):
+    df = _obs(spark, [("a", 0, "up")]).select("k", "ts")
+    with pytest.raises(ValueError):
+        heartbeat_tier(df, ["k"], "ts", "1h", tolerance_s=0.0)
