@@ -75,6 +75,8 @@ HEADLINE = [
     "counter_rate",
     "lttb",
     "trend_1d",
+    "state_durations_1d",
+    "uptime_1h",
     "pruned_tier_read",
     "merge_upsert",
     "delete_rows",

@@ -119,8 +119,9 @@ def state_tier(
     """Per-(key, bucket, state) held microseconds + span-start counts over
     raw observations. NULL states are dropped (SQL aggregate convention).
     Output: key_cols, bucket_start, state, held_us (long), n_spans (long —
-    spans STARTING in the bucket, so SUM(n_spans) over all buckets equals
-    the number of state transitions observed)."""
+    spans STARTING in the bucket; every observation with a successor starts
+    one, so SUM(n_spans) over all buckets = #observations − #keys, whether
+    or not adjacent observations change state)."""
     seconds = TIER_SECONDS[tier]
     bucket_us = seconds * 1_000_000
     w = Window.partitionBy(*key_cols).orderBy(ts_col)

@@ -1,0 +1,176 @@
+"""Streaming time-in-state tiers.
+
+Streaming twin of ``operators.stateagg`` with the effectively-once shape
+shared by the kmv/qsketch/hh/statsagg twins — but unlike those, a state
+span is NOT computable inside one micro-batch (the span closing an
+observation may arrive batches later), so the per-batch partial is a
+RUN-LENGTH ENCODING of each key's consecutive equal-state observations:
+``(key, state, run_start_us, run_end_us, n_obs)``. Runs are a pure
+function of the batch's own rows (idempotent — a replayed batch overwrites
+only its own ``_batch_id`` partition), and they compact the ingest to one
+row per state CHANGE per batch instead of one per observation: a crawl
+fetch-status feed that flips rarely stores ~#transitions rows, not #fetches.
+
+``state_tier_from_ingest`` reconstructs the span set at query time by
+re-expanding each run to its two endpoint observations (the interior
+observations of a run are redundant for the DURATIONS — the state is
+constant between them) and running the SAME batch operator over them, so
+the streamed tier's ``held_us`` equals ``state_tier`` over everything
+ingested, bit-for-bit, whenever each key's observations arrive in
+event-time order across batches (the chronological crawl-dump reality;
+pinned in pytest). ``n_spans`` counts the COMPACTED observation set's
+spans (interior observations extend a span instead of starting one);
+``encode_runs=False`` keeps every observation and is pinned fully
+bit-equal to the batch build, n_spans included.
+
+Honest late-data contract: a late row landing strictly INSIDE an
+already-compacted run re-attributes time from the run's state to the late
+state with boundaries at the run's ENDPOINTS rather than at the dropped
+interior observations — total held time per key is conserved exactly
+(span algebra partitions ``last_ts - first_ts`` regardless), only the
+attribution boundary within that run can shift, bounded by the run's own
+span. Feeds that need exact late re-attribution should ingest with
+``encode_runs=False`` (store every observation; no compaction, same
+merge path).
+
+Scale notes (100 TB): the ingest shuffle carries one row per (key, batch
+run); the read-time merge is the batch operator's own plan — one per-key
+window pass + the bounded span explode + a (key, bucket, state) groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.stateagg import state_rollup, state_tier
+
+__all__ = ["run_streaming_state_ingest", "state_tier_from_ingest"]
+
+
+def _encode_runs(
+    batch_df: DataFrame, key_cols: Sequence[str], ts_col: str, state_col: str
+) -> DataFrame:
+    """Collapse each key's consecutive equal-state observations (event-time
+    order) into ``(keys..., state, run_start_us, run_end_us, n_obs)``."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    new_run = (
+        F.lag(state_col).over(w).isNull()
+        | (F.col(state_col) != F.lag(state_col).over(w))
+    ).cast("int")
+    run_id = F.sum(new_run).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        batch_df.where(F.col(state_col).isNotNull())
+        .select(
+            *key_cols,
+            F.col(state_col).alias("state"),
+            ts_us.alias("_ts_us"),
+            run_id.alias("_run"),
+        )
+        .groupBy(*key_cols, "_run", "state")
+        .agg(
+            F.min("_ts_us").alias("run_start_us"),
+            F.max("_ts_us").alias("run_end_us"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .drop("_run")
+    )
+
+
+def run_streaming_state_ingest(
+    spark: SparkSession,
+    input_path: str,
+    runs_path: str,
+    checkpoint_path: str,
+    schema: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    encode_runs: bool = True,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: int = 600,
+) -> None:
+    """Reduce every unprocessed file under ``input_path`` (availableNow)
+    into per-micro-batch state-run rows at ``runs_path``. Resume-safe: the
+    stream checkpoint skips finished files, and a replayed batch
+    dynamically overwrites only its own ``_batch_id`` partition.
+    ``encode_runs=False`` stores one run per OBSERVATION (no compaction)
+    for feeds that need exact late-row re-attribution."""
+    key_cols = list(key_cols)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if encode_runs:
+            runs = _encode_runs(batch_df, key_cols, ts_col, state_col)
+        else:
+            ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+            runs = batch_df.where(F.col(state_col).isNotNull()).select(
+                *key_cols,
+                F.col(state_col).alias("state"),
+                ts_us.alias("run_start_us"),
+                ts_us.alias("run_end_us"),
+                F.lit(1).cast("long").alias("n_obs"),
+            )
+        (
+            runs.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(runs_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def state_tier_from_ingest(
+    spark: SparkSession,
+    runs_path: str,
+    key_cols: Sequence[str],
+    tier: str = "1h",
+    max_span_buckets: int = 1_000_000,
+) -> DataFrame:
+    """The queryable time-in-state tier: re-expand accumulated runs to
+    their endpoint observations and run the batch span algebra — equal to
+    ``state_tier`` over the full ingested data (bit-for-bit under in-order
+    arrival; see module docstring). Pass a coarser ``tier`` to aggregate
+    straight to it (runs carry raw microseconds, so any tier is direct —
+    and :func:`..operators.stateagg.state_rollup` still merges the result
+    coarser, the partials being the same exact span partition).
+
+    ``n_spans`` counts LOCF spans over the ingested observation set; run
+    interiors collapse (an interior observation extends a span rather than
+    starting one), so under in-order arrival it equals the batch build's
+    transition count."""
+    key_cols = list(key_cols)
+    runs = spark.read.parquet(runs_path).drop("_batch_id")
+    obs = runs.select(
+        *key_cols,
+        "state",
+        F.explode(
+            F.when(
+                F.col("run_end_us") > F.col("run_start_us"),
+                F.array("run_start_us", "run_end_us"),
+            ).otherwise(F.array("run_start_us"))
+        ).alias("_ts_us"),
+    ).select(
+        *key_cols,
+        F.timestamp_micros(F.col("_ts_us")).alias("_ts"),
+        "state",
+    )
+    return state_tier(
+        obs, key_cols, "_ts", "state", tier, max_span_buckets=max_span_buckets
+    )

@@ -468,3 +468,78 @@ def test_streaming_stats_tier_matches_batch(spark, tmp_path):
 
     a, b = snap(streamed), snap(batch)
     assert a == b and len(a) >= 4
+
+
+def test_streaming_state_tier_matches_batch(spark, tmp_path):
+    """Two chronological dumps streamed into run-length state partials,
+    merged into a queryable 1d tier: held_us bit-equals state_tier run in
+    BATCH over the union (span durations are exact integer microseconds;
+    run compaction preserves them). n_spans counts the compacted set's
+    spans, so it is compared only on the encode_runs=False path below."""
+    from streamchange_spark.operators import state_tier
+    from streamchange_spark.streaming import (
+        run_streaming_state_ingest,
+        state_tier_from_ingest,
+    )
+
+    rng = np.random.RandomState(31)
+    src = tmp_path / "state_events"
+    src.mkdir()
+    frames = []
+    base = pd.Timestamp("2024-03-01").value // 10**9
+    for dump in range(2):
+        n = 1500
+        # chronological dumps: dump 1 strictly after dump 0 per key
+        pdf = pd.DataFrame(
+            {
+                "key": np.where(rng.rand(n) < 0.5, "a", "b"),
+                "ts": pd.to_datetime(
+                    base + dump * 86400 * 2
+                    + np.sort(rng.choice(86400 * 2, n, replace=False)),
+                    unit="s",
+                ),
+                "state": rng.choice(["ok", "redirect", "error"], n),
+            }
+        )
+        pdf.to_parquet(src / f"dump{dump}.parquet", coerce_timestamps="us")
+        frames.append(pdf)
+
+    runs_path = str(tmp_path / "state_runs")
+    ckpt = str(tmp_path / "ckpt_state")
+    run_streaming_state_ingest(
+        spark, str(src), runs_path, ckpt,
+        "key string, ts timestamp, state string",
+        ["key"], "ts", "state",
+        max_files_per_trigger=1, timeout_sec=300,
+    )
+    streamed = state_tier_from_ingest(spark, runs_path, ["key"], "1d")
+
+    union = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    batch = state_tier(union, ["key"], "ts", "state", "1d")
+
+    def held(df):
+        return sorted(
+            (r["key"], r["bucket_start"], r["state"], r["held_us"])
+            for r in df.collect()
+        )
+
+    a, b = held(streamed), held(batch)
+    assert a == b and len(a) >= 6
+    # compaction actually happened: stored runs < observations
+    n_runs = spark.read.parquet(runs_path).count()
+    assert n_runs < 3000
+
+    # encode_runs=False: every observation retained -> FULL bit equality,
+    # n_spans included
+    runs2 = str(tmp_path / "state_runs_full")
+    run_streaming_state_ingest(
+        spark, str(src), runs2, str(tmp_path / "ckpt_state2"),
+        "key string, ts timestamp, state string",
+        ["key"], "ts", "state", encode_runs=False,
+        max_files_per_trigger=1, timeout_sec=300,
+    )
+    streamed_full = state_tier_from_ingest(spark, runs2, ["key"], "1d")
+    key = lambda r: (r["key"], r["bucket_start"], r["state"])
+    sf = sorted(streamed_full.collect(), key=key)
+    bf = sorted(batch.collect(), key=key)
+    assert [tuple(r) for r in sf] == [tuple(r) for r in bf]
