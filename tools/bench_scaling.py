@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 ALL_STAGES = (
     "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
     "sessions_sorted", "sketch", "freq", "increment", "lines",
-    "lines_increment", "churn", "crawlfreq", "refresh", "dml",
+    "lines_increment", "churn", "crawlfreq", "refresh", "dml", "state",
 )
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 SORTED_BUCKETS = 64
@@ -292,6 +292,29 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         )
         out["crawlfreq_changepoints"] = fcpts.count()
         out["crawlfreq_sec"] = round(time.time() - t0, 2)
+
+    if "state" in stages:
+        # Time-in-state tier (operators/stateagg.py): per-url LOCF lang
+        # spans split at 1h boundaries (window lead + bounded explode +
+        # (url, bucket, state) groupBy), then the 1d tier merged from the
+        # persisted 1h partials — the continuous-aggregate chain. Cost
+        # shape = one per-key window pass + ~1-2 exploded rows per
+        # observation at the 15-min crawl grid.
+        from streamchange_spark.operators import state_rollup, state_tier
+
+        t0 = time.time()
+        st1h = state_tier(
+            pages.select("url", "warc_ts", "lang"),
+            ["url"], "warc_ts", "lang", "1h",
+        ).persist()
+        out["state_rows_1h"] = st1h.count()
+        out["state_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        state_rollup(st1h, ["url"], "1d").write.mode("overwrite").format(
+            "noop"
+        ).save()
+        out["state_merge_sec"] = round(time.time() - t0, 2)
+        st1h.unpersist()
     if tier1h is not None:
         tier1h.unpersist()
 
@@ -847,6 +870,8 @@ def _derive(merged: dict) -> dict:
         merged["dml_merge_speedup_vs_rewrite"] = round(
             merged["dml_rewrite_sec"] / merged["dml_merge_sec"], 2
         )
+    if "state_sec" in merged:
+        merged["state_rows_per_sec"] = round(n_rows / merged["state_sec"], 1)
     if "churn_sig_sec" in merged:
         merged["churn_snapshots_per_sec"] = round(
             merged["churn_snapshots"] / merged["churn_sig_sec"], 1
@@ -938,6 +963,8 @@ def main():
         "dml_delete": "dml_delete_sec",
         "churn_sig": "churn_snapshots_per_sec",
         "churn_detect": "churn_detect_sec",
+        "state": "state_rows_per_sec",
+        "state_merge": "state_merge_sec",
     }
 
     def thr(r, key):
