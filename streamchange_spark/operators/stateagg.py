@@ -175,6 +175,96 @@ def state_eval(df: DataFrame) -> DataFrame:
     )
 
 
+def encode_state_runs(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    collapse: bool = True,
+) -> DataFrame:
+    """Project observations to the run table ``(keys..., state,
+    run_start_us, run_end_us, n_obs)`` — the persistable partial the
+    streaming twin and the pipeline's per-day family store.
+
+    ``collapse=True`` run-length-encodes consecutive equal-state
+    observations (one row per state CHANGE — the compaction a
+    rarely-flipping fetch-status feed wants); interiors of a run are
+    redundant for the DURATIONS, but a LATE row landing strictly inside a
+    collapsed run re-attributes at the run's endpoints instead of the
+    dropped interior observations (total time conserved; boundary shifts
+    bounded by the run span). ``collapse=False`` stores one run per
+    observation — no compaction, and :func:`state_tier_from_runs` is then
+    exact under arbitrary late/out-of-order arrivals, which is why the
+    flagship pipeline defaults to it for its refresh contract."""
+    if not collapse:
+        ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        return df.where(F.col(state_col).isNotNull()).select(
+            *key_cols,
+            F.col(state_col).alias("state"),
+            ts_us.alias("run_start_us"),
+            ts_us.alias("run_end_us"),
+            F.lit(1).cast("long").alias("n_obs"),
+        )
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    new_run = (
+        F.lag(state_col).over(w).isNull()
+        | (F.col(state_col) != F.lag(state_col).over(w))
+    ).cast("int")
+    run_id = F.sum(new_run).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.where(F.col(state_col).isNotNull())
+        .select(
+            *key_cols,
+            F.col(state_col).alias("state"),
+            ts_us.alias("_ts_us"),
+            run_id.alias("_run"),
+        )
+        .groupBy(*key_cols, "_run", "state")
+        .agg(
+            F.min("_ts_us").alias("run_start_us"),
+            F.max("_ts_us").alias("run_end_us"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .drop("_run")
+    )
+
+
+def state_tier_from_runs(
+    runs: DataFrame,
+    key_cols: Sequence[str],
+    tier: str = "1h",
+    max_span_buckets: int = 1_000_000,
+) -> DataFrame:
+    """The queryable time-in-state tier over accumulated run rows: re-expand
+    each run to its endpoint observations (interiors are state-constant,
+    hence duration-redundant) and run the batch span algebra. Equal to
+    :func:`state_tier` over the original observations — ``held_us``
+    bit-for-bit whenever no late row landed inside a collapsed run (always,
+    for ``collapse=False`` runs); ``n_spans`` counts the stored observation
+    set's spans."""
+    key_cols = list(key_cols)
+    obs = runs.select(
+        *key_cols,
+        "state",
+        F.explode(
+            F.when(
+                F.col("run_end_us") > F.col("run_start_us"),
+                F.array("run_start_us", "run_end_us"),
+            ).otherwise(F.array("run_start_us"))
+        ).alias("_ts_us"),
+    ).select(
+        *key_cols,
+        F.timestamp_micros(F.col("_ts_us")).alias("_ts"),
+        "state",
+    )
+    return state_tier(
+        obs, key_cols, "_ts", "state", tier, max_span_buckets=max_span_buckets
+    )
+
+
 def heartbeat_tier(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -38,6 +38,8 @@ from .operators import (
     sketch_rollup,
     sketch_tier,
     snapshot_signatures,
+    encode_state_runs,
+    state_tier_from_runs,
     stats_eval,
     stats_rollup,
     stats_tier,
@@ -129,6 +131,16 @@ def run_pipeline(
             # pass would give; the cross-day score window later reads k+2
             # small columns per snapshot, never text again.
             day_pages = pages.where(F.to_date("warc_ts") == F.lit(day))
+            # Time-in-state runs (stateagg.py): each crawl's lang held LOCF
+            # until the url's next crawl. Stored per-OBSERVATION
+            # (collapse=False) so the read-time span stitch — which crosses
+            # day boundaries the per-day scan cannot see — stays exact
+            # under arbitrary late/out-of-order refresh batches; the
+            # queryable per-day/monthly lang-duration tier stitches from
+            # these 3-small-column rows, never re-reading text.
+            partitions[f"staterun/{day}"] = encode_state_runs(
+                day_pages, ["url"], "warc_ts", "lang", collapse=False
+            )
             partitions[f"sig/{day}"] = snapshot_signatures(
                 day_pages, "url", "warc_ts", "text", num_hashes=SIG_HASHES,
                 # xxhash = the scale default (same convention as the corpus
@@ -218,6 +230,11 @@ def run_pipeline(
     # regression moments (slope/R² per url per day, no raw re-scan).
     stats1h = store.read(spark, prefix="stats1h/")
     trend_1d_rows = stats_eval(stats_rollup(stats1h, ["url"], "1d")).count()
+    # ... and the daily time-in-state surface (seconds each url spent in
+    # each lang) stitched from the committed per-day run rows — the stitch
+    # crosses day boundaries because the store read IS the full table.
+    staterun = store.read(spark, prefix="staterun/")
+    lang_state_1d_rows = state_tier_from_runs(staterun, ["url"], "1d").count()
     sketch_sec = time.time() - t0
 
     # Change-score series + churn change points from the committed per-day
@@ -258,6 +275,7 @@ def run_pipeline(
         "pctl_1d_rows": pctl_1d_rows,
         "uniq_urls_1d_rows": uniq_urls_1d_rows,
         "trend_1d_rows": trend_1d_rows,
+        "lang_state_1d_rows": lang_state_1d_rows,
         "churn_changepoints": churn_cpts,
         "churn_sec": round(churn_sec, 2),
         "tiers_sec": round(tiers_sec, 2),
@@ -279,8 +297,8 @@ def purge_url(
     blobs, percentile sketches, and minhash signatures queryable.
 
     Row-keyed families (``tier1h/``, ``gorilla1h/``, ``qsketch1h/``,
-    ``stats1h/``, ``sig/`` — every row carries the url, blobs and sketches
-    are per-url)
+    ``stats1h/``, ``staterun/``, ``sig/`` — every row carries the url,
+    blobs and sketches are per-url)
     purge with ONE :meth:`SnapshotStore.delete_where` each, url-range hint
     pruning the probe to the files whose stats cover the url;
     ``mode="merge-on-read"`` (default) makes each a metadata-only commit
@@ -298,7 +316,9 @@ def purge_url(
     is NOT complete until they do. Returns per-family deleted-row counts
     and snapshot ids."""
     report: dict = {"url": url, "families": {}}
-    for fam in ("tier1h/", "gorilla1h/", "qsketch1h/", "stats1h/", "sig/"):
+    for fam in (
+        "tier1h/", "gorilla1h/", "qsketch1h/", "stats1h/", "staterun/", "sig/"
+    ):
         snap, rep = store.delete_where(
             spark,
             F.col("url") == F.lit(url),
@@ -472,6 +492,9 @@ def refresh_pipeline(
         stats_1h = stats_tier(
             day_metrics, ["url"], "warc_ts", "text_len", tier="1h"
         )
+        staterun = encode_state_runs(
+            day_pages, ["url"], "warc_ts", "lang", collapse=False
+        )
         sig = snapshot_signatures(
             day_pages, "url", "warc_ts", "text",
             num_hashes=SIG_HASHES, hash_fn="xxhash",
@@ -494,6 +517,12 @@ def refresh_pipeline(
                 "1h",
             )
             sig = store.read(spark, prefix=f"sig/{day}").unionByName(sig)
+            # per-observation run rows: union IS the refresh (the stitch
+            # interleaves them by timestamp at read — exact under
+            # arbitrary lateness, the reason collapse=False here)
+            staterun = store.read(spark, prefix=f"staterun/{day}").unionByName(
+                staterun
+            )
             # regression moments are additive: re-bucketing at the same
             # tier is a pure per-(url, bucket) SUM (origin shift c = 0)
             stats_1h = stats_rollup(
@@ -510,6 +539,7 @@ def refresh_pipeline(
         partitions[f"qsketch1h/{day}"] = sketch_1h
         partitions[f"kmv1h/{day}"] = kmv_1h
         partitions[f"stats1h/{day}"] = stats_1h
+        partitions[f"staterun/{day}"] = staterun
         partitions[f"sig/{day}"] = sig
 
     prior_watermark = store.manifest().get("watermark")

@@ -42,44 +42,12 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.stateagg import state_rollup, state_tier
+from ..operators.stateagg import encode_state_runs, state_tier_from_runs
 
 __all__ = ["run_streaming_state_ingest", "state_tier_from_ingest"]
-
-
-def _encode_runs(
-    batch_df: DataFrame, key_cols: Sequence[str], ts_col: str, state_col: str
-) -> DataFrame:
-    """Collapse each key's consecutive equal-state observations (event-time
-    order) into ``(keys..., state, run_start_us, run_end_us, n_obs)``."""
-    w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    new_run = (
-        F.lag(state_col).over(w).isNull()
-        | (F.col(state_col) != F.lag(state_col).over(w))
-    ).cast("int")
-    run_id = F.sum(new_run).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        batch_df.where(F.col(state_col).isNotNull())
-        .select(
-            *key_cols,
-            F.col(state_col).alias("state"),
-            ts_us.alias("_ts_us"),
-            run_id.alias("_run"),
-        )
-        .groupBy(*key_cols, "_run", "state")
-        .agg(
-            F.min("_ts_us").alias("run_start_us"),
-            F.max("_ts_us").alias("run_end_us"),
-            F.count(F.lit(1)).alias("n_obs"),
-        )
-        .drop("_run")
-    )
 
 
 def run_streaming_state_ingest(
@@ -108,17 +76,9 @@ def run_streaming_state_ingest(
     stream = reader.parquet(input_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if encode_runs:
-            runs = _encode_runs(batch_df, key_cols, ts_col, state_col)
-        else:
-            ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-            runs = batch_df.where(F.col(state_col).isNotNull()).select(
-                *key_cols,
-                F.col(state_col).alias("state"),
-                ts_us.alias("run_start_us"),
-                ts_us.alias("run_end_us"),
-                F.lit(1).cast("long").alias("n_obs"),
-            )
+        runs = encode_state_runs(
+            batch_df, key_cols, ts_col, state_col, collapse=encode_runs
+        )
         (
             runs.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -151,26 +111,9 @@ def state_tier_from_ingest(
     and :func:`..operators.stateagg.state_rollup` still merges the result
     coarser, the partials being the same exact span partition).
 
-    ``n_spans`` counts LOCF spans over the ingested observation set; run
-    interiors collapse (an interior observation extends a span rather than
-    starting one), so under in-order arrival it equals the batch build's
-    transition count."""
-    key_cols = list(key_cols)
+    ``n_spans`` counts LOCF spans over the STORED observation set (see
+    :func:`..operators.stateagg.state_tier_from_runs`)."""
     runs = spark.read.parquet(runs_path).drop("_batch_id")
-    obs = runs.select(
-        *key_cols,
-        "state",
-        F.explode(
-            F.when(
-                F.col("run_end_us") > F.col("run_start_us"),
-                F.array("run_start_us", "run_end_us"),
-            ).otherwise(F.array("run_start_us"))
-        ).alias("_ts_us"),
-    ).select(
-        *key_cols,
-        F.timestamp_micros(F.col("_ts_us")).alias("_ts"),
-        "state",
-    )
-    return state_tier(
-        obs, key_cols, "_ts", "state", tier, max_span_buckets=max_span_buckets
+    return state_tier_from_runs(
+        runs, list(key_cols), tier, max_span_buckets=max_span_buckets
     )

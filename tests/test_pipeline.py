@@ -28,11 +28,13 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path, pages):
     assert r2["changepoints"] == r1["changepoints"]
 
     # Lineage: one row per committed partition (tier + gorilla + qsketch
-    # + kmv + stats + sig per day).
+    # + kmv + stats + staterun + sig per day).
     store = SnapshotStore(store_dir)
     lineage = store.lineage(spark).toPandas()
-    assert len(lineage) == 6 * r1["days_total"]
+    assert len(lineage) == 7 * r1["days_total"]
     assert r1["trend_1d_rows"] > 0 and r2["trend_1d_rows"] == r1["trend_1d_rows"]
+    assert r1["lang_state_1d_rows"] > 0
+    assert r2["lang_state_1d_rows"] == r1["lang_state_1d_rows"]
     assert r1["pctl_1d_rows"] > 0 and r2["pctl_1d_rows"] == r1["pctl_1d_rows"]
     assert r1["uniq_urls_1d_rows"] > 0
     assert r2["uniq_urls_1d_rows"] == r1["uniq_urls_1d_rows"]
@@ -1264,7 +1266,9 @@ def test_purge_url_across_all_tiers_equals_rebuild(spark, tmp_path, pages):
     clean = SnapshotStore(clean_dir)
 
     # no family still answers for the url
-    for fam in ("tier1h/", "gorilla1h/", "qsketch1h/", "stats1h/", "sig/"):
+    for fam in (
+        "tier1h/", "gorilla1h/", "qsketch1h/", "stats1h/", "staterun/", "sig/"
+    ):
         assert store.read(spark, prefix=fam).where(
             F.col("url") == victim
         ).count() == 0
@@ -1310,6 +1314,17 @@ def test_purge_url_across_all_tiers_equals_rebuild(spark, tmp_path, pages):
         ).collect()
     )
     assert trend(store) == trend(clean)
+
+    # time-in-state: stitched daily lang durations equal bit-for-bit
+    # (held_us stays integral end to end)
+    from streamchange_spark.operators import state_tier_from_runs
+
+    lang_state = lambda s: sorted(
+        tuple(r) for r in state_tier_from_runs(
+            s.read(spark, prefix="staterun/"), ["url"], "1d"
+        ).collect()
+    )
+    assert lang_state(store) == lang_state(clean)
 
     # crawl breadth: rebuilt KMV tiers give the clean store's estimates
     kmv = lambda s: sorted(

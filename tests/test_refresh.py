@@ -106,6 +106,18 @@ def test_refresh_equals_full_rebuild(spark, tmp_path, pages):
     )
     assert sig_inc.equals(sig_full)
 
+    # Time-in-state: the stitched daily tier over the refreshed run rows
+    # bit-equals the full build's (obs-level runs make the union exact
+    # under arbitrary lateness — the family's refresh contract).
+    from streamchange_spark.operators import state_tier_from_runs
+
+    lang_state = lambda d: sorted(
+        tuple(r) for r in state_tier_from_runs(
+            SnapshotStore(d).read(spark, prefix="staterun/"), ["url"], "1d"
+        ).collect()
+    )
+    assert lang_state(inc_dir) == lang_state(full_dir)
+
     # Percentile sketches merge with a carried error bound (not bit-equal by
     # design); the additive part must still match exactly.
     n_inc = (
@@ -174,7 +186,7 @@ def test_refresh_new_day_and_empty_store(spark, tmp_path, pages):
     r = refresh_pipeline(spark, future, store_dir)
     assert r["merged_days"] == []
     assert len(r["invalidated_days"]) >= 1
-    assert len(store.completed_partitions()) == n_parts_before + 6 * len(
+    assert len(store.completed_partitions()) == n_parts_before + 7 * len(
         r["invalidated_days"]
     )
 
