@@ -303,6 +303,40 @@ def heartbeat_tier(
     )
 
 
+def heartbeat_tier_from_runs(
+    runs: DataFrame,
+    key_cols: Sequence[str],
+    tier: str = "1h",
+    tolerance_s: float = 600.0,
+    max_span_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Crawl-liveness over a persisted run table: treat every stored run
+    endpoint as a heartbeat and build :func:`heartbeat_tier` — so a
+    pipeline that already commits per-observation run rows
+    (``encode_state_runs(collapse=False)``, the flagship ``staterun/``
+    family) gets the uptime surface for free, no extra storage. EXACT
+    versus ``heartbeat_tier`` over the raw observations for
+    per-observation runs; for collapsed runs the dropped interiors mean
+    coverage between a run's endpoints farther apart than ``tolerance_s``
+    is undercounted (the stored evidence cannot distinguish a dense run
+    from a sparse one), so collapse only feeds this when heartbeat cadence
+    is not the question."""
+    key_cols = list(key_cols)
+    obs = runs.select(
+        *key_cols,
+        F.explode(
+            F.when(
+                F.col("run_end_us") > F.col("run_start_us"),
+                F.array("run_start_us", "run_end_us"),
+            ).otherwise(F.array("run_start_us"))
+        ).alias("_ts_us"),
+    ).select(*key_cols, F.timestamp_micros(F.col("_ts_us")).alias("_ts"))
+    return heartbeat_tier(
+        obs, key_cols, "_ts", tier,
+        tolerance_s=tolerance_s, max_span_buckets=max_span_buckets,
+    )
+
+
 def heartbeat_rollup(
     tier_df: DataFrame, key_cols: Sequence[str], tier: str
 ) -> DataFrame:

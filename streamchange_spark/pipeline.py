@@ -39,6 +39,7 @@ from .operators import (
     sketch_tier,
     snapshot_signatures,
     encode_state_runs,
+    heartbeat_tier_from_runs,
     state_tier_from_runs,
     stats_eval,
     stats_rollup,
@@ -235,6 +236,13 @@ def run_pipeline(
     # crosses day boundaries because the store read IS the full table.
     staterun = store.read(spark, prefix="staterun/")
     lang_state_1d_rows = state_tier_from_runs(staterun, ["url"], "1d").count()
+    # ... and crawl liveness off the SAME committed rows, zero extra
+    # storage: every stored observation is a heartbeat, so per-url daily
+    # uptime under an hourly-crawl tolerance is one more read surface
+    # (exact — the family stores per-observation runs).
+    crawl_uptime_1d_rows = heartbeat_tier_from_runs(
+        staterun, ["url"], "1d", tolerance_s=3600.0
+    ).count()
     sketch_sec = time.time() - t0
 
     # Change-score series + churn change points from the committed per-day
@@ -276,6 +284,7 @@ def run_pipeline(
         "uniq_urls_1d_rows": uniq_urls_1d_rows,
         "trend_1d_rows": trend_1d_rows,
         "lang_state_1d_rows": lang_state_1d_rows,
+        "crawl_uptime_1d_rows": crawl_uptime_1d_rows,
         "churn_changepoints": churn_cpts,
         "churn_sec": round(churn_sec, 2),
         "tiers_sec": round(tiers_sec, 2),

@@ -35,6 +35,8 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path, pages):
     assert r1["trend_1d_rows"] > 0 and r2["trend_1d_rows"] == r1["trend_1d_rows"]
     assert r1["lang_state_1d_rows"] > 0
     assert r2["lang_state_1d_rows"] == r1["lang_state_1d_rows"]
+    assert r1["crawl_uptime_1d_rows"] > 0
+    assert r2["crawl_uptime_1d_rows"] == r1["crawl_uptime_1d_rows"]
     assert r1["pctl_1d_rows"] > 0 and r2["pctl_1d_rows"] == r1["pctl_1d_rows"]
     assert r1["uniq_urls_1d_rows"] > 0
     assert r2["uniq_urls_1d_rows"] == r1["uniq_urls_1d_rows"]

@@ -144,3 +144,34 @@ def test_heartbeat_tolerance_validation(spark):
     df = _obs(spark, [("a", 0, "up")]).select("k", "ts")
     with pytest.raises(ValueError):
         heartbeat_tier(df, ["k"], "ts", "1h", tolerance_s=0.0)
+
+
+def test_heartbeat_from_obs_runs_exact(spark):
+    """heartbeat_tier_from_runs over per-observation runs (collapse=False)
+    bit-equals heartbeat_tier over the raw observations — the pipeline's
+    free crawl-liveness surface off the committed staterun family."""
+    import random
+
+    from streamchange_spark.operators import (
+        encode_state_runs,
+        heartbeat_tier_from_runs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    rows = []
+    for k in ("a", "b"):
+        t = 0.0
+        for _ in range(200):
+            t += rng.expovariate(1 / 900.0)
+            rows.append((k, t, rng.choice(["x", "y"])))
+    df = spark.createDataFrame(rows, ["k", "sec", "state"]).select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "state"
+    )
+    runs = encode_state_runs(df, ["k"], "ts", "state", collapse=False)
+    via_runs = heartbeat_tier_from_runs(runs, ["k"], "1h", tolerance_s=1200.0)
+    direct = heartbeat_tier(df, ["k"], "ts", "1h", tolerance_s=1200.0)
+    key = lambda r: (r["k"], r["bucket_start"])
+    a = sorted(via_runs.collect(), key=key)
+    b = sorted(direct.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
