@@ -18,7 +18,14 @@ store with the same *semantics* over a directory layout a real
 - incremental consumption: changed-partitions-since-a-snapshot reads
   (``read_incremental`` — appends, refreshes, and row-level deletes count,
   byte compactions don't) and the polling change feed (``follow``);
-- additive schema evolution on read (``read(merge_schema=True)``);
+- additive schema evolution on read (``read(merge_schema=True)``), and
+  PARTITION-granularity evolution for free from key-opaque partitions:
+  the store never parses partition keys, so a table can switch from daily
+  to monthly keys (or any other scheme) mid-history — prefix reads span
+  both generations, file-stats pruning prunes across mixed layouts
+  without interpreting keys, and pre-evolution snapshots time-travel to
+  the old layout (tests/test_pages_snapshots.py::
+  test_partition_granularity_evolution);
 - row-level DML: copy-on-write ``merge_into`` / ``delete_where`` /
   ``update_where`` (touched files only, stats-pruned probe),
   merge-on-read ``delete_where(mode="merge-on-read")`` — Iceberg-v2-style

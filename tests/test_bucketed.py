@@ -217,3 +217,49 @@ def test_sorted_bucketed_plan_holds_at_suggested_bucket_count(
         .sort_values(["url", "session_id"], ignore_index=True)
     )
     assert got.equals(plain)
+
+
+def test_sorted_bucketed_state_tier_no_exchange_no_sort(
+    spark, tmp_path_factory
+):
+    """The time-in-state tier over the sorted one-file-per-bucket layout:
+    the lead window needs no sort (scan reports the (url, warc_ts) order)
+    and the (url, bucket, state) groupBy needs no exchange
+    (HashPartitioning(url) clusters every group) — ZERO Exchange, ZERO
+    Sort end to end, results equal the plain path. This is the 2.1-2.2x
+    layout win BASELINE.md measures for the state stage."""
+    from streamchange_spark.operators import state_tier
+    from streamchange_spark.sources import enable_sorted_bucketed_scan
+
+    base = tmp_path_factory.mktemp("srtstate")
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("u"), (F.col("id") % 73)).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + (F.col("id") % 73) * 17
+            + (F.col("id") / 73).cast("long") * 2000
+        ).alias("warc_ts"),
+        F.concat(F.lit("s"), (F.col("id") % 3)).alias("lang"),
+    )
+    write_bucketed(df.repartition(8, "url"), "pages_srt_state", ["url"],
+                   n_buckets=8, sort_cols=["url", "warc_ts"],
+                   path=str(base / "pages"))
+    prev = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    try:
+        enable_sorted_bucketed_scan(spark)
+        out = state_tier(read_bucketed(spark, "pages_srt_state"),
+                         ["url"], "warc_ts", "lang", "1h")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Sort" not in plan, plan
+        got = sorted(tuple(r) for r in out.collect())
+    finally:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", prev
+        )
+    plain = sorted(
+        tuple(r) for r in state_tier(df, ["url"], "warc_ts", "lang", "1h").collect()
+    )
+    assert got == plain

@@ -150,3 +150,62 @@ def test_retention_expiry_and_snapshot_reclaim(spark, tmp_path):
     assert sorted(r.v for r in store.read(spark, prefix="raw/").collect()) == list(
         range(10, 20)
     )
+
+
+def test_partition_granularity_evolution(spark, tmp_path):
+    """Iceberg partition-evolution property, for free from key-opaque
+    partitions: a table committed with DAILY partition keys can switch to
+    MONTHLY keys for new data in a later snapshot — prefix reads span both
+    generations, file-stats range pruning prunes across both layouts
+    without parsing keys, lineage attributes each generation to its own
+    snapshot, and old snapshots still time-travel to the pre-evolution
+    layout."""
+    store = SnapshotStore(str(tmp_path / "evo"))
+
+    def mk(lo_day, n_days):
+        rows = []
+        for d in range(n_days):
+            for h in (0, 12):
+                rows.append((f"u{d % 3}", (lo_day + d) * 86400 + h * 3600,
+                             float(d * 100 + h)))
+        return spark.createDataFrame(rows, ["url", "sec", "v"]).select(
+            "url", F.timestamp_seconds("sec").alias("bucket_start"), "v"
+        )
+
+    # generation 1: daily keys
+    jan = mk(19723, 4)  # 2024-01-01..04
+    s1 = store.commit_partitions(
+        {
+            f"tier1h/2024-01-0{d + 1}": jan.where(
+                F.dayofmonth("bucket_start") == d + 1
+            )
+            for d in range(4)
+        },
+        stat_cols=["bucket_start"],
+    )
+    # generation 2 (spec evolved): ONE monthly key for February
+    feb = mk(19754, 3)  # 2024-02-01..03
+    s2 = store.commit_partitions({"tier1h/2024-02": feb}, stat_cols=["bucket_start"])
+
+    # prefix read spans both generations
+    total = store.read(spark, prefix="tier1h/")
+    assert total.count() == jan.count() + feb.count()
+
+    # stats pruning works across the mixed layouts without key parsing:
+    # a 1-day February range must prune every January file
+    all_files = store.files_for(prefix="tier1h/")
+    feb_files = store.files_for(
+        prefix="tier1h/",
+        ranges={"bucket_start": ("2024-02-02 00:00:00", "2024-02-02 23:59:59")},
+    )
+    assert 0 < len(feb_files) < len(all_files)
+    assert all("2024-02" in f for f in feb_files)
+
+    # lineage: each generation under its own snapshot id
+    m = store.manifest()
+    assert m["metrics"]["tier1h/2024-01-01"]["snapshot_id"] == s1
+    assert m["metrics"]["tier1h/2024-02"]["snapshot_id"] == s2
+
+    # pre-evolution snapshot still time-travels to the daily-only layout
+    old = store.read(spark, prefix="tier1h/", snapshot_id=s1)
+    assert old.count() == jan.count()
