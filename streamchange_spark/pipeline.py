@@ -160,7 +160,7 @@ def run_pipeline(
             # Manifest column stats (each family records whichever of these
             # it carries): a url- or time-range read over the committed
             # tiers then opens only the overlapping files (files_for).
-            stat_cols=["url", "bucket_start", "warc_ts"],
+            stat_cols=["url", "bucket_start", "warc_ts", "run_start_us"],
         )
     tiers_sec = time.time() - t0
 
@@ -291,6 +291,50 @@ def run_pipeline(
         "detect_sec": round(detect_sec, 2),
         "sketch_sec": round(sketch_sec, 2),
     }
+
+
+def read_lang_state_tier(
+    spark: SparkSession,
+    store: SnapshotStore,
+    start_day: str,
+    end_day: str,
+    tier: str = "1d",
+    horizon_days: int = 30,
+) -> DataFrame:
+    """Range-scoped time-in-state read: per-url lang durations for buckets
+    in ``[start_day, end_day]`` at query cost O(range + horizon), not
+    O(history) — the read a 10^12-row staterun family actually needs
+    (stitching three years of runs to answer one month is the wrong plan).
+
+    Plan: manifest-stats pruning on ``run_start_us`` opens only the
+    staterun files overlapping ``[start - horizon, end + horizon]``
+    (the pipeline commits that stat per file), the stitch runs over that
+    slice, and the output keeps only in-range buckets. ``horizon_days``
+    bounds the LOCF carry in BOTH directions: the span entering the range
+    starts at each url's last crawl before it, and the span leaving it
+    ends at the first crawl after — exact versus a full-history build
+    whenever no url is silent for longer than the horizon across either
+    edge (longer silences lose only the carry beyond the horizon; inside
+    the range every duration is evidenced by in-slice runs). Raises
+    ``FileNotFoundError`` when the range prunes every file."""
+    import datetime as _dt
+
+    start = _dt.datetime.fromisoformat(start_day)
+    end = _dt.datetime.fromisoformat(end_day) + _dt.timedelta(days=1)
+    epoch = _dt.datetime(1970, 1, 1)
+    h_us = horizon_days * 86_400_000_000
+    lo_us = int((start - epoch).total_seconds()) * 1_000_000 - h_us
+    hi_us = int((end - epoch).total_seconds()) * 1_000_000 + h_us
+    runs = store.read(
+        spark, prefix="staterun/", ranges={"run_start_us": (lo_us, hi_us)}
+    ).where(F.col("run_start_us").between(lo_us, hi_us))
+    tiers = state_tier_from_runs(runs, ["url"], tier)
+    return tiers.where(
+        (F.col("bucket_start") >= F.lit(start_day).cast("timestamp"))
+        & (F.col("bucket_start") < F.timestamp_seconds(
+            F.lit(int((end - epoch).total_seconds()))
+        ))
+    )
 
 
 def purge_url(
@@ -563,7 +607,7 @@ def refresh_pipeline(
             "merged_days": merged_days,
             "late_rows": n_late,
         },
-        stat_cols=["url", "bucket_start", "warc_ts"],
+        stat_cols=["url", "bucket_start", "warc_ts", "run_start_us"],
     )
     refresh_sec = time.time() - t0
 

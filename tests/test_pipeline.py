@@ -1360,3 +1360,69 @@ def test_purge_url_across_all_tiers_equals_rebuild(spark, tmp_path, pages):
     m_after = store.manifest()
     for d in days[1:]:
         assert m_after["files"][f"kmv1h/{d}"] == m_before["files"][f"kmv1h/{d}"]
+
+
+def test_range_scoped_state_read_prunes_and_matches_slice(
+    spark, tmp_path, pages
+):
+    """read_lang_state_tier: a mid-history day range opens only the
+    staterun files inside range+horizon (manifest-stats pruning on
+    run_start_us) and returns exactly the full-history stitch's slice when
+    the horizon covers every url's silence across the range edges."""
+    from streamchange_spark.operators import state_tier_from_runs
+    from streamchange_spark.pipeline import read_lang_state_tier
+
+    store_dir = str(tmp_path / "ranged")
+    run_pipeline(spark, pages, store_dir)
+    store = SnapshotStore(store_dir)
+
+    days = sorted(
+        k.split("/", 1)[1]
+        for k in store.manifest()["files"]
+        if k.startswith("staterun/")
+    )
+    assert len(days) >= 4
+    start_day, end_day = days[1], days[2]
+
+    # horizon larger than the fixture's whole span -> exact slice
+    got = sorted(
+        tuple(r)
+        for r in read_lang_state_tier(
+            spark, store, start_day, end_day, tier="1d", horizon_days=400
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in state_tier_from_runs(
+            store.read(spark, prefix="staterun/"), ["url"], "1d"
+        )
+        .where(
+            (F.col("bucket_start") >= F.lit(start_day).cast("timestamp"))
+            & (
+                F.col("bucket_start")
+                < F.date_add(F.lit(end_day).cast("date"), 1).cast("timestamp")
+            )
+        )
+        .collect()
+    )
+    assert got and got == full
+
+    # with a tight horizon the read actually prunes staterun files
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    lo = (
+        int((dt.datetime.fromisoformat(start_day) - epoch).total_seconds())
+        * 1_000_000
+        - 86_400_000_000
+    )
+    hi = (
+        int((dt.datetime.fromisoformat(end_day) - epoch).total_seconds())
+        * 1_000_000
+        + 2 * 86_400_000_000
+    )
+    kept = store.files_for(
+        prefix="staterun/", ranges={"run_start_us": (lo, hi)}
+    )
+    everything = store.files_for(prefix="staterun/")
+    assert 0 < len(kept) < len(everything)
