@@ -697,6 +697,66 @@ def q_uptime_1h(spark, sf_dir):
     )
 
 
+def q_state_range_read(spark, sf_dir):
+    """Range-scoped time-in-state read (`pipeline.read_lang_state_tier` +
+    `sources/snapshots.py` manifest stats on `run_start_us`): events'
+    per-observation state runs committed as WEEKLY snapshot partitions,
+    then a 5-day window answered at O(range+horizon) — the oracle runs the
+    full-history span algebra at 1d and keeps only in-range buckets, so
+    equality proves the scoped stitch loses nothing when the horizon
+    covers every key's edge silence (it spans the whole fixture here).
+    The prune MECHANISM is asserted separately with a tight 1-day-horizon
+    `files_for` (kept < total or the query raises): result exactness needs
+    a wide horizon, the file-skip proof needs a narrow one, and conflating
+    them would make one of the two claims vacuous."""
+    import tempfile
+
+    from streamchange_spark.operators import encode_state_runs
+    from streamchange_spark.pipeline import read_lang_state_tier
+    from streamchange_spark.sources import SnapshotStore
+
+    _configure(spark)
+    events = _t(spark, sf_dir, "events")
+    runs = encode_state_runs(
+        events, ["user_id"], "ts", "event_type", collapse=False
+    ).withColumn(
+        "_week",
+        F.date_format(
+            F.date_trunc("week", F.timestamp_micros(F.col("run_start_us"))),
+            "yyyy-MM-dd",
+        ),
+    )
+    weeks = [r["_week"] for r in runs.select("_week").distinct().collect()]
+    store = SnapshotStore(tempfile.mkdtemp(prefix="spark_graft_staterange_"))
+    store.commit_partitions(
+        {
+            f"staterun/{w}": runs.where(F.col("_week") == w).drop("_week")
+            for w in sorted(weeks)
+        },
+        stat_cols=["run_start_us"],
+    )
+    total = len(store.files_for(prefix="staterun/"))
+    day_us = 86_400_000_000
+    lo_us = 1704499200 * 1_000_000 - day_us  # 2024-01-06 minus 1d horizon
+    hi_us = 1704931200 * 1_000_000 + day_us  # 2024-01-11 plus 1d horizon
+    kept = store.files_for(
+        prefix="staterun/", ranges={"run_start_us": (lo_us, hi_us)}
+    )
+    if not (0 < len(kept) < total):
+        raise AssertionError(f"prune did not engage: {len(kept)}/{total} files")
+    t = read_lang_state_tier(
+        spark, store, "2024-01-06", "2024-01-10", tier="1d",
+        horizon_days=400, key_cols=("user_id",),
+    )
+    return t.select(
+        "user_id",
+        "state",
+        _epoch("bucket_start").alias("bucket"),
+        "held_us",
+        "n_spans",
+    )
+
+
 def q_lttb(spark, sf_dir):
     """LTTB downsample (`operators/hyper.py:lttb`, Steinarsson 2013): each
     user's event series reduced to 24 visually-representative points via a
@@ -2449,8 +2509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_1d": q_distinct_sketch_1d,
         # --- new round-5: mergeable heavy-hitters tier (heavy_hitters.py) ---
         "heavy_hitters_1d": q_heavy_hitters_1d,
-        # --- new round-5: sliding percentiles off the rank-sketch tier ---
-        "hopping_percentiles": q_hopping_percentiles,
         # --- new round-5: inter-snapshot change-score series ---
         "change_scores": q_change_scores,
         # --- new round-5: canonical text normalization ---
@@ -2481,6 +2539,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window to cover the hopping helper itself on the qsketch tier.
         "state_durations_1d": q_state_durations_1d,
         "uptime_1h": q_uptime_1h,
+        # --- round-5 wave 9b: range-scoped state read off the snapshot
+        # store (O(range+horizon) stitch + run_start_us file pruning).
+        # Its slot comes from hopping_percentiles (moved to the window
+        # edge): qsketch.py's tier math stays covered in-window by
+        # sketch_percentiles_1d, the hopping composition is pinned to a
+        # direct window build in pytest (test_rollup_gapfill.py), and all
+        # three hopping rows were re-verified hash-exact by this session's
+        # full 97-query check_entry sweep.
+        "state_range_read": q_state_range_read,
         # round-5 store layer: stats-pruned read proven lossless in-window
         "pruned_tier_read": q_pruned_tier_read,
         # round-5 store layer: copy-on-write MERGE INTO (upsert + append)
@@ -2525,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and both compositions are pinned equal to direct builds in pytest
         "hopping_distinct": q_hopping_distinct,
         "hopping_topk": q_hopping_topk,
+        "hopping_percentiles": q_hopping_percentiles,
         "window_segmentor": q_window_segmentor,
         # evicted to the window edge for the two new DML rows: r4/r3
         # hash-exact, and their round-5 file edits are exercised in-window
@@ -3691,6 +3759,31 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
                    CAST(SUM(CASE WHEN (b + 1) * 3600000000 >= e AND gap
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
             FROM ex GROUP BY 1, 2
+        """,
+        "state_range_read": """
+            WITH sp AS (
+                SELECT user_id, event_type AS state,
+                       epoch_us(ts) AS s,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS e
+                FROM events WHERE event_type IS NOT NULL
+            ),
+            ex AS (
+                SELECT user_id, state, s, e,
+                       unnest(generate_series(
+                           s // 86400000000, (e - 1) // 86400000000)) AS b
+                FROM sp WHERE e > s
+            )
+            SELECT user_id, state, b * 86400 AS bucket,
+                   CAST(SUM(LEAST(e, (b + 1) * 86400000000)
+                            - GREATEST(s, b * 86400000000)) AS BIGINT)
+                       AS held_us,
+                   CAST(SUM(CASE WHEN b * 86400000000 <= s
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+            FROM ex
+            WHERE b * 86400 >= epoch('2024-01-06 00:00:00'::TIMESTAMP)
+              AND b * 86400 <  epoch('2024-01-11 00:00:00'::TIMESTAMP)
+            GROUP BY 1, 2, 3
         """,
         "trend_1d": """
             SELECT user_id,

@@ -300,6 +300,8 @@ def read_lang_state_tier(
     end_day: str,
     tier: str = "1d",
     horizon_days: int = 30,
+    key_cols: tuple = ("url",),
+    prefix: str = "staterun/",
 ) -> DataFrame:
     """Range-scoped time-in-state read: per-url lang durations for buckets
     in ``[start_day, end_day]`` at query cost O(range + horizon), not
@@ -326,9 +328,9 @@ def read_lang_state_tier(
     lo_us = int((start - epoch).total_seconds()) * 1_000_000 - h_us
     hi_us = int((end - epoch).total_seconds()) * 1_000_000 + h_us
     runs = store.read(
-        spark, prefix="staterun/", ranges={"run_start_us": (lo_us, hi_us)}
+        spark, prefix=prefix, ranges={"run_start_us": (lo_us, hi_us)}
     ).where(F.col("run_start_us").between(lo_us, hi_us))
-    tiers = state_tier_from_runs(runs, ["url"], tier)
+    tiers = state_tier_from_runs(runs, list(key_cols), tier)
     return tiers.where(
         (F.col("bucket_start") >= F.lit(start_day).cast("timestamp"))
         & (F.col("bucket_start") < F.timestamp_seconds(
