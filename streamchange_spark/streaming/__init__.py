@@ -20,7 +20,11 @@ from .changescore import change_scores_from_ingest, run_streaming_signature_inge
 from .heavy_hitters import hh_tier_from_ingest, run_streaming_hh_ingest
 from .kmv import kmv_tier_from_ingest, run_streaming_kmv_ingest
 from .statsagg import run_streaming_stats_ingest, stats_tier_from_ingest
-from .stateagg import run_streaming_state_ingest, state_tier_from_ingest
+from .stateagg import (
+    run_streaming_state_ingest,
+    state_tier_from_ingest,
+    uptime_tier_from_ingest,
+)
 from .qsketch import run_streaming_sketch_ingest, sketch_tier_from_ingest
 from .rollup import streaming_rollup_raw
 from .upsert import run_streaming_upsert
@@ -40,6 +44,7 @@ __all__ = [
     "run_streaming_stats_ingest",
     "state_tier_from_ingest",
     "stats_tier_from_ingest",
+    "uptime_tier_from_ingest",
     "run_streaming_line_dedup",
     "run_streaming_signature_ingest",
     "run_streaming_sketch_ingest",

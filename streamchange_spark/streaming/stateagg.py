@@ -45,9 +45,17 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.stateagg import encode_state_runs, state_tier_from_runs
+from ..operators.stateagg import (
+    encode_state_runs,
+    heartbeat_tier_from_runs,
+    state_tier_from_runs,
+)
 
-__all__ = ["run_streaming_state_ingest", "state_tier_from_ingest"]
+__all__ = [
+    "run_streaming_state_ingest",
+    "state_tier_from_ingest",
+    "uptime_tier_from_ingest",
+]
 
 
 def run_streaming_state_ingest(
@@ -116,4 +124,27 @@ def state_tier_from_ingest(
     runs = spark.read.parquet(runs_path).drop("_batch_id")
     return state_tier_from_runs(
         runs, list(key_cols), tier, max_span_buckets=max_span_buckets
+    )
+
+
+def uptime_tier_from_ingest(
+    spark: SparkSession,
+    runs_path: str,
+    key_cols: Sequence[str],
+    tier: str = "1h",
+    tolerance_s: float = 600.0,
+    max_span_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Liveness/uptime off the SAME ingested run rows — no second stream:
+    every stored run endpoint is a heartbeat, so the accumulated ingest
+    serves :func:`..operators.stateagg.heartbeat_tier` for free. Exact
+    versus the batch heartbeat build when ingesting with
+    ``encode_runs=False`` (every observation retained); with compaction
+    the dropped run interiors undercount coverage across
+    longer-than-tolerance endpoint gaps (same caveat as
+    ``heartbeat_tier_from_runs``, which this wraps)."""
+    runs = spark.read.parquet(runs_path).drop("_batch_id")
+    return heartbeat_tier_from_runs(
+        runs, list(key_cols), tier,
+        tolerance_s=tolerance_s, max_span_buckets=max_span_buckets,
     )

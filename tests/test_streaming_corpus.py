@@ -543,3 +543,17 @@ def test_streaming_state_tier_matches_batch(spark, tmp_path):
     sf = sorted(streamed_full.collect(), key=key)
     bf = sorted(batch.collect(), key=key)
     assert [tuple(r) for r in sf] == [tuple(r) for r in bf]
+
+    # ... and the same obs-level ingest serves uptime for free, bit-equal
+    # to the batch heartbeat build over the raw observations
+    from streamchange_spark.operators import heartbeat_tier
+    from streamchange_spark.streaming import uptime_tier_from_ingest
+
+    up_stream = uptime_tier_from_ingest(
+        spark, runs2, ["key"], "1d", tolerance_s=1800.0
+    )
+    up_batch = heartbeat_tier(union, ["key"], "ts", "1d", tolerance_s=1800.0)
+    hkey = lambda r: (r["key"], r["bucket_start"])
+    assert sorted(map(tuple, up_stream.collect())) == sorted(
+        map(tuple, up_batch.collect())
+    )
