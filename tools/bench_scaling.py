@@ -42,6 +42,7 @@ ALL_STAGES = (
     "ingest", "rollup", "gorilla", "detect", "corpus", "sessions",
     "sessions_sorted", "sketch", "freq", "increment", "lines",
     "lines_increment", "churn", "crawlfreq", "refresh", "dml", "state",
+    "state_sorted",
 )
 PIPELINE_STAGES = ("ingest", "rollup", "gorilla", "detect")
 SORTED_BUCKETS = 64
@@ -84,6 +85,31 @@ def build_sorted_input(path: str, srt_path: str, cpus: int) -> None:
     )
     print(
         f"# sorted-bucketed write: {time.time() - t0:.1f}s -> {srt_path}",
+        file=sys.stderr,
+    )
+    spark.stop()
+
+
+def build_sorted_state_input(path: str, srt_path: str, cpus: int) -> None:
+    """Sorted one-file-per-bucket layout carrying (url, warc_ts, lang) for
+    the state_sorted stage — same scheme as build_sorted_input, one more
+    column so the time-in-state window can ride the scan order."""
+    from streamchange_spark.session import get_spark
+    from streamchange_spark.sources import write_bucketed
+
+    spark = get_spark("bench_srtst_gen", master=f"local[{cpus}]")
+    t0 = time.time()
+    pages = spark.read.parquet(path).select("url", "warc_ts", "lang")
+    write_bucketed(
+        pages.repartition(SORTED_BUCKETS, "url"),
+        "pages_srtst_bench_w",
+        ["url"],
+        n_buckets=SORTED_BUCKETS,
+        sort_cols=["url", "warc_ts"],
+        path=srt_path,
+    )
+    print(
+        f"# sorted-state write: {time.time() - t0:.1f}s -> {srt_path}",
         file=sys.stderr,
     )
     spark.stop()
@@ -782,6 +808,39 @@ def run_level(path: str, cpus: int, stages: set[str]) -> dict:
         for p in (store_path, scratch, part_path, src_path):
             shutil.rmtree(p, ignore_errors=True)
 
+    if "state_sorted" in stages:
+        # Same state-tier build over the sorted one-file-per-bucket layout:
+        # the lead window rides the scan order and HashPartitioning(url)
+        # clusters the (url, bucket, state) groups — ZERO Exchange, ZERO
+        # Sort (plan-asserted each run; the 2.1-2.2x layout win in
+        # BASELINE.md, now reproducible instead of a one-off).
+        from streamchange_spark.operators import state_tier as _state_tier
+        from streamchange_spark.sources import enable_sorted_bucketed_scan
+
+        srtst = path + "_srtst"
+        enable_sorted_bucketed_scan(spark)
+        spark.sql("DROP TABLE IF EXISTS pages_srtst_bench")
+        spark.sql(
+            f"""CREATE TABLE pages_srtst_bench
+            (url STRING, warc_ts TIMESTAMP, lang STRING)
+            USING parquet CLUSTERED BY (url)
+            SORTED BY (url, warc_ts) INTO {SORTED_BUCKETS} BUCKETS
+            LOCATION '{srtst}'"""
+        )
+        st = _state_tier(
+            spark.table("pages_srtst_bench"), ["url"], "warc_ts", "lang", "1h"
+        )
+        plan = st._jdf.queryExecution().executedPlan().toString()
+        out["state_sorted_plan_ok"] = (
+            "Exchange" not in plan and "Sort" not in plan
+        )
+        t0 = time.time()
+        st.write.mode("overwrite").format("noop").save()
+        out["state_sorted_sec"] = round(time.time() - t0, 2)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+
     if "sessions_sorted" in stages:
         # Same sessionization over the sorted one-file-per-bucket layout:
         # the scan reports HashPartitioning(url) AND (url, warc_ts) order,
@@ -872,6 +931,10 @@ def _derive(merged: dict) -> dict:
         )
     if "state_sec" in merged:
         merged["state_rows_per_sec"] = round(n_rows / merged["state_sec"], 1)
+    if "state_sorted_sec" in merged:
+        merged["state_sorted_rows_per_sec"] = round(
+            n_rows / merged["state_sorted_sec"], 1
+        )
     if "churn_sig_sec" in merged:
         merged["churn_snapshots_per_sec"] = round(
             merged["churn_snapshots"] / merged["churn_sig_sec"], 1
@@ -910,6 +973,9 @@ def main():
         build_input(path, args.urls, args.snapshots, cpus=os.cpu_count() or 8)
     if "sessions_sorted" in stages and not os.path.exists(path + "_srt"):
         build_sorted_input(path, path + "_srt", cpus=os.cpu_count() or 8)
+    if "state_sorted" in stages and not os.path.exists(path + "_srtst"):
+        build_sorted_state_input(path, path + "_srtst",
+                                 cpus=os.cpu_count() or 8)
     if "increment" in stages and not os.path.exists(
         os.path.join(path + "_incstate", "meta.json")
     ):
@@ -965,6 +1031,7 @@ def main():
         "churn_detect": "churn_detect_sec",
         "state": "state_rows_per_sec",
         "state_merge": "state_merge_sec",
+        "state_sorted": "state_sorted_rows_per_sec",
     }
 
     def thr(r, key):
