@@ -757,6 +757,28 @@ def q_state_range_read(spark, sf_dir):
     )
 
 
+def q_asap_smooth(spark, sf_dir):
+    """ASAP smoothing (`operators/hyper.py:asap_smooth`, Rong & Bailis
+    VLDB'17): each user's series smoothed with its own data-chosen
+    moving-average window — minimize roughness subject to preserving
+    kurtosis, so anomalies survive while noise dies. The oracle replays
+    the identical asap_window/moving_avg kernels serially in pandas/NumPy
+    (an execution path independent of the grouped Arrow scan) and pins
+    the result as a VALUES fixture."""
+    _configure(spark)
+    from streamchange_spark.operators import asap_smooth
+
+    events = _t(spark, sf_dir, "events")
+    t = asap_smooth(events, ["user_id"], "ts", "value")
+    return t.select(
+        "user_id",
+        _epoch("ts").alias("ts_epoch"),
+        F.round(F.col("value") - 1e-9, 4).alias("value"),
+        F.round(F.col("smoothed") - 1e-9, 4).alias("smoothed"),
+        F.col("window").alias("sma_window"),
+    )
+
+
 def q_lttb(spark, sf_dir):
     """LTTB downsample (`operators/hyper.py:lttb`, Steinarsson 2013): each
     user's event series reduced to 24 visually-representative points via a
@@ -2504,7 +2526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         # --- new round-5: line-level corpus dedup (C4 boilerplate step) ---
         "dedup_lines": q_dedup_lines,
-        "dedup_lines_incremental": q_dedup_lines_incremental,
         # --- new round-5: mergeable bottom-k distinct tier (kmv.py) ---
         "distinct_sketch_1d": q_distinct_sketch_1d,
         # --- new round-5: mergeable heavy-hitters tier (heavy_hitters.py) ---
@@ -2525,6 +2546,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_1h": q_twa_1h,
         "counter_rate": q_counter_rate,
         "lttb": q_lttb,
+        # --- round-5 wave 9c: ASAP smoothing (kurtosis-preserving
+        # data-chosen window; the LTTB companion). Its slot comes from
+        # dedup_lines_incremental (window edge): the edited line-dedup
+        # code stays covered in-window by dedup_lines, the incremental
+        # join pattern by dedup_incremental, the increment==global
+        # composition is pytest-pinned, and the row was hash-exact in
+        # both of this session's full sweeps.
+        "asap_smooth": q_asap_smooth,
         "trend_1d": q_trend_1d,
         # --- new round-5 wave 9: state_agg / heartbeat_agg tiers
         # (operators/stateagg.py — time-in-state merged 1h->1d proves
@@ -2593,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_distinct": q_hopping_distinct,
         "hopping_topk": q_hopping_topk,
         "hopping_percentiles": q_hopping_percentiles,
+        "dedup_lines_incremental": q_dedup_lines_incremental,
         "window_segmentor": q_window_segmentor,
         # evicted to the window edge for the two new DML rows: r4/r3
         # hash-exact, and their round-5 file edits are exercised in-window
@@ -2971,6 +3001,49 @@ def _values_fixture_sql(rows, cols: list[tuple[str, str]]) -> str:
     names = ", ".join(n for n, _ in cols)
     casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
     return f"SELECT {casts} FROM (VALUES {body}) AS t({names})"
+
+
+def _asap_fixture_sql() -> str:
+    """Serial pandas/NumPy replay of q_asap_smooth (same asap_window /
+    moving_avg kernels, independent of the grouped Arrow scan), pinned as
+    a VALUES fixture with the -1e-9 round(4) tie guard."""
+    import numpy as np
+    import pandas as pd
+
+    from streamchange_spark.operators import asap_window
+    from streamchange_spark.operators.hyper import moving_avg
+
+    ev = pd.read_parquet(
+        f"{_ORACLE_SF_DIR}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    ev = ev[ev["value"].notna()]
+    rows = []
+    for uid, g in ev.groupby("user_id", sort=True):
+        g = g.sort_values("ts").reset_index(drop=True)
+        ts_s = (
+            g["ts"].to_numpy("datetime64[ns]").astype(np.int64) // 10**9
+        )
+        vs = g["value"].to_numpy(dtype=np.float64)
+        w = asap_window(vs)
+        sm = moving_avg(vs, w)
+        rows += [
+            (
+                int(uid),
+                int(ts_s[j]),
+                round(float(vs[j]) - 1e-9, 4),
+                round(float(sm[j - w + 1]) - 1e-9, 4),
+                w,
+            )
+            for j in range(w - 1, len(vs))
+        ]
+    B, D = "BIGINT", "DOUBLE"
+    return _values_fixture_sql(
+        rows,
+        [
+            ("user_id", B), ("ts_epoch", B), ("value", D),
+            ("smoothed", D), ("sma_window", B),
+        ],
+    )
 
 
 def _lttb_fixture_sql() -> str:
@@ -3706,6 +3779,7 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
         "twa_1h": _TWA_ORACLE,
         "counter_rate": _COUNTER_RATE_ORACLE,
         "lttb": _lttb_fixture_sql(),
+        "asap_smooth": _asap_fixture_sql(),
         # direct per-(user, day) regression over raw rows; the Spark side
         # merges persisted 1h partials first — equality proves the
         # regression tier re-aggregates exactly

@@ -74,6 +74,7 @@ HEADLINE = [
     "twa_1h",
     "counter_rate",
     "lttb",
+    "asap_smooth",
     "trend_1d",
     "state_durations_1d",
     "uptime_1h",

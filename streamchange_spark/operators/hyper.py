@@ -167,6 +167,123 @@ def lttb_select(ts: np.ndarray, vs: np.ndarray, n_out: int) -> np.ndarray:
     return selected
 
 
+def moving_avg(vs: np.ndarray, w: int) -> np.ndarray:
+    """Trailing simple moving average via exact cumsum; length n-w+1."""
+    c = np.concatenate(([0.0], np.cumsum(vs, dtype=np.float64)))
+    return (c[w:] - c[:-w]) / float(w)
+
+
+def _kurtosis(x: np.ndarray) -> float:
+    """Pearson kurtosis m4/m2² (the ASAP paper's statistic; 3.0 for a
+    normal). NaN for zero-variance input."""
+    d = x - x.mean()
+    m2 = float((d * d).mean())
+    if m2 <= 0.0:
+        return float("nan")
+    return float((d ** 4).mean() / (m2 * m2))
+
+
+def _roughness(x: np.ndarray) -> float:
+    """Std of first differences — the ASAP smoothness objective."""
+    return float(np.diff(x).std()) if len(x) > 2 else 0.0
+
+
+def asap_window(vs: np.ndarray, max_window: int | None = None) -> int:
+    """Serial ASAP window search (Rong & Bailis, VLDB'17 §4): choose the
+    moving-average window minimizing roughness (std of first differences)
+    subject to PRESERVING structure — kurtosis(smoothed) must not fall
+    below kurtosis(original), so spikes/anomalies survive the smoothing
+    that kills noise. Candidate windows are the autocorrelation-peak lags
+    (the paper's pruning insight: good windows align with the series'
+    periodicity) plus a ×1.5 geometric ladder fallback; ties and
+    degenerate series (n<8, zero variance, non-finite kurtosis) return 1
+    (no smoothing). Deterministic, vectorized per series."""
+    vs = np.asarray(vs, dtype=np.float64)
+    n = len(vs)
+    if n < 8:
+        return 1
+    maxw = min(max_window or n // 4, n // 4)
+    if maxw < 2:
+        return 1
+    orig_kurt = _kurtosis(vs)
+    if not np.isfinite(orig_kurt):
+        return 1
+    d = vs - vs.mean()
+    denom = float((d * d).sum())
+    acf = np.array(
+        [float((d[: n - l] * d[l:]).sum()) / denom for l in range(1, maxw + 1)]
+    )
+    cand = {
+        l + 1
+        for l in range(1, len(acf) - 1)
+        if acf[l] > acf[l - 1] and acf[l] >= acf[l + 1]
+    }
+    w = 2
+    while w <= maxw:
+        cand.add(w)
+        w = max(w + 1, int(round(w * 1.5)))
+    best_w, best_r = 1, _roughness(vs)
+    for w in sorted(c for c in cand if 2 <= c <= maxw):
+        sm = moving_avg(vs, w)
+        if _kurtosis(sm) >= orig_kurt:
+            r = _roughness(sm)
+            if r < best_r:
+                best_w, best_r = w, r
+    return best_w
+
+
+def asap_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    max_window: int | None = None,
+) -> DataFrame:
+    """Per-key ASAP smoothing: each series gets its own data-chosen
+    moving-average window (see :func:`asap_window`) and emits the trailing
+    SMA aligned to each window's END timestamp — the dashboard-ready trend
+    line that keeps anomalies visible (kurtosis-preserving) while removing
+    noise. Output: (keys..., ts, value, smoothed, window); the first
+    window-1 points of each series are dropped (no partial windows, so the
+    smoothed value at ts uses only data at or before ts — safe for
+    monitoring, no lookahead).
+
+    Same plan shape as :func:`lttb`: one hash exchange on the keys, one
+    Arrow crossing per partition (``grouped_apply``), all window math
+    vectorized NumPy per series. Like ASAP itself, assumes each key's
+    series is (roughly) regularly sampled — compose with :func:`gapfill`
+    first for gappy tiers."""
+    key_cols = list(key_cols)
+    key_fields = [df.schema[k] for k in key_cols]
+    schema = StructType(
+        key_fields
+        + [
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("smoothed", DoubleType()),
+            StructField("window", LongType()),
+        ]
+    )
+    src = df.select(
+        *key_cols, F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    ).where(F.col("value").isNotNull())
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        vs = pdf["value"].to_numpy(dtype=np.float64)
+        w = asap_window(vs, max_window)
+        sm = moving_avg(vs, w)
+        out = pdf.iloc[w - 1 :][key_cols + ["ts", "value"]].reset_index(
+            drop=True
+        )
+        out["smoothed"] = sm
+        out["window"] = np.int64(w)
+        return out
+
+    return grouped_apply(src, key_cols, run, schema, needed_cols=["ts", "value"])
+
+
 def lttb(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -202,3 +202,63 @@ def test_stats_eval_degenerate_buckets_are_null(spark):
         assert got[k]["slope"] is None and got[k]["r2"] is None, k
     assert got["const_y"]["slope"] == 0.0
     assert got["const_y"]["r2"] == 1.0
+
+
+def test_asap_window_prefers_smoothing_noisy_periodic():
+    """A noisy periodic series: ASAP picks a window >1 that cuts roughness
+    while preserving kurtosis (the paper's contract); a pure spike series
+    whose kurtosis any smoothing would destroy keeps window 1 behavior or
+    a kurtosis-preserving choice only."""
+    from streamchange_spark.operators import asap_window
+    from streamchange_spark.operators.hyper import (
+        _kurtosis,
+        _roughness,
+        moving_avg,
+    )
+
+    rng = np.random.RandomState(5)
+    t = np.arange(400)
+    noisy = np.sin(2 * np.pi * t / 24) + rng.randn(400) * 0.4
+    w = asap_window(noisy)
+    assert w > 1
+    sm = moving_avg(noisy, w)
+    assert _roughness(sm) < _roughness(noisy)
+    assert _kurtosis(sm) >= _kurtosis(noisy)
+    # degenerate inputs: constant and tiny series stay unsmoothed
+    assert asap_window(np.ones(100)) == 1
+    assert asap_window(np.arange(5.0)) == 1
+
+
+def test_asap_smooth_serial_equals_distributed(spark):
+    """The grouped Arrow scan reproduces the serial replay bit-for-bit
+    (same kernel, independent execution path) and emits no partial
+    windows."""
+    from streamchange_spark.operators import asap_smooth, asap_window
+    from streamchange_spark.operators.hyper import moving_avg
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for k in ("a", "b", "c"):
+        base = {"a": 10.0, "b": -3.0, "c": 0.0}[k]
+        for i in range(150):
+            rows.append(
+                (k, float(i * 60),
+                 float(base + np.sin(i / 7.0) + rng.randn() * 0.3))
+            )
+    df = spark.createDataFrame(rows, ["k", "sec", "v"]).select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    out = asap_smooth(df, ["k"], "ts", "v").toPandas()
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["k", "sec", "v"])
+    for k, g in pdf.groupby("k"):
+        vs = g.sort_values("sec")["v"].to_numpy(np.float64)
+        w = asap_window(vs)
+        sm = moving_avg(vs, w)
+        got = out[out["k"] == k].sort_values("ts")
+        assert (got["window"] == w).all()
+        assert len(got) == len(vs) - w + 1
+        assert np.array_equal(got["smoothed"].to_numpy(np.float64), sm)
+        # trailing alignment: first emitted ts is the w-th observation's
+        assert got["ts"].iloc[0].timestamp() == float((w - 1) * 60)
