@@ -175,3 +175,40 @@ def test_heartbeat_from_obs_runs_exact(spark):
     a = sorted(via_runs.collect(), key=key)
     b = sorted(direct.collect(), key=key)
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_state_chain_and_conservation_many_keys(spark):
+    """Randomized conservation property over 50 keys in one job: per key,
+    SUM(held_us) across all buckets and states == last_ts - first_ts
+    exactly (the span algebra partitions the lifetime), and the full
+    1h -> 1d -> 30d merge chain bit-equals the direct 30d build."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(23)
+    rows = []
+    firsts, lasts = {}, {}
+    for ki in range(50):
+        k = f"k{ki}"
+        t = rng.uniform(0, 86400)
+        for _ in range(rng.randint(2, 120)):
+            t += rng.expovariate(1 / rng.choice([600.0, 7200.0, 86400.0]))
+            rows.append((k, t, rng.choice(["a", "b", "c", "d"])))
+            lasts[k] = t
+            firsts.setdefault(k, t)
+    df = _obs(spark, rows)
+    t1h = state_tier(df, ["k"], "ts", "state", "1h")
+    per_key = {
+        r["k"]: r["total"]
+        for r in t1h.groupBy("k").agg(F.sum("held_us").alias("total")).collect()
+    }
+    for k in firsts:
+        expect = int(float(lasts[k]) * 1e6) - int(float(firsts[k]) * 1e6)
+        assert per_key.get(k, 0) == expect, k
+    chain = state_rollup(state_rollup(t1h, ["k"], "1d"), ["k"], "30d")
+    direct = state_tier(df, ["k"], "ts", "state", "30d")
+    key = lambda r: (r["k"], r["bucket_start"], r["state"])
+    assert sorted(map(tuple, chain.collect()), key=lambda t: t[:3]) == sorted(
+        map(tuple, direct.collect()), key=lambda t: t[:3]
+    )
