@@ -634,6 +634,30 @@ def q_twa_1h(spark, sf_dir):
     )
 
 
+def q_twa_1d_from_1h(spark, sf_dir):
+    """Tier-MERGED time-weighted average (`operators/stateagg.py:twa_tier`,
+    the mergeable upgrade over the truncate-style `time_weighted_avg`):
+    LOCF spans split exactly at bucket boundaries, 1h (held_us, Σv·held_us)
+    partials summed into 1d, evaluated only at the edge. The oracle runs
+    the same split algebra in SQL DIRECTLY at 1d — equality proves
+    merge == direct (held_us integral; twa round(4) with the -1e-9
+    guard absorbs double summation order)."""
+    _configure(spark)
+    from streamchange_spark.operators import twa_eval, twa_rollup, twa_tier
+
+    events = _t(spark, sf_dir, "events")
+    t = twa_eval(
+        twa_rollup(twa_tier(events, ["user_id"], "ts", "value", "1h"),
+                   ["user_id"], "1d")
+    )
+    return t.select(
+        "user_id",
+        _epoch("bucket_start").alias("bucket"),
+        "held_us",
+        F.round(F.col("twa") - 1e-9, 4).alias("twa"),
+    )
+
+
 def q_counter_rate(spark, sf_dir):
     """Counter-reset-aware hourly increase/rate
     (`operators/hyper.py:counter_rate`, the Prometheus increase/rate pair):
@@ -2521,7 +2545,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "domain_cap": q_domain_cap,
         "mixture_sample": q_mixture_sample,
-        "weighted_sample": q_weighted_sample,
         # --- new round-5: incremental dedup against persisted state ---
         "dedup_incremental": q_dedup_incremental,
         # --- new round-5: line-level corpus dedup (C4 boilerplate step) ---
@@ -2568,6 +2591,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window to cover the hopping helper itself on the qsketch tier.
         "state_durations_1d": q_state_durations_1d,
         "uptime_1h": q_uptime_1h,
+        # --- round-5 wave 9d: tier-mergeable TWA on the split-span
+        # algebra (merge==direct at 1d; the mergeable upgrade the plain
+        # twa_1h row documents as impossible for its truncate semantics).
+        # Slot from weighted_sample (window edge): sampling.py's edited
+        # per-purpose salt is covered in-window by corpus_split /
+        # domain_cap / mixture_sample, the ES-top-k composition is
+        # pytest-pinned, and the row was hash-exact in all three of this
+        # session's full sweeps.
+        "twa_1d_from_1h": q_twa_1d_from_1h,
         # --- round-5 wave 9b: range-scoped state read off the snapshot
         # store (O(range+horizon) stitch + run_start_us file pruning).
         # Its slot comes from hopping_percentiles (moved to the window
@@ -2623,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_topk": q_hopping_topk,
         "hopping_percentiles": q_hopping_percentiles,
         "dedup_lines_incremental": q_dedup_lines_incremental,
+        "weighted_sample": q_weighted_sample,
         "window_segmentor": q_window_segmentor,
         # evicted to the window edge for the two new DML rows: r4/r3
         # hash-exact, and their round-5 file edits are exercised in-window
@@ -3783,6 +3816,33 @@ WHERE end_us + 1800500000 <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM eve
         # direct per-(user, day) regression over raw rows; the Spark side
         # merges persisted 1h partials first — equality proves the
         # regression tier re-aggregates exactly
+        "twa_1d_from_1h": """
+            WITH sp AS (
+                SELECT user_id, value AS v,
+                       epoch_us(ts) AS s,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS e
+                FROM events WHERE value IS NOT NULL
+            ),
+            ex AS (
+                SELECT user_id, v, s, e,
+                       unnest(generate_series(
+                           s // 86400000000, (e - 1) // 86400000000)) AS b
+                FROM sp WHERE e > s
+            ),
+            agg AS (
+                SELECT user_id, b,
+                       SUM(LEAST(e, (b + 1) * 86400000000)
+                           - GREATEST(s, b * 86400000000)) AS held,
+                       SUM(v * (LEAST(e, (b + 1) * 86400000000)
+                           - GREATEST(s, b * 86400000000))) AS wsum
+                FROM ex GROUP BY 1, 2
+            )
+            SELECT user_id, b * 86400 AS bucket,
+                   CAST(held AS BIGINT) AS held_us,
+                   round(wsum / held - 1e-9, 4) AS twa
+            FROM agg
+        """,
         "state_durations_1d": """
             WITH sp AS (
                 SELECT user_id, event_type AS state,

@@ -72,6 +72,7 @@ HEADLINE = [
     "freq_changepoints",
     "refresh_1h",
     "twa_1h",
+    "twa_1d_from_1h",
     "counter_rate",
     "lttb",
     "asap_smooth",

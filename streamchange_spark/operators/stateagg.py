@@ -175,6 +175,73 @@ def state_eval(df: DataFrame) -> DataFrame:
     )
 
 
+def twa_tier(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tier: str = "1h",
+    max_span_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Tier-MERGEABLE time-weighted-average partials — the upgrade over
+    :func:`..hyper.time_weighted_avg`, whose truncate-at-own-bucket spans
+    make it deliberately non-mergeable: here each LOCF held span is SPLIT
+    exactly across bucket boundaries (the :func:`state_tier` algebra), so
+    per-(key, bucket) ``(held_us, wsum)`` re-aggregate to any coarser tier
+    by plain SUM — the continuous-aggregate contract for irregular-sample
+    averages. The final observation of a key holds nothing (no invented
+    horizon; total weight per key is exactly ``last_ts - first_ts``).
+    Output: key_cols, bucket_start, held_us (long, exact), wsum (double,
+    Σ value·held_us — evaluate with :func:`twa_eval`)."""
+    seconds = TIER_SECONDS[tier]
+    bucket_us = seconds * 1_000_000
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    s_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    spans = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *key_cols,
+            F.col(value_col).cast("double").alias("_v"),
+            s_us.alias("_s"),
+            F.lead(s_us).over(w).alias("_e"),
+        )
+        .where(F.col("_e") > F.col("_s"))
+    )
+    split = _split_spans(spans, key_cols, bucket_us, max_span_buckets, ["_v"])
+    return split.groupBy(*key_cols, "bucket_start").agg(
+        F.sum("_held_us").alias("held_us"),
+        F.sum(F.col("_v") * F.col("_held_us").cast("double")).alias("wsum"),
+    )
+
+
+def twa_rollup(
+    tier_df: DataFrame, key_cols: Sequence[str], tier: str
+) -> DataFrame:
+    """Merge finer twa partials into a coarser tier — pure GROUP-BY SUM
+    (held microseconds partition each span exactly; wsum is additive)."""
+    seconds = TIER_SECONDS[tier]
+    return (
+        tier_df.select(
+            *key_cols,
+            bucket_col("bucket_start", seconds).alias("bucket_start"),
+            "held_us",
+            "wsum",
+        )
+        .groupBy(*key_cols, "bucket_start")
+        .agg(F.sum("held_us").alias("held_us"), F.sum("wsum").alias("wsum"))
+    )
+
+
+def twa_eval(df: DataFrame) -> DataFrame:
+    """Evaluate twa partials: held_seconds and the time-weighted average
+    (floats only at the edge; held_us stays the exact carrier)."""
+    return df.select(
+        *[c for c in df.columns if c not in ("wsum",)],
+        (F.col("held_us").cast("double") / F.lit(1e6)).alias("held_seconds"),
+        (F.col("wsum") / F.col("held_us").cast("double")).alias("twa"),
+    )
+
+
 def encode_state_runs(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -212,3 +212,54 @@ def test_state_chain_and_conservation_many_keys(spark):
     assert sorted(map(tuple, chain.collect()), key=lambda t: t[:3]) == sorted(
         map(tuple, direct.collect()), key=lambda t: t[:3]
     )
+
+
+def test_twa_tier_merge_equals_direct_and_weighting(spark):
+    """Boundary-split TWA partials: 1h merged to 1d equals the direct 1d
+    build (held_us bit-exact, twa to rounding), and the weighting itself
+    matches a hand-computed LOCF case including a span crossing the
+    boundary (which the truncate-style time_weighted_avg would clip)."""
+    from streamchange_spark.operators import twa_eval, twa_rollup, twa_tier
+
+    # 10.0 held 0->3000, 40.0 held 3000->5400 (crosses the 1h boundary),
+    # final obs at 5400 holds nothing
+    df = _obs(spark, [("a", 0, "x"), ("a", 3000, "x"), ("a", 5400, "x")])
+    df = df.select(
+        "k", "ts",
+        F.when(F.unix_timestamp("ts") == 0, 10.0)
+        .when(F.unix_timestamp("ts") == 3000, 40.0)
+        .otherwise(99.0).alias("v"),
+    )
+    out = {
+        r["bucket_start"].hour: r
+        for r in twa_eval(twa_tier(df, ["k"], "ts", "v", "1h")).collect()
+    }
+    # hour 0: 10.0*3000 + 40.0*600 ; hour 1: 40.0*1800
+    assert out[0]["held_seconds"] == pytest.approx(3600.0)
+    assert out[0]["twa"] == pytest.approx((10.0 * 3000 + 40.0 * 600) / 3600)
+    assert out[1]["held_seconds"] == pytest.approx(1800.0)
+    assert out[1]["twa"] == pytest.approx(40.0)
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = 0.0
+        for _ in range(300):
+            t += rng.expovariate(1 / 4000.0)
+            rows.append((k, t, rng.uniform(-5, 5)))
+    big = spark.createDataFrame(rows, ["k", "sec", "v"]).select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    direct = twa_eval(twa_tier(big, ["k"], "ts", "v", "1d"))
+    merged = twa_eval(
+        twa_rollup(twa_tier(big, ["k"], "ts", "v", "1h"), ["k"], "1d")
+    )
+    key = lambda r: (r["k"], r["bucket_start"])
+    d = {key(r): r for r in direct.collect()}
+    m = {key(r): r for r in merged.collect()}
+    assert set(d) == set(m)
+    for kk in d:
+        assert d[kk]["held_us"] == m[kk]["held_us"]  # exact integer carrier
+        assert m[kk]["twa"] == pytest.approx(d[kk]["twa"], rel=1e-12)
