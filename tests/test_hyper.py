@@ -262,3 +262,45 @@ def test_asap_smooth_serial_equals_distributed(spark):
         assert np.array_equal(got["smoothed"].to_numpy(np.float64), sm)
         # trailing alignment: first emitted ts is the w-th observation's
         assert got["ts"].iloc[0].timestamp() == float((w - 1) * 60)
+
+
+def test_asap_window_hypothesis_invariants():
+    """Property fuzz (hypothesis, serial kernel only): for ANY float series,
+    asap_window returns a window in [1, n//4] and, whenever it smooths
+    (w > 1), the smoothed series preserves kurtosis and does not increase
+    roughness — the algorithm's two defining guarantees."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from streamchange_spark.operators import asap_window
+    from streamchange_spark.operators.hyper import (
+        _kurtosis,
+        _roughness,
+        moving_avg,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=1,
+            max_size=300,
+        ),
+        st.integers(0, 2**31),
+    )
+    def prop(vals, seed):
+        rng = np.random.RandomState(seed % 2**31)
+        vs = np.asarray(vals, dtype=np.float64)
+        if len(vs) >= 16 and seed % 3 == 0:
+            # mix in periodic+noise shapes so the ACF-peak path is hit
+            vs = vs + np.sin(np.arange(len(vs)) / max(2, seed % 13)) * (
+                1.0 + rng.rand()
+            )
+        w = asap_window(vs)
+        assert 1 <= w <= max(1, len(vs) // 4)
+        if w > 1:
+            sm = moving_avg(vs, w)
+            assert _kurtosis(sm) >= _kurtosis(vs)
+            assert _roughness(sm) <= _roughness(vs) + 1e-12
+
+    prop()
